@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: the flagship anomaly-report pipeline (train → score → context →
+global dedup → reports) over the deterministic synthetic transcript table at
+the scale factor of ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1), running
+under ``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32).
+
+Prints ONE JSON line:
+  {"metric": "report_e2e", "value": <sec>, "unit": "sec",
+   "queries": {...per-phase secs...}, "sf": .., "num_cpus": N,
+   "target_turns": N, "turns_per_sec": N}
+
+``--scaling``: runs the same job in two fresh processes (num_cpus=8 and 32)
+on the same input and reports both throughputs + scaling efficiency
+(the N → 4N cluster-size criterion, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from logjuicer_ray.config import PipelineConfig
+    from logjuicer_ray.pipelines.report import run_errors_report, run_report
+    from logjuicer_ray.pipelines.train import train
+    from logjuicer_ray.sources.transcripts import baseline_and_target, read_turns
+    from logjuicer_ray.synth import ensure_turns, sf_from_dir
+
+    sf = sf_from_dir(sf_dir)
+    path = ensure_turns(sf)
+
+    # Untimed warm-up: (a) saturate the worker pool so every worker process
+    # is spawned and has imported the engine before the clock starts (lazy
+    # worker spawn at high num_cpus otherwise costs seconds mid-pipeline);
+    # (b) run the full pipeline once at the smallest scale to warm every code
+    # path.  Steady-state throughput is the metric; at the design scale
+    # (10^12 turns) startup amortizes to zero.
+    def _warm_worker(batch):
+        from logjuicer_ray.tokenizer import process as _p
+
+        _p("warm up the tokenizer module in this worker 42")
+        import time as _t
+
+        _t.sleep(0.5)
+        return batch
+
+    # take_all (not count) so the map actually executes on every worker
+    ray.data.range(num_cpus * 2, override_num_blocks=num_cpus * 2).map_batches(
+        _warm_worker, batch_size=1
+    ).take_all()
+    warm_path = ensure_turns(0.001)
+    wb, wt = baseline_and_target(warm_path)
+    wmodel = train(wb, PipelineConfig())
+    run_report(wt, wmodel, PipelineConfig())
+    run_errors_report(read_turns(warm_path, split="target"), PipelineConfig())
+
+    # warm the page cache so we measure compute + shuffle, not first-read I/O
+    base, target = baseline_and_target(path)
+    target_turns = target.count()
+    base_turns = base.count()
+
+    queries: dict[str, float] = {}
+    t0 = time.monotonic()
+    cfg = PipelineConfig()
+    model = train(base, cfg)
+    queries["train"] = round(time.monotonic() - t0, 3)
+
+    t1 = time.monotonic()
+    out = run_report(target, model, cfg)
+    n_anom = out["anomalies"].count()
+    n_reports = out["reports"].count()
+    queries["report"] = round(time.monotonic() - t1, 3)
+
+    t2 = time.monotonic()
+    err = run_errors_report(read_turns(path, split="target"), cfg)
+    n_err = err["anomalies"].count()
+    queries["errors"] = round(time.monotonic() - t2, 3)
+
+    total = time.monotonic() - t0
+    result = {
+        "metric": "report_e2e",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "baseline_turns": base_turns,
+        "target_turns": target_turns,
+        "turns_per_sec": round(target_turns / queries["report"], 1),
+        "anomalies": n_anom,
+        "reports": n_reports,
+        "errors_anomalies": n_err,
+    }
+    ray.shutdown()
+    return result
+
+
+def _run_subprocess(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = _run_subprocess(lo)
+        r_hi = _run_subprocess(hi)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling",
+                    "sf": r_lo["sf"],
+                    "sec_8": r_lo["value"],
+                    "sec_32": r_hi["value"],
+                    "turns_per_sec_8": r_lo["turns_per_sec"],
+                    "turns_per_sec_32": r_hi["turns_per_sec"],
+                    "scaling_efficiency": round(eff, 3),
+                }
+            )
+        )
+        return
+    print(json.dumps(_run_bench()))
+
+
+if __name__ == "__main__":
+    main()

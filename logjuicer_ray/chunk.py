@@ -48,8 +48,11 @@ def scan_conversation(
 ):
     """Assemble anomaly contexts for one conversation.
 
-    ``rows`` is an iterable of ``(turn_idx, text, tokens, distance)`` sorted
-    by ``turn_idx`` — distances come from the batched scorer stage.  Returns
+    ``rows`` is an iterable of ``(turn_idx, text, dedup_key, distance)``
+    sorted by ``turn_idx`` — ``dedup_key`` is the unordered token bag
+    computed by the tokenize stage and distances come from the batched
+    scorer stage (shipping the key instead of the token string keeps the
+    conv_id shuffle lean).  Returns
     ``(anomalies, line_count, byte_count)`` where each anomaly is a dict with
     keys ``turn_idx, distance, ts, text, before, after, dedup_key``.
 
@@ -71,7 +74,7 @@ def scan_conversation(
     conv_date = gl_date  # deterministic date anchor for time-only stamps
     scored_flags: list[tuple[bool, float, str]] = []  # aligned with buffer
 
-    for turn_idx, text, tokens, distance in rows:
+    for turn_idx, text, dedup_key, distance in rows:
         if not text:
             continue  # the reference line iterator never yields empty lines
         line_count += 1
@@ -81,14 +84,13 @@ def scan_conversation(
         if ignored(text):
             continue
         if seen is not None:
-            key = unordered_key(tokens)
-            scored = key not in seen
+            scored = dedup_key not in seen
             if scored:
-                seen.add(key)
+                seen.add(dedup_key)
         else:
             scored = True
         buffer.append((turn_idx, text))
-        scored_flags.append((scored, distance, tokens))
+        scored_flags.append((scored, distance, dedup_key))
 
     def get_timestamp(raw: str, buf_idx: int):
         nonlocal conv_date
@@ -123,7 +125,7 @@ def scan_conversation(
     def complete(anomaly: dict) -> None:
         anomalies.append(anomaly)
 
-    for i, ((pos, raw), (scored, distance, tokens)) in enumerate(
+    for i, ((pos, raw), (scored, distance, dedup_key)) in enumerate(
         zip(buffer, scored_flags)
     ):
         is_anomaly = scored and distance is not None and distance > THRESHOLD
@@ -151,7 +153,7 @@ def scan_conversation(
                 "text": raw,
                 "before": [b for _, b in buffer[before_start:i]],
                 "after": [],
-                "dedup_key": unordered_key(tokens),
+                "dedup_key": dedup_key,
             }
             last_context_pos = i + 1
         else:

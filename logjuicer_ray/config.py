@@ -1,0 +1,61 @@
+"""Pipeline configuration.
+
+Analog of the reference's user config (crates/model/src/config.rs:160-310):
+ignore patterns, dedup toggle, and the engine's scale knobs (batch sizes,
+actor-pool sizing, salting).  The config is a small plain object broadcast to
+every stage (shipped inside the map_batches callables).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class PipelineConfig:
+    # --- reference-semantics knobs ---------------------------------------
+    #: regexes; matching lines are counted but never trained/scored
+    #: (config.rs:211-213, applied process.rs:71-73,260-262)
+    ignore_patterns: list[str] = field(default_factory=list)
+    #: per-source + global dedup of scored lines (config.rs:168-172,
+    #: LOGJUICER_KEEP_DUPLICATE analog)
+    skip_duplicate: bool = True
+    #: anomaly threshold on cosine distance (process.rs:20)
+    threshold: float = 0.3
+    #: max raw line length in bytes; longer lines are truncated at ingest
+    #: (the reference line iterator caps at 6000, iterator.rs:155-157)
+    max_line_bytes: int = 6000
+
+    # --- engine scale knobs ----------------------------------------------
+    #: rows per scoring batch (reference chunk is 512 unique lines;
+    #: a larger Arrow batch amortizes actor dispatch, the scorer still
+    #: matmuls in 512-row slices)
+    score_batch_size: int = 4096
+    #: rows per tokenizer batch
+    tokenize_batch_size: int = 2048
+    #: actor-pool size for the scorer (min, max); None → stateless default
+    score_concurrency: tuple[int, int] | None = None
+    #: salt buckets for the train-side groupby — a hot (role, tool) group is
+    #: split into this many partial index builds merged by the combiner
+    #: (skew handling, SURVEY.md §4); salt = hash(dedup_key) % n so the
+    #: per-salt dedup stays globally exact
+    train_salt_buckets: int = 8
+    #: when the scan output (anomalies + per-conv counters) has at most this
+    #: many rows, the global dedup / report aggregation / final sorts run
+    #: driver-side in one pass instead of as three more distributed
+    #: executions (each execution costs seconds of orchestration).  Set to 0
+    #: to force the fully distributed path (used at 10^12-turn scale where
+    #: the anomaly set itself is dataset-sized, and by the parity tests).
+    driver_finish_rows: int = 2_000_000
+
+    def compiled_ignores(self):
+        if not self.ignore_patterns:
+            return None
+        return re.compile("|".join(f"(?:{p})" for p in self.ignore_patterns))
+
+    def ignored_fn(self):
+        rx = self.compiled_ignores()
+        if rx is None:
+            return lambda raw: False
+        return lambda raw: rx.search(raw) is not None

@@ -1,0 +1,139 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+All are vectorized-per-batch ``map_batches`` transforms over the
+``documents`` table (or any text column).  Deterministic, dependency-free.
+"""
+
+from __future__ import annotations
+
+import re
+from zlib import crc32
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    "token_count_batch",
+    "quality_batch",
+    "lang_id_batch",
+    "fingerprint_batch",
+    "add_token_counts",
+    "add_quality",
+    "add_lang_id",
+    "add_fingerprints",
+]
+
+_WS_RE = re.compile(r"\s+")
+# BPE-ish word/number/punct splitter (GPT-2-style coarse approximation)
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]")
+_PUNCT_RE = re.compile(r"[^\w\s]")
+_WORD_RE = re.compile(r"[a-zA-Z']+")
+
+# tiny stopword lists for n-gram-free language ID (heuristic)
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "with", "was", "on"},
+    "fr": {"le", "la", "les", "de", "des", "et", "un", "une", "est", "que", "pour", "dans", "du"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein", "eine", "zu"},
+    "es": {"el", "la", "los", "las", "de", "y", "que", "un", "una", "es", "en", "por", "para"},
+}
+
+
+def token_count_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Whitespace token count + BPE-ish sub-token count."""
+    texts = batch.column(text_col).to_pylist()
+    ws = [len([w for w in _WS_RE.split(t.strip()) if w]) if t and t.strip() else 0 for t in texts]
+    bpe = [len(_BPE_RE.findall(t)) if t else 0 for t in texts]
+    return batch.append_column("ws_tokens", pa.array(ws, pa.int64())).append_column(
+        "bpe_tokens", pa.array(bpe, pa.int64())
+    )
+
+
+def quality_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Heuristic quality features: char length, punct ratio, stopword ratio,
+    mean word length, and a composite [0,1] score."""
+    texts = batch.column(text_col).to_pylist()
+    n_chars, punct_ratio, stop_ratio, mean_wlen, score = [], [], [], [], []
+    en_stop = _STOPWORDS["en"]
+    for t in texts:
+        t = t or ""
+        n = len(t)
+        n_chars.append(n)
+        punct = len(_PUNCT_RE.findall(t))
+        pr = punct / n if n else 0.0
+        words = _WORD_RE.findall(t.lower())
+        sr = sum(w in en_stop for w in words) / len(words) if words else 0.0
+        mw = float(np.mean([len(w) for w in words])) if words else 0.0
+        punct_ratio.append(pr)
+        stop_ratio.append(sr)
+        mean_wlen.append(mw)
+        # composite: long-enough, some stopwords, sane punctuation & words
+        s = 1.0
+        s *= min(1.0, n / 200.0)
+        s *= min(1.0, sr / 0.2) if sr < 0.2 else 1.0
+        s *= max(0.0, 1.0 - max(0.0, pr - 0.2) * 2.0)
+        s *= 1.0 if 3.0 <= mw <= 10.0 else 0.5
+        score.append(s)
+    return (
+        batch.append_column("n_chars_q", pa.array(n_chars, pa.int64()))
+        .append_column("punct_ratio", pa.array(punct_ratio, pa.float64()))
+        .append_column("stopword_ratio", pa.array(stop_ratio, pa.float64()))
+        .append_column("mean_word_len", pa.array(mean_wlen, pa.float64()))
+        .append_column("quality", pa.array(score, pa.float64()))
+    )
+
+
+def lang_id_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Stopword-vote language ID over {en, fr, de, es}; 'und' when no
+    stopword of any language appears."""
+    texts = batch.column(text_col).to_pylist()
+    langs = []
+    for t in texts:
+        words = _WORD_RE.findall((t or "").lower())
+        best_lang, best = "und", 0
+        for lang, stops in _STOPWORDS.items():
+            v = sum(w in stops for w in words)
+            if v > best:
+                best, best_lang = v, lang
+        langs.append(best_lang)
+    return batch.append_column("lang_id", pa.array(langs, pa.string()))
+
+
+def fingerprint_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Rolling-hash document fingerprint: crc32 over the normalized
+    (lowercase, whitespace-collapsed) text, plus a winnowed 4-gram min-hash
+    fingerprint robust to local edits."""
+    texts = batch.column(text_col).to_pylist()
+    fp, winnow = [], []
+    for t in texts:
+        norm = _WS_RE.sub(" ", (t or "").lower()).strip()
+        data = norm.encode("utf-8", "surrogatepass")
+        fp.append(crc32(data))
+        words = norm.split(" ")
+        if len(words) >= 4:
+            grams = [
+                crc32(" ".join(words[i : i + 4]).encode())
+                for i in range(len(words) - 3)
+            ]
+            winnow.append(int(min(grams)))
+        else:
+            winnow.append(crc32(data))
+    return batch.append_column("fingerprint", pa.array(fp, pa.int64())).append_column(
+        "winnow_fp", pa.array(winnow, pa.int64())
+    )
+
+
+def add_token_counts(ds, **kw):
+    return ds.map_batches(token_count_batch, batch_format="pyarrow", fn_kwargs=kw)
+
+
+def add_quality(ds, **kw):
+    return ds.map_batches(quality_batch, batch_format="pyarrow", fn_kwargs=kw)
+
+
+def add_lang_id(ds, **kw):
+    return ds.map_batches(lang_id_batch, batch_format="pyarrow", fn_kwargs=kw)
+
+
+def add_fingerprints(ds, **kw):
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow", fn_kwargs=kw)

@@ -1,0 +1,362 @@
+"""Report pipeline: score target turns, assemble contexts, dedup globally,
+aggregate per-conversation reports, fan out to sinks.
+
+Distributed restatement of ``Model::report`` (model.rs:601-751):
+
+    target turns ─ map_batches(tokenize) ─ map_batches(ScorerStage pool)
+        ─ groupby(conv_id).map_groups(ConversationScan)     # shuffle #1
+        ─ [materialize small scan output]
+        ├─ anomalies ─ groupby(dedup_key) keep-min          # shuffle #2 (global dedup)
+        ├─ reports   = per-conv aggregate of anomalies ∪ counts rows
+        └─ unknown   = groups with no baseline index
+
+Determinism vs the reference (documented deviations, SURVEY.md §4/§2.7):
+
+- global dedup keeps the min (conv_id, turn_idx) occurrence instead of the
+  reference's rayon-race winner, and runs *after* context assembly, so two
+  runs (and two cluster sizes) produce identical bytes;
+- the reference's gl_date (first-anomaly timestamp seeding time-only lines,
+  model.rs:644-648) is per-conversation here unless an explicit ``gl_date``
+  is passed.
+
+The scan output (anomalies + one counts row per conversation + unknown
+groups) is orders of magnitude smaller than the input, so materializing it
+once is bounded; everything upstream streams.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from ..config import PipelineConfig
+from ..filtering import is_ansible_conv
+from ..stages.context import SCAN_SCHEMA, ConversationScan, ErrorsScan
+from ..stages.score import ScorerStage, score_batch
+from ..stages.tokenize import tokenize_batch
+from ..state.model import Model
+
+__all__ = ["score_dataset", "run_report", "global_dedup", "build_reports", "run_errors_report"]
+
+ANOMALY_COLUMNS = [
+    "conv_id",
+    "turn_idx",
+    "role",
+    "tool",
+    "distance",
+    "ts",
+    "text",
+    "before",
+    "after",
+    "dedup_key",
+]
+
+
+def score_dataset(ds, model: Model, config: PipelineConfig | None = None):
+    """turns → tokenized + scored rows (adds tokens/group_key/distance/
+    has_index).  The model ships to the actor pool via one ``ray.put``."""
+    config = config or PipelineConfig()
+    model_ref = ray.put(model)
+    tokenized = ds.map_batches(
+        tokenize_batch,
+        batch_format="pyarrow",
+        batch_size=config.tokenize_batch_size,
+        fn_kwargs={"max_line_bytes": config.max_line_bytes},
+    )
+    if config.score_concurrency is not None:
+        # explicit actor pool (the right shape when per-worker model setup is
+        # expensive relative to batch work — huge models, remote fetch); must
+        # stay below the CPU count or the pool starves the read stage and
+        # deadlocks the streaming executor
+        return tokenized.map_batches(
+            ScorerStage,
+            fn_constructor_kwargs={"model_ref": model_ref},
+            batch_format="pyarrow",
+            batch_size=config.score_batch_size,
+            concurrency=config.score_concurrency,
+        )
+    # default: stateless tasks + broadcast model (ray.put once, plasma-local
+    # zero-copy ray.get per worker) — reuses warm task workers instead of
+    # paying an actor-pool process spawn per execution
+    return tokenized.map_batches(
+        score_batch,
+        fn_kwargs={"model_ref": model_ref},
+        batch_format="pyarrow",
+        batch_size=config.score_batch_size,
+    )
+
+
+def _keep_min_turn(group: pa.Table) -> pa.Table:
+    """Winner rule for the global dedup: min (conv_id, turn_idx)
+    (deterministic replacement of gl_skip_lines, process.rs:359-363)."""
+    conv = group.column("conv_id").to_pylist()
+    turn = group.column("turn_idx").to_pylist()
+    best = min(range(len(conv)), key=lambda i: (conv[i], turn[i]))
+    return group.slice(best, 1)
+
+
+def global_dedup(anomalies_ds):
+    """Cross-conversation dedup on the unordered-token key — an anomaly is
+    reported once per report run."""
+    return anomalies_ds.groupby("dedup_key").map_groups(
+        _keep_min_turn, batch_format="pyarrow"
+    )
+
+
+def _report_partials(batch: pa.Table) -> pa.Table:
+    """anomaly/counts rows → per-conv partial sums (pre-aggregation before
+    the small groupby)."""
+    conv = batch.column("conv_id").to_pylist()
+    row_type = batch.column("row_type").to_pylist()
+    distance = batch.column("distance").to_pylist()
+    line_count = batch.column("line_count").to_pylist()
+    byte_count = batch.column("byte_count").to_pylist()
+    agg: dict[str, list] = {}
+    for i, c in enumerate(conv):
+        cur = agg.setdefault(c, [0, 0.0, 0, 0])
+        if row_type[i] == "anomaly":
+            cur[0] += 1
+            cur[1] += distance[i]
+        else:
+            cur[2] += line_count[i] or 0
+            cur[3] += byte_count[i] or 0
+    return pa.table(
+        {
+            "conv_id": pa.array(list(agg.keys()), pa.string()),
+            "anomaly_count": pa.array([v[0] for v in agg.values()], pa.int64()),
+            "sum_distance": pa.array([v[1] for v in agg.values()], pa.float64()),
+            "line_count": pa.array([v[2] for v in agg.values()], pa.int64()),
+            "byte_count": pa.array([v[3] for v in agg.values()], pa.int64()),
+        }
+    )
+
+
+def _finalize_reports(batch: pa.Table) -> pa.Table:
+    conv = batch.column("conv_id").to_pylist()
+    n = batch.column("anomaly_count").to_pylist()
+    sd = batch.column("sum_distance").to_pylist()
+    mean = [
+        np.float32(s) / np.float32(c) if c else np.float32(0.0)
+        for s, c in zip(sd, n)
+    ]
+    # job-output conversations pin to the top with sentinel 42.0
+    # (LogReport::sorted, report.rs:611-627)
+    sort_key = [
+        np.float32(42.0) if is_ansible_conv(c) and c.rsplit("/", 1)[-1].startswith("job-output")
+        else m
+        for c, m in zip(conv, mean)
+    ]
+    return batch.append_column(
+        "mean_distance", pa.array([float(m) for m in mean], pa.float32())
+    ).append_column("sort_key", pa.array([float(s) for s in sort_key], pa.float32()))
+
+
+def build_reports(scan_ds, anomalies_ds):
+    """Per-conversation report rows: anomaly count/mean over the *deduped*
+    anomalies + line/byte counters from the scan's counts rows.  One small
+    groupby over pre-aggregated partials; only conversations with anomalies
+    are reported (model.rs:578-588)."""
+    counts = scan_ds.filter(expr="row_type == 'counts'")
+    anom_part = anomalies_ds.map_batches(
+        lambda b: _report_partials(
+            b.append_column("row_type", pa.array(["anomaly"] * b.num_rows, pa.string()))
+            .append_column("line_count", pa.array([0] * b.num_rows, pa.int64()))
+            .append_column("byte_count", pa.array([0] * b.num_rows, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+    cnt_part = counts.map_batches(_report_partials, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    merged = (
+        anom_part.union(cnt_part)
+        .groupby("conv_id")
+        .aggregate(
+            Sum("anomaly_count", alias_name="anomaly_count"),
+            Sum("sum_distance", alias_name="sum_distance"),
+            Sum("line_count", alias_name="line_count"),
+            Sum("byte_count", alias_name="byte_count"),
+        )
+    )
+    reports = merged.filter(expr="anomaly_count > 0").map_batches(
+        _finalize_reports, batch_format="pyarrow"
+    )
+    return reports.sort("sort_key", descending=True)
+
+
+def _collect_scan(scan) -> pa.Table:
+    """Materialized scan Dataset → one Arrow table, normalizing per-block
+    schema drift (list field names differ after shuffles)."""
+    tables = [
+        t.select(SCAN_SCHEMA.names).cast(SCAN_SCHEMA)
+        for t in ray.get(scan.to_arrow_refs())
+        if t.num_rows  # empty filler blocks may carry a degenerate schema
+    ]
+    if not tables:
+        return SCAN_SCHEMA.empty_table()
+    return pa.concat_tables(tables)
+
+
+def _driver_finish(scan_table: pa.Table, *, skip_duplicate: bool) -> dict:
+    """Small-output fast path: global dedup, (conv_id, turn_idx) ordering,
+    per-conversation report aggregation and unknown routing in one
+    driver-side pass over the materialized scan rows.  Semantically
+    identical to the distributed path (same winner rules, same f32 mean);
+    used when the scan output is far below dataset scale."""
+    import ray.data as rd
+
+    rows = scan_table.to_pylist()
+    anom = [r for r in rows if r["row_type"] == "anomaly"]
+    if skip_duplicate:
+        best: dict[str, dict] = {}
+        for r in anom:
+            k = r["dedup_key"]
+            cur = best.get(k)
+            if cur is None or (r["conv_id"], r["turn_idx"]) < (cur["conv_id"], cur["turn_idx"]):
+                best[k] = r
+        anom = list(best.values())
+    anom.sort(key=lambda r: (r["conv_id"], r["turn_idx"]))
+    anom_schema = pa.schema([SCAN_SCHEMA.field(n) for n in ANOMALY_COLUMNS])
+    anomalies_table = pa.table(
+        {n: pa.array([r[n] for r in anom], anom_schema.field(n).type) for n in ANOMALY_COLUMNS}
+    )
+
+    per_conv: dict[str, list] = {}
+    for r in anom:
+        cur = per_conv.setdefault(r["conv_id"], [0, 0.0, 0, 0])
+        cur[0] += 1
+        cur[1] += r["distance"]
+    for r in rows:
+        if r["row_type"] == "counts":
+            cur = per_conv.get(r["conv_id"])
+            if cur is not None:
+                cur[2] += r["line_count"] or 0
+                cur[3] += r["byte_count"] or 0
+    report_rows = []
+    for conv, (n, sd, lc, bc) in per_conv.items():
+        mean = np.float32(sd) / np.float32(n) if n else np.float32(0.0)
+        pin = is_ansible_conv(conv) and conv.rsplit("/", 1)[-1].startswith("job-output")
+        report_rows.append(
+            (conv, n, float(sd), lc, bc, float(mean), 42.0 if pin else float(mean))
+        )
+    report_rows.sort(key=lambda r: (-r[6], r[0]))
+    reports_table = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in report_rows], pa.string()),
+            "anomaly_count": pa.array([r[1] for r in report_rows], pa.int64()),
+            "sum_distance": pa.array([r[2] for r in report_rows], pa.float64()),
+            "line_count": pa.array([r[3] for r in report_rows], pa.int64()),
+            "byte_count": pa.array([r[4] for r in report_rows], pa.int64()),
+            "mean_distance": pa.array([r[5] for r in report_rows], pa.float32()),
+            "sort_key": pa.array([r[6] for r in report_rows], pa.float32()),
+        }
+    )
+    unk = sorted(
+        (r for r in rows if r["row_type"] == "unknown"),
+        key=lambda r: (r["group_key"], r["conv_id"]),
+    )
+    unknown_table = pa.table(
+        {
+            "conv_id": pa.array([r["conv_id"] for r in unk], pa.string()),
+            "role": pa.array([r["role"] for r in unk], pa.string()),
+            "tool": pa.array([r["tool"] for r in unk], pa.string()),
+            "group_key": pa.array([r["group_key"] for r in unk], pa.string()),
+            "line_count": pa.array([r["line_count"] for r in unk], pa.int64()),
+            "byte_count": pa.array([r["byte_count"] for r in unk], pa.int64()),
+        }
+    )
+    return {
+        "anomalies": rd.from_arrow(anomalies_table),
+        "reports": rd.from_arrow(reports_table),
+        "unknown": rd.from_arrow(unknown_table),
+    }
+
+
+def run_report(
+    target_ds,
+    model: Model,
+    config: PipelineConfig | None = None,
+    *,
+    gl_date: int | None = None,
+):
+    """Full report: returns a dict of Datasets
+    ``{"anomalies", "reports", "unknown", "scan"}`` plus totals.
+
+    ``anomalies`` is ordered by (conv_id, turn_idx) — the north-rule stable
+    ordering invariant.
+    """
+    config = config or PipelineConfig()
+    scored = score_dataset(target_ds, model, config)
+    # prune before the wide conv_id shuffle: the scan needs the dedup key,
+    # not the token string, and not the raw ts column (anomaly timestamps are
+    # parsed from text per reference semantics)
+    scored = scored.select_columns(
+        ["conv_id", "turn_idx", "role", "tool", "group_key", "text", "dedup_key",
+         "distance", "has_index"]
+    )
+    scan_udf = ConversationScan(config, gl_date=gl_date)
+
+    def conversation_scan(group):
+        return scan_udf(group)
+
+    scan = scored.groupby("conv_id").map_groups(conversation_scan, batch_format="pyarrow")
+    # anomalies + per-conv counts + unknown groups: small; compact the many
+    # shuffle-output micro-blocks, then materialize once so the three
+    # consumers neither re-execute tokenize+score nor schedule hundreds of
+    # near-empty tasks downstream
+    scan = scan.repartition(8).materialize()
+    if config.driver_finish_rows and scan.count() <= config.driver_finish_rows:
+        out = _driver_finish(_collect_scan(scan), skip_duplicate=config.skip_duplicate)
+        out["scan"] = scan
+        return out
+    anomalies = scan.filter(expr="row_type == 'anomaly'").select_columns(ANOMALY_COLUMNS)
+    if config.skip_duplicate:
+        anomalies = global_dedup(anomalies)
+    anomalies = anomalies.sort(["conv_id", "turn_idx"]).materialize()
+    reports = build_reports(scan, anomalies).materialize()
+    unknown = (
+        scan.filter(expr="row_type == 'unknown'")
+        .select_columns(["conv_id", "role", "tool", "group_key", "line_count", "byte_count"])
+        .sort(["group_key", "conv_id"])
+        .materialize()
+    )
+    return {
+        "anomalies": anomalies,
+        "reports": reports,
+        "unknown": unknown,
+        "scan": scan,
+    }
+
+
+def run_errors_report(target_ds, config: PipelineConfig | None = None):
+    """Errors mode (errors_report, errors.rs:341-377): no baseline model —
+    the state-machine classifier runs per conversation; global dedup and the
+    per-conversation report aggregation are shared with the main pipeline."""
+    config = config or PipelineConfig()
+    with_groups = target_ds.map_batches(
+        _add_group_key, batch_format="pyarrow"
+    )
+    errors_udf = ErrorsScan(config)
+
+    def errors_scan(group):
+        return errors_udf(group)
+
+    scan = with_groups.groupby("conv_id").map_groups(errors_scan, batch_format="pyarrow")
+    scan = scan.repartition(8).materialize()
+    if config.driver_finish_rows and scan.count() <= config.driver_finish_rows:
+        out = _driver_finish(_collect_scan(scan), skip_duplicate=config.skip_duplicate)
+        return {"anomalies": out["anomalies"], "reports": out["reports"], "scan": scan}
+    anomalies = scan.filter(expr="row_type == 'anomaly'").select_columns(ANOMALY_COLUMNS)
+    if config.skip_duplicate:
+        anomalies = global_dedup(anomalies)
+    anomalies = anomalies.sort(["conv_id", "turn_idx"]).materialize()
+    reports = build_reports(scan, anomalies).materialize()
+    return {"anomalies": anomalies, "reports": reports, "scan": scan}
+
+
+def _add_group_key(batch: pa.Table) -> pa.Table:
+    group = pc.binary_join_element_wise(batch.column("role"), batch.column("tool"), "/")
+    return batch.append_column("group_key", group)

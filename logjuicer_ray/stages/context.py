@@ -1,0 +1,219 @@
+"""Per-conversation map_groups stages: anomaly-context assembly and errors
+extraction.
+
+These wrap the pure scan kernels (logjuicer_ray.chunk) for
+``groupby("conv_id").map_groups(..., batch_format="pyarrow")`` — shuffle #2
+keyed on ``conv_id``, rows sorted by ``turn_idx`` inside the group (the
+sequential-context semantics of process.rs:126-436 / errors.rs:65-194 demand
+ordered processing).
+
+The stage emits a single mixed table per conversation with ``row_type``:
+
+- ``anomaly``: one row per anomaly context;
+- ``counts``:  one row per conversation (line/byte counters — LineCounters
+  parity, model.rs:451-470);
+- ``unknown``: one row per (conversation, group) whose group has no baseline
+  index (unknown_files routing, model.rs:665-673).
+
+Emitting all three from the one shuffle avoids re-executing the
+tokenize+score stages once per sink.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..chunk import scan_conversation, scan_errors
+from ..filtering import is_ansible_conv
+
+__all__ = ["SCAN_SCHEMA", "ConversationScan", "ErrorsScan", "empty_scan_table"]
+
+SCAN_SCHEMA = pa.schema(
+    [
+        ("row_type", pa.string()),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("tool", pa.string()),
+        ("group_key", pa.string()),
+        ("distance", pa.float32()),
+        ("ts", pa.timestamp("ms")),
+        ("text", pa.string()),
+        ("before", pa.list_(pa.string())),
+        ("after", pa.list_(pa.string())),
+        ("dedup_key", pa.string()),
+        ("line_count", pa.int64()),
+        ("byte_count", pa.int64()),
+    ]
+)
+
+
+def empty_scan_table() -> pa.Table:
+    return SCAN_SCHEMA.empty_table()
+
+
+def _rows_to_table(rows: list[dict]) -> pa.Table:
+    if not rows:
+        return empty_scan_table()
+    cols = {name: [] for name in SCAN_SCHEMA.names}
+    for r in rows:
+        for name in SCAN_SCHEMA.names:
+            cols[name].append(r.get(name))
+    return pa.table(
+        {n: pa.array(cols[n], SCAN_SCHEMA.field(n).type) for n in SCAN_SCHEMA.names}
+    )
+
+
+def _sorted_group(group: pa.Table) -> pa.Table:
+    return group.sort_by("turn_idx")
+
+
+def _role_tool_at(group: pa.Table, idx: int = 0) -> tuple[str, str, str]:
+    role = group.column("role")[idx].as_py()
+    tool = group.column("tool")[idx].as_py()
+    gk = group.column("group_key")[idx].as_py()
+    return role, tool, gk
+
+
+class ConversationScan:
+    """Context assembly for scored conversations (ChunkProcessor analog)."""
+
+    def __init__(self, config=None, gl_date: int | None = None):
+        from ..config import PipelineConfig
+
+        self.config = config or PipelineConfig()
+        self.ignored = self.config.ignored_fn()
+        self.gl_date = gl_date
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        group = _sorted_group(group)
+        conv_id = group.column("conv_id")[0].as_py()
+        is_job = is_ansible_conv(conv_id)
+        turn_idx = group.column("turn_idx").to_pylist()
+        text = group.column("text").to_pylist()
+        dedup_keys = group.column("dedup_key").to_pylist()
+        distance = group.column("distance").to_pylist()
+        has_index = group.column("has_index").to_pylist()
+        group_keys = group.column("group_key").to_pylist()
+        roles = group.column("role").to_pylist()
+        tools = group.column("tool").to_pylist()
+
+        out: list[dict] = []
+        # unknown routing: groups with no baseline index are not scanned
+        # (model.rs:665-673) — one row per (conv, group) with the row count
+        unknown_sel = [i for i, h in enumerate(has_index) if not h and text[i]]
+        if unknown_sel:
+            per_group: dict[str, int] = {}
+            for i in unknown_sel:
+                per_group[group_keys[i]] = per_group.get(group_keys[i], 0) + 1
+            for gk, cnt in sorted(per_group.items()):
+                i = next(j for j in unknown_sel if group_keys[j] == gk)
+                out.append(
+                    {
+                        "row_type": "unknown",
+                        "conv_id": conv_id,
+                        "role": roles[i],
+                        "tool": tools[i],
+                        "group_key": gk,
+                        "line_count": cnt,
+                        "byte_count": sum(
+                            len(text[j].encode()) for j in unknown_sel if group_keys[j] == gk
+                        ),
+                    }
+                )
+
+        known_rows = [
+            (turn_idx[i], text[i], dedup_keys[i], distance[i])
+            for i in range(len(turn_idx))
+            if has_index[i]
+        ]
+        anomalies, line_count, byte_count = scan_conversation(
+            known_rows,
+            skip_duplicates=self.config.skip_duplicate,
+            is_job_output=is_job,
+            gl_date=self.gl_date,
+            ignored=self.ignored,
+        )
+        role0, tool0, gk0 = _role_tool_at(group)
+        for a in anomalies:
+            out.append(
+                {
+                    "row_type": "anomaly",
+                    "conv_id": conv_id,
+                    "turn_idx": a["turn_idx"],
+                    "role": role0,
+                    "tool": tool0,
+                    "group_key": gk0,
+                    "distance": a["distance"],
+                    "ts": a["ts"],
+                    "text": a["text"],
+                    "before": a["before"],
+                    "after": a["after"],
+                    "dedup_key": a["dedup_key"],
+                }
+            )
+        out.append(
+            {
+                "row_type": "counts",
+                "conv_id": conv_id,
+                "role": role0,
+                "tool": tool0,
+                "group_key": gk0,
+                "line_count": line_count,
+                "byte_count": byte_count,
+            }
+        )
+        return _rows_to_table(out)
+
+
+class ErrorsScan:
+    """Errors-mode scan (ErrorsProcessor analog, errors.rs:116-194) — no
+    baseline model required; per-source dedup skipped for ansible/job-output
+    conversations (errors.rs:289-293)."""
+
+    def __init__(self, config=None):
+        from ..config import PipelineConfig
+
+        self.config = config or PipelineConfig()
+        self.ignored = self.config.ignored_fn()
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        group = _sorted_group(group)
+        conv_id = group.column("conv_id")[0].as_py()
+        rows = list(
+            zip(group.column("turn_idx").to_pylist(), group.column("text").to_pylist())
+        )
+        anomalies, line_count, byte_count = scan_errors(
+            rows, is_ansible=is_ansible_conv(conv_id), ignored=self.ignored
+        )
+        role0, tool0, gk0 = _role_tool_at(group)
+        out = [
+            {
+                "row_type": "anomaly",
+                "conv_id": conv_id,
+                "turn_idx": a["turn_idx"],
+                "role": role0,
+                "tool": tool0,
+                "group_key": gk0,
+                "distance": a["distance"],
+                "ts": a["ts"],
+                "text": a["text"],
+                "before": a["before"],
+                "after": a["after"],
+                "dedup_key": a["dedup_key"],
+            }
+            for a in anomalies
+        ]
+        out.append(
+            {
+                "row_type": "counts",
+                "conv_id": conv_id,
+                "role": role0,
+                "tool": tool0,
+                "group_key": gk0,
+                "line_count": line_count,
+                "byte_count": byte_count,
+            }
+        )
+        return _rows_to_table(out)

@@ -190,41 +190,44 @@ def distances(baselines: SparseIndex | None, targets: SparseIndex) -> np.ndarray
     if baselines is None or baselines.nrows == 0:
         out.fill(1.0)
         return out
-    col_indptr, b_rows, b_vals = baselines.by_col()
     nb = baselines.nrows
     t_indptr = targets.indptr
+    b_indptr = baselines.indptr
     for start in range(0, n, CHUNK_SIZE):
         stop = min(start + CHUNK_SIZE, n)
+        nt = stop - start
         lo, hi = t_indptr[start], t_indptr[stop]
         td = targets.indices[lo:hi]
         tv = targets.data[lo:hi]
         ti = np.repeat(
-            np.arange(stop - start, dtype=np.int64),
-            np.diff(t_indptr[start : stop + 1]),
+            np.arange(nt, dtype=np.int64), np.diff(t_indptr[start : stop + 1])
         )
-        counts = (col_indptr[td + 1] - col_indptr[td]).astype(np.int64)
-        total = int(counts.sum())
-        best = np.zeros(stop - start, dtype=np.float64)
-        if total:
-            # expand each target nonzero into the baseline entries that share
-            # its column: flat[k] walks col_indptr[td]..+counts
-            csum = np.cumsum(counts)
-            offsets = np.repeat(csum - counts, counts)
-            flat = np.arange(total, dtype=np.int64) - offsets + np.repeat(
-                col_indptr[td], counts
+        # compact vocabulary: only columns present in this target chunk can
+        # contribute; T is dense (nt × V) over that vocabulary
+        vocab, inv = np.unique(td, return_inverse=True)
+        T = np.zeros((nt, vocab.size), dtype=np.float32)
+        T[ti, inv] = tv
+        best = np.zeros(nt, dtype=np.float32)
+        for bstart in range(0, nb, CHUNK_SIZE):
+            bstop = min(bstart + CHUNK_SIZE, nb)
+            blo, bhi = b_indptr[bstart], b_indptr[bstop]
+            bi = np.repeat(
+                np.arange(bstop - bstart, dtype=np.int64),
+                np.diff(b_indptr[bstart : bstop + 1]),
             )
-            contrib = np.repeat(tv, counts).astype(np.float64) * b_vals[flat]
-            pair = np.repeat(ti, counts) * nb + b_rows[flat]
-            order = np.argsort(pair, kind="stable")
-            pair_sorted = pair[order]
-            boundaries = np.flatnonzero(
-                np.r_[True, pair_sorted[1:] != pair_sorted[:-1]]
-            )
-            sums = np.add.reduceat(contrib[order], boundaries)
-            tgt = pair_sorted[boundaries] // nb
-            np.maximum.at(best, tgt, sums)
-        # best ≥ 0 → distance = 1 - max(0, max similarity), capped at 1.0
-        out[start:stop] = (1.0 - best).astype(np.float32)
+            bcols = baselines.indices[blo:bhi]
+            pos = np.searchsorted(vocab, bcols)
+            pos_c = np.minimum(pos, vocab.size - 1)
+            mask = vocab[pos_c] == bcols
+            B = np.zeros((bstop - bstart, vocab.size), dtype=np.float32)
+            B[bi[mask], pos_c[mask]] = baselines.data[blo:bhi][mask]
+            # one BLAS GEMM per (target chunk × baseline chunk) — the
+            # batched-matmul lesson from the reference bench
+            # (bench-index.rs:21-35: chunked matmul ≈56× per-line scoring)
+            sims = T @ B.T
+            np.maximum(best, sims.max(axis=1), out=best)
+        # distance = 1 - max(0, best similarity); 1.0 when no overlap
+        out[start:stop] = np.float32(1.0) - np.maximum(best, np.float32(0.0))
     return out
 
 

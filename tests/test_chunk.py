@@ -27,7 +27,7 @@ def _scored_rows(index, lines, start_pos=1):
     toks = [tokenize(line) for line in lines]
     d = distances(index, build_index(toks))
     return [
-        (i + start_pos, line, t, float(di))
+        (i + start_pos, line, unordered_key(t), float(di))
         for i, (line, t, di) in enumerate(zip(lines, toks, d))
     ]
 
