@@ -1,0 +1,243 @@
+"""Command-line entry points — the analog of the reference CLI
+(crates/cli/src/main.rs:202-260): report (diff), errors, train, similarity.
+
+Writes the fan-out sinks (``anomalies/``, ``reports/``, ``unknown/``) as
+resumable partitioned Parquet with manifests plus a ``summary.json``
+carrying the LineCounters parity totals (model.rs:451-470), and streams the
+top anomalies to the console like the reference live mode
+(cli/src/main.rs:721-830).
+
+Only this CLI owns the Ray session (guarded init) — library code never
+calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def _config_from_args(args) -> "PipelineConfig":
+    from .config import PipelineConfig
+
+    cfg = PipelineConfig()
+    if getattr(args, "ignore_pattern", None):
+        cfg.ignore_patterns = list(args.ignore_pattern)
+    if getattr(args, "keep_duplicate", False):
+        # LOGJUICER_KEEP_DUPLICATE analog (config.rs:168-172)
+        cfg.skip_duplicate = False
+    return cfg
+
+
+def _print_anomalies(anomalies_ds, limit: int = 50) -> None:
+    shown = 0
+    for row in anomalies_ds.iter_rows():
+        if shown >= limit:
+            print(f"... (truncated at {limit})")
+            break
+        for b in row["before"]:
+            print(f"   | {b}")
+        print(f"{row['distance']:.2f} {row['conv_id']}:{row['turn_idx']} | {row['text']}")
+        for a in row["after"]:
+            print(f"   | {a}")
+        shown += 1
+
+
+def _write_outputs(out, out_dir: str, *, inputs, extra_summary=None) -> dict:
+    from .sinks import write_sink
+
+    summary: dict = {"sinks": {}}
+    for name in ("anomalies", "reports", "unknown"):
+        if name in out:
+            manifest = write_sink(out[name], os.path.join(out_dir, name), inputs=inputs)
+            summary["sinks"][name] = manifest["rows"]
+    # LineCounters parity: totals over the scan counters
+    totals = {"total_line_count": 0, "total_anomaly_count": summary["sinks"].get("anomalies", 0)}
+    if "scan" in out:
+        import pyarrow.compute as pc
+
+        for batch in out["scan"].iter_batches(batch_format="pyarrow"):
+            mask = pc.equal(batch.column("row_type"), "counts")
+            totals["total_line_count"] += int(
+                pc.sum(batch.filter(mask).column("line_count")).as_py() or 0
+            )
+    summary.update(totals)
+    if extra_summary:
+        summary.update(extra_summary)
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    return summary
+
+
+def cmd_report(args) -> int:
+    _init_ray(args.num_cpus)
+    from .pipelines.report import run_report
+    from .pipelines.train import train
+    from .sources.transcripts import read_turns
+    from .state.model import Model
+
+    cfg = _config_from_args(args)
+    t0 = time.monotonic()
+    if args.model and os.path.exists(os.path.join(args.model, "manifest.json")):
+        model = Model.load(args.model)
+    else:
+        baseline = read_turns(args.baseline or args.input, split=args.baseline_split)
+        model = train(baseline, cfg)
+        if args.model:
+            model.save(args.model)
+    target = read_turns(args.target or args.input, split=args.target_split)
+    out = run_report(target, model, cfg)
+    os.makedirs(args.out, exist_ok=True)
+    summary = _write_outputs(
+        out,
+        args.out,
+        inputs=[args.input or args.baseline, args.target],
+        extra_summary={
+            "groups": {k: v.index.nrows for k, v in sorted(model.indexes.items())},
+            "run_time_s": round(time.monotonic() - t0, 2),
+        },
+    )
+    if not args.quiet:
+        _print_anomalies(out["anomalies"])
+        print(json.dumps(summary))
+    return 0
+
+
+def cmd_errors(args) -> int:
+    _init_ray(args.num_cpus)
+    from .pipelines.report import run_errors_report
+    from .pipelines.train import train
+    from .sources.transcripts import read_turns
+    from .state.model import Model
+
+    cfg = _config_from_args(args)
+    model = None
+    if args.model and os.path.exists(os.path.join(args.model, "manifest.json")):
+        model = Model.load(args.model)
+    elif args.baseline or args.baseline_split:
+        baseline = read_turns(args.baseline or args.input, split=args.baseline_split)
+        model = train(baseline, cfg)
+    target = read_turns(args.target or args.input, split=args.target_split)
+    out = run_errors_report(target, cfg, model=model)
+    os.makedirs(args.out, exist_ok=True)
+    summary = _write_outputs(out, args.out, inputs=[args.input or args.target])
+    if not args.quiet:
+        _print_anomalies(out["anomalies"])
+        print(json.dumps(summary))
+    return 0
+
+
+def cmd_train(args) -> int:
+    _init_ray(args.num_cpus)
+    from .pipelines.train import train
+    from .sources.transcripts import read_turns
+
+    cfg = _config_from_args(args)
+    baseline = read_turns(args.input, split=args.baseline_split)
+    model = train(baseline, cfg)
+    model.save(args.model)
+    if not args.quiet:
+        print(
+            json.dumps(
+                {"groups": {k: v.index.nrows for k, v in sorted(model.indexes.items())}}
+            )
+        )
+    return 0
+
+
+def cmd_similarity(args) -> int:
+    _init_ray(args.num_cpus)
+    from .pipelines.report import run_report
+    from .pipelines.similarity import create_similarity
+    from .pipelines.train import train
+    from .sinks import write_sink
+    from .sources.transcripts import read_turns
+
+    cfg = _config_from_args(args)
+    # reference flow (cli/src/main.rs:463-513): train on the first target's
+    # baselines, one report per target, then the co-occurrence merge
+    baseline = read_turns(args.inputs[0], split="baseline")
+    model = train(baseline, cfg)
+    anomalies = []
+    for path in args.inputs:
+        target = read_turns(path, split="target")
+        anomalies.append(run_report(target, model, cfg)["anomalies"])
+    sim = create_similarity(anomalies)
+    os.makedirs(args.out, exist_ok=True)
+    manifest = write_sink(sim, os.path.join(args.out, "similarity"), inputs=args.inputs)
+    if not args.quiet:
+        print(json.dumps({"similarity_rows": manifest["rows"]}))
+    return 0
+
+
+def main(argv=None) -> int:
+    parent = argparse.ArgumentParser(add_help=False)
+    parent.add_argument("--num-cpus", type=int, default=None)
+    parent.add_argument("--quiet", action="store_true")
+    p = argparse.ArgumentParser(prog="logjuicer-ray", parents=[parent])
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--input", help="turns parquet with a split column")
+        sp.add_argument("--baseline", help="baseline turns parquet")
+        sp.add_argument("--target", help="target turns parquet")
+        sp.add_argument("--baseline-split", default="baseline")
+        sp.add_argument("--target-split", default="target")
+        sp.add_argument("--model", help="model dir to load/save")
+        sp.add_argument("--out", required=True)
+        sp.add_argument("--ignore-pattern", action="append")
+        sp.add_argument("--keep-duplicate", action="store_true")
+
+    sp = sub.add_parser("report", parents=[parent], help="diff target against baseline (logjuicer diff analog)")
+    common(sp)
+    sp.set_defaults(fn=cmd_report)
+
+    sp = sub.add_parser("errors", parents=[parent], help="extract error anomalies (logjuicer errors analog)")
+    common(sp)
+    sp.set_defaults(fn=cmd_errors)
+
+    sp = sub.add_parser("train", parents=[parent], help="train and save a model")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--baseline-split", default="baseline")
+    sp.add_argument("--model", required=True)
+    sp.add_argument("--ignore-pattern", action="append")
+    sp.add_argument("--keep-duplicate", action="store_true")
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("similarity", parents=[parent], help="cross-target anomaly co-occurrence")
+    sp.add_argument("--inputs", nargs="+", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--ignore-pattern", action="append")
+    sp.add_argument("--keep-duplicate", action="store_true")
+    sp.set_defaults(fn=cmd_similarity)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

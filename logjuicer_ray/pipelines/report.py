@@ -200,7 +200,34 @@ def _collect_scan(scan) -> pa.Table:
     return pa.concat_tables(tables)
 
 
-def _driver_finish(scan_table: pa.Table, *, skip_duplicate: bool) -> dict:
+def make_errors_model_filter(model: Model):
+    """Row filter for errors-mode anomalies against a baseline model
+    (Model::report_errors + filter_anomalies, model.rs:755-790,
+    filter.rs:34-70): an anomaly is kept when its line (or, for ansible
+    conversations, any before-context line) scores above THRESHOLD against
+    its group's index; groups without an index keep everything."""
+    from ..filtering import filter_anomalies
+
+    def keep(rows: list[dict]) -> list[dict]:
+        out = []
+        by_conv: dict[tuple, list[dict]] = {}
+        for r in rows:
+            by_conv.setdefault((r["conv_id"], r["group_key"]), []).append(r)
+        for (conv, gk), group_rows in sorted(by_conv.items()):
+            index = model.lookup(gk)
+            if index is None:
+                out.extend(group_rows)
+                continue
+            out.extend(
+                filter_anomalies(index, group_rows, check_before=is_ansible_conv(conv))
+            )
+        out.sort(key=lambda r: (r["conv_id"], r["turn_idx"]))
+        return out
+
+    return keep
+
+
+def _driver_finish(scan_table: pa.Table, *, skip_duplicate: bool, anomaly_filter=None) -> dict:
     """Small-output fast path: global dedup, (conv_id, turn_idx) ordering,
     per-conversation report aggregation and unknown routing in one
     driver-side pass over the materialized scan rows.  Semantically
@@ -219,6 +246,8 @@ def _driver_finish(scan_table: pa.Table, *, skip_duplicate: bool) -> dict:
                 best[k] = r
         anom = list(best.values())
     anom.sort(key=lambda r: (r["conv_id"], r["turn_idx"]))
+    if anomaly_filter is not None:
+        anom = anomaly_filter(anom)
     anom_schema = pa.schema([SCAN_SCHEMA.field(n) for n in ANOMALY_COLUMNS])
     anomalies_table = pa.table(
         {n: pa.array([r[n] for r in anom], anom_schema.field(n).type) for n in ANOMALY_COLUMNS}
@@ -331,10 +360,12 @@ def run_report(
     }
 
 
-def run_errors_report(target_ds, config: PipelineConfig | None = None):
-    """Errors mode (errors_report, errors.rs:341-377): no baseline model —
+def run_errors_report(target_ds, config: PipelineConfig | None = None, *, model: Model | None = None):
+    """Errors mode (errors_report, errors.rs:341-377): no baseline needed —
     the state-machine classifier runs per conversation; global dedup and the
-    per-conversation report aggregation are shared with the main pipeline."""
+    per-conversation report aggregation are shared with the main pipeline.
+    With ``model`` given, error anomalies already present in the baseline
+    indexes are filtered out (Model::report_errors, model.rs:755-790)."""
     config = config or PipelineConfig()
     with_groups = target_ds.map_batches(
         _add_group_key, batch_format="pyarrow"
@@ -346,12 +377,30 @@ def run_errors_report(target_ds, config: PipelineConfig | None = None):
 
     scan = with_groups.groupby("conv_id").map_groups(errors_scan, batch_format="pyarrow")
     scan = scan.repartition(8).materialize()
+    anomaly_filter = make_errors_model_filter(model) if model is not None else None
     if config.driver_finish_rows and scan.count() <= config.driver_finish_rows:
-        out = _driver_finish(_collect_scan(scan), skip_duplicate=config.skip_duplicate)
+        out = _driver_finish(
+            _collect_scan(scan),
+            skip_duplicate=config.skip_duplicate,
+            anomaly_filter=anomaly_filter,
+        )
         return {"anomalies": out["anomalies"], "reports": out["reports"], "scan": scan}
-    anomalies = scan.filter(expr="row_type == 'anomaly'").select_columns(ANOMALY_COLUMNS)
+    anomalies = scan.filter(expr="row_type == 'anomaly'").select_columns(
+        ANOMALY_COLUMNS + ["group_key"]
+    )
     if config.skip_duplicate:
         anomalies = global_dedup(anomalies)
+    if anomaly_filter is not None:
+        def filter_batch(batch: pa.Table) -> pa.Table:
+            rows = anomaly_filter(batch.to_pylist())
+            if not rows:
+                return batch.slice(0, 0)
+            return pa.table(
+                {n: pa.array([r[n] for r in rows], batch.schema.field(n).type)
+                 for n in batch.schema.names}
+            )
+        anomalies = anomalies.map_batches(filter_batch, batch_format="pyarrow")
+    anomalies = anomalies.select_columns(ANOMALY_COLUMNS)
     anomalies = anomalies.sort(["conv_id", "turn_idx"]).materialize()
     reports = build_reports(scan, anomalies).materialize()
     return {"anomalies": anomalies, "reports": reports, "scan": scan}
