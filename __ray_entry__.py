@@ -308,6 +308,142 @@ def _q_orders_enriched(sf_dir: str):
     )
 
 
+def _q_events_routed(sf_dir: str):
+    """parse → enrich → route over the events stream: vectorized regex
+    extraction of the JSON ``props.k`` field (grok-parse analog), derived
+    bucket enrichment, then per-route aggregates — the north-rule pipeline
+    shape over the driver's events table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "props"]
+    )
+
+    def parse(batch: pa.Table) -> pa.Table:
+        # pc.extract_regex returns a struct column of named groups
+        ex = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        k = pc.fill_null(k, -1)
+        bucket = pc.bit_wise_and(k, 7)  # cheap enrichment: k % 8 on non-negatives
+        return (
+            batch.drop_columns(["props"])
+            .append_column("k", k)
+            .append_column("k_bucket", bucket)
+        )
+
+    return (
+        events.map_batches(parse, batch_format="pyarrow")
+        .groupby(["event_type", "k_bucket"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("k", alias_name="sum_k"),
+            Min("event_id", alias_name="min_event_id"),
+            Max("event_id", alias_name="max_event_id"),
+        )
+        .sort(["event_type", "k_bucket"])
+    )
+
+
+def _q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-style wide aggregate with in-batch pre-aggregation before the
+    tiny groupby (the partial/combiner pattern, SURVEY.md §2.5)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg: dict[tuple, list] = {}
+        rf = batch.column("l_returnflag").to_pylist()
+        ls = batch.column("l_linestatus").to_pylist()
+        qty = batch.column("l_quantity").to_pylist()
+        price = batch.column("l_extendedprice").to_pylist()
+        for i in range(len(rf)):
+            cur = agg.setdefault((rf[i], ls[i]), [0.0, 0.0, 0])
+            cur[0] += qty[i]
+            cur[1] += price[i]
+            cur[2] += 1
+        return pa.table(
+            {
+                "l_returnflag": pa.array([k[0] for k in agg], pa.string()),
+                "l_linestatus": pa.array([k[1] for k in agg], pa.string()),
+                "sum_qty": pa.array([v[0] for v in agg.values()], pa.float64()),
+                "sum_price": pa.array([v[1] for v in agg.values()], pa.float64()),
+                "n_rows": pa.array([v[2] for v in agg.values()], pa.int64()),
+            }
+        )
+
+    out = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price", alias_name="sum_price"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+
+    def to_ints(batch: pa.Table) -> pa.Table:
+        # integer-valued outputs so float LSBs can't break value hashing
+        import pyarrow.compute as pc
+
+        qty = pc.cast(pc.round(batch.column("sum_qty")), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(batch.column("sum_price"), 100.0)), pa.int64())
+        return (
+            batch.drop_columns(["sum_qty", "sum_price"])
+            .append_column("sum_qty", qty)
+            .append_column("sum_price_cents", cents)
+        )
+
+    return out.map_batches(to_ints, batch_format="pyarrow").select_columns(
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_price_cents", "n_rows"]
+    )
+
+
+def _q_similarity(sf_dir: str):
+    """Similarity report across two target halves of the synthetic turns
+    (cross-target anomaly co-occurrence, similarity.rs:16-129)."""
+    from logjuicer_ray.config import PipelineConfig
+    from logjuicer_ray.pipelines.report import run_report
+    from logjuicer_ray.pipelines.similarity import create_similarity
+    from logjuicer_ray.pipelines.train import train
+    from logjuicer_ray.sources.transcripts import read_turns
+
+    import pyarrow.compute as pc
+
+    path = _turns_path(sf_dir)
+    cfg = PipelineConfig()
+    base = read_turns(path, split="baseline")
+    target = read_turns(path, split="target")
+    model = train(base, cfg)
+
+    def _half(ds, parity):
+        def f(batch):
+            import pyarrow as pa
+            from zlib import crc32
+
+            keep = [crc32(c.encode()) % 2 == parity for c in batch.column("conv_id").to_pylist()]
+            return batch.filter(pa.array(keep, pa.bool_()))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    outs = [
+        run_report(_half(target, p), model, cfg)["anomalies"] for p in (0, 1)
+    ]
+    sim = create_similarity(outs)
+    return sim.select_columns(
+        ["group_key", "target_id", "conv_id", "turn_idx", "n_sources", "text"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipelines (SURVEY.md §2 / §3)
@@ -328,6 +464,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "events_window": _q_events_window,
         "orders_enriched": _q_orders_enriched,
+        "events_routed": _q_events_routed,
+        "lineitem_agg": _q_lineitem_agg,
+        "similarity_report": _q_similarity,
     }
 
 
@@ -379,5 +518,22 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_orders, CAST(SUM(o.o_orderkey) AS BIGINT) AS sum_orderkey "
             "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "events_routed": (
+            "WITH parsed AS (SELECT event_id, event_type, "
+            "COALESCE(CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT), -1) AS k "
+            "FROM events) "
+            "SELECT event_type, k & 7 AS k_bucket, COUNT(*) AS n_events, "
+            "CAST(SUM(k) AS BIGINT) AS sum_k, MIN(event_id) AS min_event_id, "
+            "MAX(event_id) AS max_event_id "
+            "FROM parsed GROUP BY event_type, k & 7 ORDER BY event_type, k_bucket"
+        ),
+        "lineitem_agg": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty, "
+            "CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_price_cents, "
+            "COUNT(*) AS n_rows "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus"
         ),
     }

@@ -9,7 +9,7 @@ every stage (shipped inside the map_batches callables).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 
 @dataclass
@@ -48,6 +48,20 @@ class PipelineConfig:
     #: to force the fully distributed path (used at 10^12-turn scale where
     #: the anomaly set itself is dataset-sized, and by the parity tests).
     driver_finish_rows: int = 2_000_000
+
+    #: per-conversation config matchers, the ``match_job`` analog
+    #: (config.rs:224-249): ``[(conv_id_regex, {field: override, ...}), ...]``
+    #: — the first matching entry overrides fields of this config for that
+    #: conversation (e.g. extra ignore_patterns, skip_duplicate=False)
+    matchers: list = field(default_factory=list)
+
+    def for_conv(self, conv_id: str) -> "PipelineConfig":
+        """Resolve the effective config for one conversation
+        (Config::get_target_config, config.rs:108-119)."""
+        for pattern, overrides in self.matchers:
+            if re.search(pattern, conv_id):
+                return replace(self, matchers=[], **overrides)
+        return self
 
     def compiled_ignores(self):
         if not self.ignore_patterns:

@@ -43,14 +43,27 @@ def write_sink(ds, path: str, *, inputs=None, extra=None, resume: bool = True) -
     import pyarrow.parquet as pq
 
     part_files = [f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")]
-    rows = sum(pq.read_metadata(os.path.join(tmp, f)).num_rows for f in part_files)
+    # per-partition lineage: each part file with its row count and size, so a
+    # resumed or audited run can account for every partition (north rule)
+    partitions = []
+    rows = 0
+    for f in part_files:
+        meta = pq.read_metadata(os.path.join(tmp, f))
+        partitions.append(
+            {
+                "file": f,
+                "rows": meta.num_rows,
+                "bytes": os.path.getsize(os.path.join(tmp, f)),
+            }
+        )
+        rows += meta.num_rows
     names = list(pq.read_schema(os.path.join(tmp, part_files[0])).names) if part_files else []
     manifest = {
         "rows": rows,
         "schema": names,
         "inputs": inputs or [],
         "wall_time_s": round(time.monotonic() - t0, 3),
-        "files": sorted(os.listdir(tmp)),
+        "partitions": partitions,
     }
     if extra:
         manifest.update(extra)

@@ -83,12 +83,29 @@ class ConversationScan:
         from ..config import PipelineConfig
 
         self.config = config or PipelineConfig()
-        self.ignored = self.config.ignored_fn()
         self.gl_date = gl_date
+        self._cfg_cache: dict[str, tuple] = {}
+
+    def _resolve(self, conv_id: str):
+        """Per-conversation config (matchers analog, config.rs:224-249);
+        compiled ignore regexes cached per effective config."""
+        if not self.config.matchers:
+            key = ""
+        else:
+            key = conv_id
+        hit = self._cfg_cache.get(key)
+        if hit is None:
+            cfg = self.config.for_conv(conv_id)
+            hit = (cfg, cfg.ignored_fn())
+            if len(self._cfg_cache) > 4096:
+                self._cfg_cache.clear()
+            self._cfg_cache[key] = hit
+        return hit
 
     def __call__(self, group: pa.Table) -> pa.Table:
         group = _sorted_group(group)
         conv_id = group.column("conv_id")[0].as_py()
+        cfg, ignored = self._resolve(conv_id)
         is_job = is_ansible_conv(conv_id)
         turn_idx = group.column("turn_idx").to_pylist()
         text = group.column("text").to_pylist()
@@ -130,10 +147,10 @@ class ConversationScan:
         ]
         anomalies, line_count, byte_count = scan_conversation(
             known_rows,
-            skip_duplicates=self.config.skip_duplicate,
+            skip_duplicates=cfg.skip_duplicate,
             is_job_output=is_job,
             gl_date=self.gl_date,
-            ignored=self.ignored,
+            ignored=ignored,
         )
         role0, tool0, gk0 = _role_tool_at(group)
         for a in anomalies:
@@ -176,16 +193,18 @@ class ErrorsScan:
         from ..config import PipelineConfig
 
         self.config = config or PipelineConfig()
-        self.ignored = self.config.ignored_fn()
+        self._resolve = ConversationScan._resolve.__get__(self)
+        self._cfg_cache: dict[str, tuple] = {}
 
     def __call__(self, group: pa.Table) -> pa.Table:
         group = _sorted_group(group)
         conv_id = group.column("conv_id")[0].as_py()
+        _, ignored = self._resolve(conv_id)
         rows = list(
             zip(group.column("turn_idx").to_pylist(), group.column("text").to_pylist())
         )
         anomalies, line_count, byte_count = scan_errors(
-            rows, is_ansible=is_ansible_conv(conv_id), ignored=self.ignored
+            rows, is_ansible=is_ansible_conv(conv_id), ignored=ignored
         )
         role0, tool0, gk0 = _role_tool_at(group)
         out = [

@@ -251,3 +251,17 @@ def test_is_error_line(line):
 
 def test_not_error_line():
     assert not ep.is_error_line("2025-07-07 - Running a script")
+
+
+def test_index_name_goldenfile():
+    """The reference's 32-path goldenfile corpus
+    (crates/tokenizer/tests/index_tests.rs:8-19; data files copied as test
+    fixtures)."""
+    import os
+
+    here = os.path.dirname(__file__)
+    files = open(os.path.join(here, "data", "files-list.txt")).read().splitlines()
+    expected = open(os.path.join(here, "data", "index-list.txt")).read().splitlines()
+    assert len(files) == len(expected) == 32
+    for path, want in zip(files, expected):
+        assert index_name_from_path(path) == want, path

@@ -233,3 +233,44 @@ def test_ray_run_deterministic(ray_session):
     assert (a["turn_idx"].values == b["turn_idx"].values).all()
     assert (a["text"].values == b["text"].values).all()
     assert (a["distance"].values == b["distance"].values).all()
+
+
+def test_config_matchers(ray_session):
+    """Per-conversation config overrides (match_job analog,
+    config.rs:224-249): ignore patterns applied only to matching convs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logjuicer_ray.pipelines.report import run_report
+    from logjuicer_ray.pipelines.train import train
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows]),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array(["assistant"] * len(rows)),
+                "text": pa.array([r[2] for r in rows]),
+                "tool": pa.array(["bash"] * len(rows)),
+                "ts": pa.array([None] * len(rows), pa.timestamp("ms")),
+            }
+        )
+
+    base = rd.from_arrow(tbl([("b1", 1, "regular log line alpha")]))
+    target = rd.from_arrow(
+        tbl(
+            [
+                ("noisy-conv", 1, "special Traceback noise"),
+                ("quiet-conv", 1, "special Traceback noise"),
+            ]
+        )
+    )
+    cfg = PipelineConfig(
+        skip_duplicate=False,
+        matchers=[("^noisy-", {"ignore_patterns": ["special .* noise"]})],
+    )
+    model = train(base, cfg)
+    out = run_report(target, model, cfg)
+    an = out["anomalies"].to_pandas()
+    # the matcher suppresses the line only in noisy-conv
+    assert list(an["conv_id"]) == ["quiet-conv"]
