@@ -46,7 +46,7 @@ def _report_outputs(sf_dir: str):
 
     path = _turns_path(sf_dir)
     base, target = baseline_and_target(path)
-    cfg = PipelineConfig()
+    cfg = PipelineConfig(sorted_input=True)
     model = train(base, cfg)
     out = run_report(target, model, cfg)
     _REPORT_CACHE[sf_dir] = out
@@ -89,7 +89,7 @@ def _q_errors(sf_dir: str):
     from logjuicer_ray.sources.transcripts import read_turns
 
     target = read_turns(_turns_path(sf_dir), split="target")
-    out = run_errors_report(target, PipelineConfig())
+    out = run_errors_report(target, PipelineConfig(sorted_input=True))
     return out["anomalies"].select_columns(
         ["conv_id", "turn_idx", "role", "tool", "distance", "text"]
     )
@@ -420,7 +420,7 @@ def _q_similarity(sf_dir: str):
     import pyarrow.compute as pc
 
     path = _turns_path(sf_dir)
-    cfg = PipelineConfig()
+    cfg = PipelineConfig(sorted_input=True)
     base = read_turns(path, split="baseline")
     target = read_turns(path, split="target")
     model = train(base, cfg)

@@ -74,9 +74,9 @@ def _run_bench() -> dict:
     ).take_all()
     warm_path = ensure_turns(0.001)
     wb, wt = baseline_and_target(warm_path)
-    wmodel = train(wb, PipelineConfig())
-    run_report(wt, wmodel, PipelineConfig())
-    run_errors_report(read_turns(warm_path, split="target"), PipelineConfig())
+    wmodel = train(wb, PipelineConfig(sorted_input=True))
+    run_report(wt, wmodel, PipelineConfig(sorted_input=True))
+    run_errors_report(read_turns(warm_path, split="target"), PipelineConfig(sorted_input=True))
 
     # warm the page cache so we measure compute + shuffle, not first-read I/O
     base, target = baseline_and_target(path)
@@ -85,7 +85,7 @@ def _run_bench() -> dict:
 
     queries: dict[str, float] = {}
     t0 = time.monotonic()
-    cfg = PipelineConfig()
+    cfg = PipelineConfig(sorted_input=os.environ.get("GRAFT_SORTED", "1") == "1")
     model = train(base, cfg)
     queries["train"] = round(time.monotonic() - t0, 3)
 

@@ -41,6 +41,13 @@ class PipelineConfig:
     #: (skew handling, SURVEY.md §4); salt = hash(dedup_key) % n so the
     #: per-salt dedup stays globally exact
     train_salt_buckets: int = 8
+    #: declare that the input Parquet is globally sorted by (conv_id,
+    #: turn_idx) — the engine's canonical layout.  The conversation scan then
+    #: runs per block with a tiny boundary-fragment repair shuffle instead of
+    #: an all-to-all sort of every row: only conversations straddling a block
+    #: boundary (~n_blocks of them) are shuffled.  MUST be False for inputs
+    #: whose conversations are not contiguous.
+    sorted_input: bool = False
     #: when the scan output (anomalies + per-conv counters) has at most this
     #: many rows, the global dedup / report aggregation / final sorts run
     #: driver-side in one pass instead of as three more distributed

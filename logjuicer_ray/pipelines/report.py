@@ -34,7 +34,7 @@ import ray
 
 from ..config import PipelineConfig
 from ..filtering import is_ansible_conv
-from ..stages.context import SCAN_SCHEMA, ConversationScan, ErrorsScan
+from ..stages.context import SCAN_SCHEMA, BlockScan, ConversationScan, ErrorsScan
 from ..stages.score import ScorerStage, score_batch
 from ..stages.tokenize import tokenize_batch
 from ..state.model import Model
@@ -60,10 +60,13 @@ def score_dataset(ds, model: Model, config: PipelineConfig | None = None):
     has_index).  The model ships to the actor pool via one ``ray.put``."""
     config = config or PipelineConfig()
     model_ref = ray.put(model)
+    # sorted-input mode keeps whole blocks intact (batch_size=None) so the
+    # downstream per-block scan sees few boundary conversations
+    tok_bs = None if config.sorted_input else config.tokenize_batch_size
     tokenized = ds.map_batches(
         tokenize_batch,
         batch_format="pyarrow",
-        batch_size=config.tokenize_batch_size,
+        batch_size=tok_bs,
         fn_kwargs={"max_line_bytes": config.max_line_bytes},
     )
     if config.score_concurrency is not None:
@@ -85,7 +88,7 @@ def score_dataset(ds, model: Model, config: PipelineConfig | None = None):
         score_batch,
         fn_kwargs={"model_ref": model_ref},
         batch_format="pyarrow",
-        batch_size=config.score_batch_size,
+        batch_size=None if config.sorted_input else config.score_batch_size,
     )
 
 
@@ -185,6 +188,43 @@ def build_reports(scan_ds, anomalies_ds):
         _finalize_reports, batch_format="pyarrow"
     )
     return reports.sort("sort_key", descending=True)
+
+
+def _run_scan(rows_ds, scan_udf, config: PipelineConfig):
+    """Dispatch the per-conversation scan.
+
+    Default: ``groupby(conv_id).map_groups`` — one all-to-all shuffle of
+    every row.  With ``config.sorted_input`` (the canonical (conv_id,
+    turn_idx)-sorted Parquet layout): scan complete conversations inside
+    each block and shuffle only the boundary fragments — ~n_blocks
+    conversations instead of the whole dataset (the decisive shuffle
+    reduction at 10^12-turn scale)."""
+    if not config.sorted_input:
+
+        def conversation_scan(group):
+            return scan_udf(group)
+
+        return rows_ds.groupby("conv_id").map_groups(
+            conversation_scan, batch_format="pyarrow"
+        )
+    block_udf = BlockScan(scan_udf)
+
+    def block_scan(batch):
+        return block_udf(batch)
+
+    raw = rows_ds.map_batches(block_scan, batch_format="pyarrow", batch_size=None)
+    # small: interior scan results + boundary fragments
+    raw = raw.materialize()
+
+    def fragment_scan(group):
+        return scan_udf(group)
+
+    repaired = (
+        raw.filter(expr="row_type == 'fragment'")
+        .groupby("conv_id")
+        .map_groups(fragment_scan, batch_format="pyarrow")
+    )
+    return raw.filter(expr="row_type != 'fragment'").union(repaired)
 
 
 def _collect_scan(scan) -> pa.Table:
@@ -327,11 +367,7 @@ def run_report(
          "distance", "has_index"]
     )
     scan_udf = ConversationScan(config, gl_date=gl_date)
-
-    def conversation_scan(group):
-        return scan_udf(group)
-
-    scan = scored.groupby("conv_id").map_groups(conversation_scan, batch_format="pyarrow")
+    scan = _run_scan(scored, scan_udf, config)
     # anomalies + per-conv counts + unknown groups: small; compact the many
     # shuffle-output micro-blocks, then materialize once so the three
     # consumers neither re-execute tokenize+score nor schedule hundreds of
@@ -371,11 +407,7 @@ def run_errors_report(target_ds, config: PipelineConfig | None = None, *, model:
         _add_group_key, batch_format="pyarrow"
     )
     errors_udf = ErrorsScan(config)
-
-    def errors_scan(group):
-        return errors_udf(group)
-
-    scan = with_groups.groupby("conv_id").map_groups(errors_scan, batch_format="pyarrow")
+    scan = _run_scan(with_groups, errors_udf, config)
     scan = scan.repartition(8).materialize()
     anomaly_filter = make_errors_model_filter(model) if model is not None else None
     if config.driver_finish_rows and scan.count() <= config.driver_finish_rows:

@@ -45,6 +45,8 @@ SCAN_SCHEMA = pa.schema(
         ("dedup_key", pa.string()),
         ("line_count", pa.int64()),
         ("byte_count", pa.int64()),
+        # carried only on row_type="fragment" rows (sorted-input mode)
+        ("has_index", pa.bool_()),
     ]
 )
 
@@ -182,6 +184,63 @@ class ConversationScan:
             }
         )
         return _rows_to_table(out)
+
+
+class BlockScan:
+    """Sorted-input fast path: scan complete conversations inside each block;
+    conversations touching a block edge are re-emitted as ``fragment`` rows
+    for a tiny repair shuffle (pipelines/report.py).
+
+    Contract: the input dataset is globally sorted by (conv_id, turn_idx) so
+    each conversation occupies one contiguous run of rows; blocks are
+    contiguous slices.  The first and last conv_id of a block may continue
+    in neighboring blocks → fragments; every interior conversation is
+    complete and scans in place with zero data movement.
+    """
+
+    FRAGMENT_COLUMNS = [
+        "conv_id", "turn_idx", "role", "tool", "group_key", "text",
+        "dedup_key", "distance", "has_index",
+    ]
+
+    def __init__(self, inner):
+        self.inner = inner  # ConversationScan or ErrorsScan
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty_scan_table()
+        batch = batch.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        convs = batch.column("conv_id").to_pylist()
+        first, last = convs[0], convs[-1]
+        out: list[pa.Table] = []
+        fragments: list[pa.Table] = []
+        i = 0
+        n = len(convs)
+        while i < n:
+            j = i
+            while j < n and convs[j] == convs[i]:
+                j += 1
+            part = batch.slice(i, j - i)
+            if convs[i] == first or convs[i] == last:
+                fragments.append(part)
+            else:
+                out.append(self.inner(part))
+            i = j
+        if fragments:
+            frag = pa.concat_tables(fragments)
+            cols = {}
+            for name in SCAN_SCHEMA.names:
+                typ = SCAN_SCHEMA.field(name).type
+                if name == "row_type":
+                    cols[name] = pa.array(["fragment"] * frag.num_rows, typ)
+                elif name in frag.schema.names:
+                    cols[name] = frag.column(name).cast(typ)
+                else:
+                    cols[name] = pa.nulls(frag.num_rows, typ)
+            out.append(pa.table(cols))
+        if not out:
+            return empty_scan_table()
+        return pa.concat_tables([t.cast(SCAN_SCHEMA) for t in out])
 
 
 class ErrorsScan:

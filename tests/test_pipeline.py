@@ -274,3 +274,36 @@ def test_config_matchers(ray_session):
     an = out["anomalies"].to_pandas()
     # the matcher suppresses the line only in noisy-conv
     assert list(an["conv_id"]) == ["quiet-conv"]
+
+
+def test_sorted_input_scan_parity(ray_session):
+    """The sorted-input block-scan fast path (boundary-fragment repair
+    instead of a full shuffle) matches the groupby path row for row."""
+    from logjuicer_ray.pipelines.report import run_errors_report, run_report
+    from logjuicer_ray.pipelines.train import train
+    from logjuicer_ray.sources.transcripts import baseline_and_target, read_turns
+
+    path = ensure_turns(0.001)
+    base, target = baseline_and_target(path)
+    model = train(base, PipelineConfig())
+    slow = run_report(target, model, PipelineConfig())
+    base2, target2 = baseline_and_target(path)
+    fast = run_report(target2, model, PipelineConfig(sorted_input=True))
+    a, b = slow["anomalies"].to_pandas(), fast["anomalies"].to_pandas()
+    assert len(a) == len(b)
+    for col in ("conv_id", "turn_idx", "text", "distance"):
+        assert (a[col].values == b[col].values).all(), col
+    assert [list(x) for x in a["before"]] == [list(x) for x in b["before"]]
+    ra = slow["reports"].to_pandas().sort_values("conv_id").reset_index(drop=True)
+    rb = fast["reports"].to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert (ra["line_count"].values == rb["line_count"].values).all()
+    assert (ra["anomaly_count"].values == rb["anomaly_count"].values).all()
+
+    es = run_errors_report(read_turns(path, split="target"), PipelineConfig())
+    ef = run_errors_report(
+        read_turns(path, split="target"), PipelineConfig(sorted_input=True)
+    )
+    ea, eb = es["anomalies"].to_pandas(), ef["anomalies"].to_pandas()
+    assert len(ea) == len(eb)
+    for col in ("conv_id", "turn_idx", "text"):
+        assert (ea[col].values == eb[col].values).all(), col
