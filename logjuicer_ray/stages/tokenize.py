@@ -64,7 +64,9 @@ def tokenize_batch(batch: pa.Table, *, max_line_bytes: int = 6000) -> pa.Table:
         tokens.append(t)
         keys.append(k)
     group = pc.binary_join_element_wise(
-        batch.column("role"), batch.column("tool"), GROUP_SEP
+        pc.fill_null(batch.column("role"), ""),
+        pc.fill_null(batch.column("tool"), ""),
+        GROUP_SEP,
     )
     return (
         batch.append_column("tokens", pa.array(tokens, pa.string()))

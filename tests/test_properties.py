@@ -1,0 +1,75 @@
+"""Property tests (hypothesis): the kernels must be total and stable on
+arbitrary input — no exceptions, bounded outputs, deterministic."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from logjuicer_ray.tokenizer import process, unordered_key
+from logjuicer_ray.timestamps import parse_timestamp, set_date
+from logjuicer_ray.vectorize import build_index, distances
+from logjuicer_ray import errors_parser as ep
+
+TEXT = st.text(max_size=300)
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXT)
+def test_tokenizer_total_and_deterministic(line):
+    t1 = process(line)
+    t2 = process(line)
+    assert t1 == t2
+    assert isinstance(t1, str)
+    # no raw ASCII digits survive tokenization (basis of the memo cache)
+    assert not any(c.isascii() and c.isdigit() for c in t1), (line, t1)
+    unordered_key(t1)  # total as well
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_tokenizer_digit_value_invariance(line):
+    """Replacing every digit with another digit yields identical tokens
+    (the invariant the tokenize-stage memo cache relies on)."""
+    swapped = line.translate(str.maketrans("0123456789", "7319264805"))
+    assert process(line) == process(swapped)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8), st.lists(TEXT, min_size=1, max_size=8))
+def test_distances_bounded(base_lines, target_lines):
+    base = build_index([process(x) for x in base_lines])
+    tgt = build_index([process(x) for x in target_lines])
+    d = distances(base, tgt)
+    assert len(d) == len(target_lines)
+    assert np.all(d >= -1e-5) and np.all(d <= 1.0 + 1e-5)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_timestamp_parser_total(line):
+    out = parse_timestamp(line)
+    if out is not None:
+        kind, value = out
+        assert kind in ("full", "time")
+        assert isinstance(value, int)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=4_102_444_800_000), st.integers(min_value=0, max_value=86_399_999))
+def test_set_date_window(date_ms, time_ms):
+    out = set_date(date_ms, time_ms)
+    # the resolved datetime is within ±1 day of the anchor and carries the time
+    assert abs(out - date_ms) <= 2 * 86_400_000
+    assert out % 86_400_000 == time_ms
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(TEXT, max_size=20))
+def test_errors_parser_total(lines):
+    state = ep.State()
+    for line in lines:
+        assert state.parse(line) in (
+            ep.NO_ERROR,
+            ep.ERROR,
+            ep.NEED_MORE,
+            ep.COMPLETED_TRACEBACK,
+        )
