@@ -12,12 +12,17 @@ import ray.data as rd
 TURN_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
-def _default_num_blocks() -> int | None:
-    """Small-file heuristic: Ray splits a single parquet into ~200 micro
+def _default_num_blocks(path: str) -> int | None:
+    """Small-file heuristic: Ray splits a small parquet into ~200 micro
     blocks whose per-task dispatch overhead dominates at bench scale; cap at
-    2× the CPU count.  At real scale (many ≥128 MiB files) leave Ray's
-    default block sizing alone by passing ``num_blocks=0``."""
+    2× the CPU count.  Inputs over ~2 GiB keep Ray's default block sizing
+    (at real scale blocks should stay ≈128 MiB; pass ``num_blocks=0`` to
+    force the default explicitly)."""
     try:
+        import os
+
+        if os.path.isfile(path) and os.path.getsize(path) > 2 << 30:
+            return None
         import ray
 
         if ray.is_initialized():
@@ -32,7 +37,7 @@ def read_turns(path: str, *, split: str | None = None, columns=None, num_blocks=
     at the parquet scan (row-group pushdown)."""
     cols = list(columns or TURN_COLUMNS)
     if num_blocks is None:
-        num_blocks = _default_num_blocks()
+        num_blocks = _default_num_blocks(path)
     kwargs = {}
     if num_blocks:
         kwargs["override_num_blocks"] = num_blocks
