@@ -191,14 +191,15 @@ def build_reports(scan_ds, anomalies_ds):
 
 
 def _run_scan(rows_ds, scan_udf, config: PipelineConfig):
-    """Dispatch the per-conversation scan.
+    """Dispatch the per-conversation scan; returns a MATERIALIZED dataset.
 
     Default: ``groupby(conv_id).map_groups`` — one all-to-all shuffle of
     every row.  With ``config.sorted_input`` (the canonical (conv_id,
     turn_idx)-sorted Parquet layout): scan complete conversations inside
-    each block and shuffle only the boundary fragments — ~n_blocks
+    each block and emit only boundary fragments for repair — ~n_blocks
     conversations instead of the whole dataset (the decisive shuffle
-    reduction at 10^12-turn scale)."""
+    reduction at 10^12-turn scale).  Fragment repair happens in the caller
+    (driver-side on the fast path, as a small groupby otherwise)."""
     if not config.sorted_input:
 
         def conversation_scan(group):
@@ -206,7 +207,7 @@ def _run_scan(rows_ds, scan_udf, config: PipelineConfig):
 
         return rows_ds.groupby("conv_id").map_groups(
             conversation_scan, batch_format="pyarrow"
-        )
+        ).materialize()
     block_udf = BlockScan(scan_udf)
 
     def block_scan(batch):
@@ -214,17 +215,45 @@ def _run_scan(rows_ds, scan_udf, config: PipelineConfig):
 
     raw = rows_ds.map_batches(block_scan, batch_format="pyarrow", batch_size=None)
     # small: interior scan results + boundary fragments
-    raw = raw.materialize()
+    return raw.materialize()
+
+
+def _repair_fragments_table(table: pa.Table, scan_udf) -> pa.Table:
+    """Driver-side fragment repair: group fragment rows by conversation and
+    run the scan on each (the fragments are ~n_blocks conversations)."""
+    import pyarrow.compute as pc
+
+    mask = pc.equal(table.column("row_type"), "fragment")
+    if not pc.any(mask).as_py():
+        return table
+    interior = table.filter(pc.invert(mask))
+    frag = table.filter(mask).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    convs = frag.column("conv_id").to_pylist()
+    parts: list[pa.Table] = [interior]
+    i, n = 0, len(convs)
+    while i < n:
+        j = i
+        while j < n and convs[j] == convs[i]:
+            j += 1
+        parts.append(scan_udf(frag.slice(i, j - i)).cast(SCAN_SCHEMA))
+        i = j
+    return pa.concat_tables(parts)
+
+
+def _repair_fragments_distributed(scan_ds, scan_udf):
+    """Distributed fragment repair for the big-output path."""
 
     def fragment_scan(group):
         return scan_udf(group)
 
     repaired = (
-        raw.filter(expr="row_type == 'fragment'")
+        scan_ds.filter(expr="row_type == 'fragment'")
         .groupby("conv_id")
         .map_groups(fragment_scan, batch_format="pyarrow")
     )
-    return raw.filter(expr="row_type != 'fragment'").union(repaired)
+    return scan_ds.filter(expr="row_type != 'fragment'").union(repaired)
 
 
 def _collect_scan(scan) -> pa.Table:
@@ -368,15 +397,19 @@ def run_report(
     )
     scan_udf = ConversationScan(config, gl_date=gl_date)
     scan = _run_scan(scored, scan_udf, config)
-    # anomalies + per-conv counts + unknown groups: small; compact the many
-    # shuffle-output micro-blocks, then materialize once so the three
-    # consumers neither re-execute tokenize+score nor schedule hundreds of
-    # near-empty tasks downstream
-    scan = scan.repartition(8).materialize()
     if config.driver_finish_rows and scan.count() <= config.driver_finish_rows:
-        out = _driver_finish(_collect_scan(scan), skip_duplicate=config.skip_duplicate)
-        out["scan"] = scan
+        # fast path: the scan output (anomalies + counters + boundary
+        # fragments) is tiny — repair fragments and finish driver-side in
+        # one pass instead of three more distributed executions
+        import ray.data as rd
+
+        table = _repair_fragments_table(_collect_scan(scan), scan_udf)
+        out = _driver_finish(table, skip_duplicate=config.skip_duplicate)
+        out["scan"] = rd.from_arrow(table)
         return out
+    if config.sorted_input:
+        scan = _repair_fragments_distributed(scan, scan_udf)
+    scan = scan.repartition(8).materialize()
     anomalies = scan.filter(expr="row_type == 'anomaly'").select_columns(ANOMALY_COLUMNS)
     if config.skip_duplicate:
         anomalies = global_dedup(anomalies)
@@ -408,15 +441,21 @@ def run_errors_report(target_ds, config: PipelineConfig | None = None, *, model:
     )
     errors_udf = ErrorsScan(config)
     scan = _run_scan(with_groups, errors_udf, config)
-    scan = scan.repartition(8).materialize()
     anomaly_filter = make_errors_model_filter(model) if model is not None else None
     if config.driver_finish_rows and scan.count() <= config.driver_finish_rows:
+        import ray.data as rd
+
+        table = _repair_fragments_table(_collect_scan(scan), errors_udf)
         out = _driver_finish(
-            _collect_scan(scan),
+            table,
             skip_duplicate=config.skip_duplicate,
             anomaly_filter=anomaly_filter,
         )
-        return {"anomalies": out["anomalies"], "reports": out["reports"], "scan": scan}
+        return {"anomalies": out["anomalies"], "reports": out["reports"],
+                "scan": rd.from_arrow(table)}
+    if config.sorted_input:
+        scan = _repair_fragments_distributed(scan, errors_udf)
+    scan = scan.repartition(8).materialize()
     anomalies = scan.filter(expr="row_type == 'anomaly'").select_columns(
         ANOMALY_COLUMNS + ["group_key"]
     )

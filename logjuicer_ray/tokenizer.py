@@ -266,7 +266,26 @@ def _trim_quote_and_punctuation(word: str) -> str:
     return word.strip(_TRIM_CHARS)
 
 
+# _parse_literal is a pure function of the word and dominates tokenizer
+# time (10 classifier probes per word); words repeat heavily across lines,
+# so memoize (capped — random-material words are unbounded)
+_LITERAL_CACHE: dict[str, str | None] = {}
+_LITERAL_CACHE_MAX = 500_000
+
+
 def _parse_literal(word: str) -> str | None:
+    try:
+        return _LITERAL_CACHE[word]
+    except KeyError:
+        pass
+    result = _parse_literal_uncached(word)
+    if len(_LITERAL_CACHE) >= _LITERAL_CACHE_MAX:
+        _LITERAL_CACHE.clear()
+    _LITERAL_CACHE[word] = result
+    return result
+
+
+def _parse_literal_uncached(word: str) -> str | None:
     # tokenizer.rs:455-480 — most specific first
     if _DATE_RE.match(word):
         return "%DATE"
@@ -398,6 +417,41 @@ def _do_process(base_word: str, it: _WordIter, result: list[str]) -> bool:
     return added
 
 
+class _CountingIter:
+    """Stands in for the word iterator inside the per-word memo: both
+    consuming branches (secret key=, password: — tokenizer.rs:533-539,
+    574-577) discard the consumed word's value, so recording the count fully
+    captures the side effect."""
+
+    __slots__ = ("consumed",)
+
+    def __init__(self) -> None:
+        self.consumed = 0
+
+    def next(self) -> None:
+        self.consumed += 1
+        return None
+
+
+# Per-word memo: a word's emitted fragment, its `added` flag and how many
+# following words it consumes are all pure functions of the word itself.
+_WORD_CACHE: dict[str, tuple[str, bool, int]] = {}
+_WORD_CACHE_MAX = 500_000
+
+
+def _word_process(word: str) -> tuple[str, bool, int]:
+    hit = _WORD_CACHE.get(word)
+    if hit is None:
+        buf: list[str] = []
+        it = _CountingIter()
+        added = _do_process(word, it, buf)
+        hit = ("".join(buf), added, it.consumed)
+        if len(_WORD_CACHE) >= _WORD_CACHE_MAX:
+            _WORD_CACHE.clear()
+        _WORD_CACHE[word] = hit
+    return hit
+
+
 def process(line: str) -> str:
     """Tokenize one raw log line (tokenizer.rs:588-608).
 
@@ -408,9 +462,15 @@ def process(line: str) -> str:
     if _global_filter(line):
         return GL_FILTER
     result: list[str] = []
-    it = _WordIter(_WORDS_RE.split(line))
-    while (word := it.next()) is not None:
-        if _do_process(word, it, result):
+    words = _WORDS_RE.split(line)
+    i = 0
+    n = len(words)
+    while i < n:
+        frag, added, consumed = _word_process(words[i])
+        i += 1 + consumed
+        if frag:
+            result.append(frag)
+        if added:
             result.append(" ")
     return "".join(result).rstrip()
 
