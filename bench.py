@@ -72,7 +72,7 @@ def _run_bench() -> dict:
     ray.data.range(num_cpus * 2, override_num_blocks=num_cpus * 2).map_batches(
         _warm_worker, batch_size=1
     ).take_all()
-    warm_path = ensure_turns(0.001)
+    warm_path = ensure_turns(0.0003)
     wb, wt = baseline_and_target(warm_path)
     wmodel = train(wb, PipelineConfig(sorted_input=True))
     run_report(wt, wmodel, PipelineConfig(sorted_input=True))

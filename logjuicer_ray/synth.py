@@ -41,7 +41,7 @@ import pyarrow.parquet as pq
 __all__ = ["generate_turns", "ensure_turns", "synth_path", "sf_from_dir", "GROUPS"]
 
 SEED = 42
-ROWS_PER_SF = 30_000_000  # sf0.001 → 30k rows, sf0.1 → 3M rows
+ROWS_PER_SF = 100_000_000  # sf0.001 → 100k rows, sf0.1 → 10M rows
 AVG_TURNS = 200
 BASE_EPOCH_MS = 1_706_745_600_000  # 2024-02-01T00:00:00Z
 

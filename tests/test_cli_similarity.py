@@ -12,7 +12,7 @@ from logjuicer_ray.synth import ensure_turns
 def test_cli_report_writes_sinks(ray_session, tmp_path):
     from logjuicer_ray.cli import main
 
-    path = ensure_turns(0.001)
+    path = ensure_turns(0.0003)
     out = tmp_path / "out"
     rc = main(
         ["report", "--input", path, "--out", str(out), "--quiet",
@@ -33,7 +33,7 @@ def test_cli_report_writes_sinks(ray_session, tmp_path):
 
 
 def test_errors_with_model_filter(ray_session):
-    path = ensure_turns(0.001)
+    path = ensure_turns(0.0003)
     from logjuicer_ray.pipelines.report import run_errors_report
     from logjuicer_ray.pipelines.train import train
     from logjuicer_ray.sources.transcripts import baseline_and_target

@@ -25,7 +25,7 @@ def ray_outputs(ray_session):
     from logjuicer_ray.pipelines.train import train
     from logjuicer_ray.sources.transcripts import baseline_and_target
 
-    path = ensure_turns(0.001)
+    path = ensure_turns(0.0003)
     base, target = baseline_and_target(path)
     cfg = PipelineConfig()
     model = train(base, cfg)
@@ -42,7 +42,7 @@ def ray_outputs(ray_session):
 
 @pytest.fixture(scope="module")
 def oracle_outputs():
-    table = generate_turns(0.001)
+    table = generate_turns(0.0003)
     baseline, target = _split(table)
     anomalies, reports, unknown = oracle_report(baseline, target)
     errors = oracle_errors(target)
@@ -177,7 +177,7 @@ def test_distributed_finish_parity(ray_session):
     from logjuicer_ray.pipelines.train import train
     from logjuicer_ray.sources.transcripts import baseline_and_target
 
-    path = ensure_turns(0.001)
+    path = ensure_turns(0.0003)
     base, target = baseline_and_target(path)
     model = train(base, PipelineConfig())
     fast = run_report(target, model, PipelineConfig())
@@ -217,7 +217,7 @@ def test_ray_run_deterministic(ray_session):
     from logjuicer_ray.pipelines.train import train
     from logjuicer_ray.sources.transcripts import baseline_and_target
 
-    path = ensure_turns(0.001)
+    path = ensure_turns(0.0003)
     cfg = PipelineConfig()
     outs = []
     for nparts in (2, 13):
@@ -283,7 +283,7 @@ def test_sorted_input_scan_parity(ray_session):
     from logjuicer_ray.pipelines.train import train
     from logjuicer_ray.sources.transcripts import baseline_and_target, read_turns
 
-    path = ensure_turns(0.001)
+    path = ensure_turns(0.0003)
     base, target = baseline_and_target(path)
     model = train(base, PipelineConfig())
     slow = run_report(target, model, PipelineConfig())
