@@ -53,3 +53,28 @@ def read_turns(path: str, *, split: str | None = None, columns=None, num_blocks=
 
 def baseline_and_target(path: str):
     return read_turns(path, split="baseline"), read_turns(path, split="target")
+
+
+def read_turns_json(path: str, *, columns=None):
+    """JSON-lines turns source (the reference's json LinesIterator analog,
+    source.rs:28-48 — ours reads whole turn records, not split scalars)."""
+    import ray.data as rd
+
+    ds = rd.read_json(path)
+    cols = list(columns or TURN_COLUMNS)
+    return ds.map_batches(
+        lambda t: t.select([c for c in cols if c in t.schema.names]),
+        batch_format="pyarrow",
+    )
+
+
+def read_turns_csv(path: str, *, columns=None):
+    """CSV turns source."""
+    import ray.data as rd
+
+    ds = rd.read_csv(path)
+    cols = list(columns or TURN_COLUMNS)
+    return ds.map_batches(
+        lambda t: t.select([c for c in cols if c in t.schema.names]),
+        batch_format="pyarrow",
+    )

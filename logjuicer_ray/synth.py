@@ -77,7 +77,10 @@ _TEMPLATES = [
     "ansible task completed changed={num} unreachable=0 rc=0 host node-{hex}",
     "image prefetch finished layer {hex}{hex} registry mirror {ip}:5000",
     "leader election renewed lease holder compute-{hex} term {num}",
-    "rotating credential secret_{hex} next rotation within {num} hours",
+    # numeric secret id: folds to one token string (unbounded-vocabulary
+    # templates make the baseline index grow linearly with data — the real
+    # tokenizer's %-folding exists precisely to prevent that)
+    "rotating credential secret_{num} next rotation within {num} hours",
     "tempest.lib.common.rest_client [req-{uuid} ] Request (main): 201 POST https://{ip}/identity/v3/auth/tokens",
     "garbage collector reclaimed {num} objects heap now {num}MB",
 ]
