@@ -45,6 +45,8 @@ def _config_from_args(args) -> "PipelineConfig":
     if getattr(args, "keep_duplicate", False):
         # LOGJUICER_KEEP_DUPLICATE analog (config.rs:168-172)
         cfg.skip_duplicate = False
+    if getattr(args, "sorted_input", False):
+        cfg.sorted_input = True
     return cfg
 
 
@@ -206,6 +208,12 @@ def main(argv=None) -> int:
         sp.add_argument("--out", required=True)
         sp.add_argument("--ignore-pattern", action="append")
         sp.add_argument("--keep-duplicate", action="store_true")
+        sp.add_argument(
+            "--sorted-input",
+            action="store_true",
+            help="input parquet is globally sorted by (conv_id, turn_idx): "
+                 "scan per block with boundary repair instead of a full shuffle",
+        )
 
     sp = sub.add_parser("report", parents=[parent], help="diff target against baseline (logjuicer diff analog)")
     common(sp)

@@ -266,7 +266,7 @@ def _collect_scan(scan) -> pa.Table:
     ]
     if not tables:
         return SCAN_SCHEMA.empty_table()
-    return pa.concat_tables(tables)
+    return pa.concat_tables(tables).combine_chunks()
 
 
 def make_errors_model_filter(model: Model):
@@ -300,46 +300,65 @@ def _driver_finish(scan_table: pa.Table, *, skip_duplicate: bool, anomaly_filter
     """Small-output fast path: global dedup, (conv_id, turn_idx) ordering,
     per-conversation report aggregation and unknown routing in one
     driver-side pass over the materialized scan rows.  Semantically
-    identical to the distributed path (same winner rules, same f32 mean);
-    used when the scan output is far below dataset scale."""
+    identical to the distributed path (same winner rules, same f32 mean).
+    Vectorized: only the narrow key columns are pulled into Python; the wide
+    anomaly rows (contexts) move via Arrow ``take``."""
     import ray.data as rd
 
-    rows = scan_table.to_pylist()
-    anom = [r for r in rows if r["row_type"] == "anomaly"]
-    if skip_duplicate:
-        best: dict[str, dict] = {}
-        for r in anom:
-            k = r["dedup_key"]
-            cur = best.get(k)
-            if cur is None or (r["conv_id"], r["turn_idx"]) < (cur["conv_id"], cur["turn_idx"]):
-                best[k] = r
-        anom = list(best.values())
-    anom.sort(key=lambda r: (r["conv_id"], r["turn_idx"]))
-    if anomaly_filter is not None:
-        anom = anomaly_filter(anom)
-    anom_schema = pa.schema([SCAN_SCHEMA.field(n) for n in ANOMALY_COLUMNS])
-    anomalies_table = pa.table(
-        {n: pa.array([r[n] for r in anom], anom_schema.field(n).type) for n in ANOMALY_COLUMNS}
-    )
+    row_type = scan_table.column("row_type")
+    anom_tbl = scan_table.filter(pc.equal(row_type, "anomaly"))
+    counts_tbl = scan_table.filter(pc.equal(row_type, "counts"))
+    unk_tbl = scan_table.filter(pc.equal(row_type, "unknown"))
 
-    per_conv: dict[str, list] = {}
-    for r in anom:
-        cur = per_conv.setdefault(r["conv_id"], [0, 0.0, 0, 0])
-        cur[0] += 1
-        cur[1] += r["distance"]
-    for r in rows:
-        if r["row_type"] == "counts":
-            cur = per_conv.get(r["conv_id"])
-            if cur is not None:
-                cur[2] += r["line_count"] or 0
-                cur[3] += r["byte_count"] or 0
-    report_rows = []
-    for conv, (n, sd, lc, bc) in per_conv.items():
-        mean = np.float32(sd) / np.float32(n) if n else np.float32(0.0)
-        pin = is_ansible_conv(conv) and conv.rsplit("/", 1)[-1].startswith("job-output")
-        report_rows.append(
-            (conv, n, float(sd), lc, bc, float(mean), 42.0 if pin else float(mean))
+    conv = anom_tbl.column("conv_id").to_pylist()
+    turn = anom_tbl.column("turn_idx").to_pylist()
+    if skip_duplicate:
+        dkeys = anom_tbl.column("dedup_key").to_pylist()
+        best: dict[str, int] = {}
+        for i, k in enumerate(dkeys):
+            j = best.get(k)
+            if j is None or (conv[i], turn[i]) < (conv[j], turn[j]):
+                best[k] = i
+        keep = sorted(best.values(), key=lambda i: (conv[i], turn[i]))
+    else:
+        keep = sorted(range(len(conv)), key=lambda i: (conv[i], turn[i]))
+    anom_tbl = anom_tbl.take(pa.array(keep, pa.int64()))
+    conv = [conv[i] for i in keep]
+    turn = [turn[i] for i in keep]
+
+    if anomaly_filter is not None:
+        # errors-with-model path: needs full rows; anomaly sets are small here
+        rows = anom_tbl.to_pylist()
+        rows = anomaly_filter(rows)
+        anom_schema = pa.schema([SCAN_SCHEMA.field(n) for n in ANOMALY_COLUMNS])
+        anom_tbl = pa.table(
+            {n: pa.array([r[n] for r in rows], anom_schema.field(n).type)
+             for n in anom_schema.names}
         )
+        conv = [r["conv_id"] for r in rows]
+        turn = [r["turn_idx"] for r in rows]
+    anomalies_table = anom_tbl.select(ANOMALY_COLUMNS)
+
+    # per-conversation report aggregation
+    dist = anomalies_table.column("distance").to_pylist()
+    per_conv: dict[str, list] = {}
+    for c, d in zip(conv, dist):
+        cur = per_conv.setdefault(c, [0, 0.0, 0, 0])
+        cur[0] += 1
+        cur[1] += d
+    c_conv = counts_tbl.column("conv_id").to_pylist()
+    c_lines = counts_tbl.column("line_count").to_pylist()
+    c_bytes = counts_tbl.column("byte_count").to_pylist()
+    for c, lc, bc in zip(c_conv, c_lines, c_bytes):
+        cur = per_conv.get(c)
+        if cur is not None:
+            cur[2] += lc or 0
+            cur[3] += bc or 0
+    report_rows = []
+    for c, (n, sd, lc, bc) in per_conv.items():
+        mean = np.float32(sd) / np.float32(n) if n else np.float32(0.0)
+        pin = is_ansible_conv(c) and c.rsplit("/", 1)[-1].startswith("job-output")
+        report_rows.append((c, n, float(sd), lc, bc, float(mean), 42.0 if pin else float(mean)))
     report_rows.sort(key=lambda r: (-r[6], r[0]))
     reports_table = pa.table(
         {
@@ -352,24 +371,13 @@ def _driver_finish(scan_table: pa.Table, *, skip_duplicate: bool, anomaly_filter
             "sort_key": pa.array([r[6] for r in report_rows], pa.float32()),
         }
     )
-    unk = sorted(
-        (r for r in rows if r["row_type"] == "unknown"),
-        key=lambda r: (r["group_key"], r["conv_id"]),
-    )
-    unknown_table = pa.table(
-        {
-            "conv_id": pa.array([r["conv_id"] for r in unk], pa.string()),
-            "role": pa.array([r["role"] for r in unk], pa.string()),
-            "tool": pa.array([r["tool"] for r in unk], pa.string()),
-            "group_key": pa.array([r["group_key"] for r in unk], pa.string()),
-            "line_count": pa.array([r["line_count"] for r in unk], pa.int64()),
-            "byte_count": pa.array([r["byte_count"] for r in unk], pa.int64()),
-        }
-    )
+    unk_tbl = unk_tbl.select(
+        ["conv_id", "role", "tool", "group_key", "line_count", "byte_count"]
+    ).sort_by([("group_key", "ascending"), ("conv_id", "ascending")])
     return {
         "anomalies": rd.from_arrow(anomalies_table),
         "reports": rd.from_arrow(reports_table),
-        "unknown": rd.from_arrow(unknown_table),
+        "unknown": rd.from_arrow(unk_tbl),
     }
 
 

@@ -240,7 +240,10 @@ class BlockScan:
             out.append(pa.table(cols))
         if not out:
             return empty_scan_table()
-        return pa.concat_tables([t.cast(SCAN_SCHEMA) for t in out])
+        # combine: the per-conversation mini-tables would otherwise leave
+        # hundreds of chunks per block, which makes every downstream
+        # serialize/iterate pass O(chunks)
+        return pa.concat_tables([t.cast(SCAN_SCHEMA) for t in out]).combine_chunks()
 
 
 class ErrorsScan:
