@@ -41,7 +41,7 @@ import pyarrow.parquet as pq
 __all__ = ["generate_turns", "ensure_turns", "synth_path", "sf_from_dir", "GROUPS"]
 
 SEED = 42
-ROWS_PER_SF = 100_000_000  # sf0.001 → 100k rows, sf0.1 → 10M rows
+ROWS_PER_SF = 200_000_000  # sf0.001 → 200k rows, sf0.1 → 20M rows
 AVG_TURNS = 200
 BASE_EPOCH_MS = 1_706_745_600_000  # 2024-02-01T00:00:00Z
 
@@ -282,6 +282,8 @@ def ensure_turns(sf: float, base_dir: str = "/tmp/logjuicer_synth") -> str:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         table = generate_turns(sf)
         tmp = path + f".tmp{os.getpid()}"
-        pq.write_table(table, tmp)
+        # small row groups → parallel read tasks (a single giant row group
+        # serializes the parquet scan into one task)
+        pq.write_table(table, tmp, row_group_size=262_144)
         os.replace(tmp, path)
     return path
