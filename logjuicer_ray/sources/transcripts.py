@@ -13,23 +13,25 @@ TURN_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
 def _default_num_blocks(path: str) -> int | None:
-    """Small-file heuristic: Ray splits a small parquet into ~200 micro
-    blocks whose per-task dispatch overhead dominates at bench scale; cap at
-    2× the CPU count.  Inputs over ~2 GiB keep Ray's default block sizing
-    (at real scale blocks should stay ≈128 MiB; pass ``num_blocks=0`` to
-    force the default explicitly)."""
+    """Size-based block count, independent of the CPU count (the same job
+    must produce the same block layout at any cluster size): target ~12 MiB
+    of compressed parquet per block (~250k turn rows — bounded worker heap
+    for whole-block batches), floored at 16 for parallelism.  Ray's default
+    would otherwise split a small file into ~200 micro blocks (per-task
+    dispatch dominates) or leave one giant row group as a single task.
+    Inputs over ~4 GiB keep Ray's default 128 MiB block sizing (pass
+    ``num_blocks=0`` to force the default explicitly)."""
     try:
         import os
 
-        if os.path.isfile(path) and os.path.getsize(path) > 2 << 30:
+        if not os.path.isfile(path):
             return None
-        import ray
-
-        if ray.is_initialized():
-            return max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+        size = os.path.getsize(path)
+        if size > 4 << 30:
+            return None
+        return max(16, size // (12 << 20))
     except Exception:
-        pass
-    return None
+        return None
 
 
 def read_turns(path: str, *, split: str | None = None, columns=None, num_blocks=None):
