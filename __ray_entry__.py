@@ -473,7 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     # the synthetic turns table path for sf=0.01 (driver correctness scale);
     # queries() writes it deterministically before the oracle runs
-    turns = "read_parquet('/tmp/logjuicer_synth/sf0.01/turns.parquet')"
+    turns = "read_parquet('/tmp/logjuicer_synth/sf0.01/turns.parquet/*.parquet')"
     return {
         "turn_counts": (
             f"SELECT conv_id, COUNT(*) AS n_turns, MAX(turn_idx) AS max_turn "

@@ -24,9 +24,16 @@ def _default_num_blocks(path: str) -> int | None:
     try:
         import os
 
-        if not os.path.isfile(path):
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        elif os.path.isfile(path):
+            size = os.path.getsize(path)
+        else:
             return None
-        size = os.path.getsize(path)
         if size > 4 << 30:
             return None
         return max(16, size // (12 << 20))

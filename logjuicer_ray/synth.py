@@ -276,14 +276,25 @@ def generate_turns(
 
 
 def ensure_turns(sf: float, base_dir: str = "/tmp/logjuicer_synth") -> str:
-    """Write (once) and return the path of the turns table for ``sf``."""
+    """Write (once) and return the path of the turns table for ``sf``.
+
+    The table is a DIRECTORY of ~500k-row part files: Ray's parquet reader
+    issues one read task per file, so a single big file makes the scan a
+    serial bottleneck that an N-core pipeline hides but a 4N-core one
+    exposes."""
     path = synth_path(sf, base_dir)
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         table = generate_turns(sf)
         tmp = path + f".tmp{os.getpid()}"
-        # small row groups → parallel read tasks (a single giant row group
-        # serializes the parquet scan into one task)
-        pq.write_table(table, tmp, row_group_size=262_144)
+        os.makedirs(tmp, exist_ok=True)
+        rows_per_file = 500_000
+        nfiles = max(1, (table.num_rows + rows_per_file - 1) // rows_per_file)
+        for i in range(nfiles):
+            part = table.slice(i * rows_per_file, rows_per_file)
+            pq.write_table(
+                part, os.path.join(tmp, f"part-{i:05d}.parquet"),
+                row_group_size=131_072,
+            )
         os.replace(tmp, path)
     return path
