@@ -43,8 +43,21 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
     content_hash)."""
 
     def keep_min(group: pa.Table) -> pa.Table:
+        # min id per DISTINCT text within the hash group: a 32-bit hash
+        # collision between two different documents must not drop either
+        # (the full text column is already in the group, so text equality
+        # is checked, never assumed from the hash)
         ids = group.column(id_col).to_pylist()
-        return group.slice(int(np.argmin(ids)), 1)
+        texts = group.column(text_col).to_pylist()
+        best: dict[str, int] = {}
+        for i, t in enumerate(texts):
+            j = best.get(t)
+            if j is None or ids[i] < ids[j]:
+                best[t] = i
+        keep = sorted(best.values())
+        if len(keep) == group.num_rows:
+            return group
+        return group.take(pa.array(keep, pa.int64()))
 
     hashed = ds.map_batches(
         content_hashes, batch_format="pyarrow", fn_kwargs={"text_col": text_col}

@@ -34,26 +34,38 @@ def _batch_topk(batch: pa.Table, *, queries_ref, k: int, id_col: str,
         np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float32)
     )
     sims = q @ vecs.T  # (nq × nbatch) GEMM
-    kk = min(k, sims.shape[1])
-    top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-    out_q, out_id, out_sim = [], [], []
-    for qi in range(sims.shape[0]):
-        sel = top[qi]
-        out_q.extend([qi] * len(sel))
-        out_id.extend(ids[sel].tolist())
-        out_sim.extend(sims[qi, sel].astype(float).tolist())
+    nq, n = sims.shape
+    kk = min(k, n)
+    # kth-largest threshold per query (O(n) partition); rows at the
+    # threshold are tie-broken by id so the deterministic global winner is
+    # always among the batch candidates
+    kth = np.partition(sims, n - kk, axis=1)[:, n - kk]
+    out_q: list[np.ndarray] = []
+    out_sel: list[np.ndarray] = []
+    for qi in range(nq):  # few queries; inner ops vectorized
+        cand = np.flatnonzero(sims[qi] >= kth[qi])
+        sel = cand[np.lexsort((ids[cand], -sims[qi][cand]))[:kk]]
+        out_q.append(np.full(len(sel), qi, dtype=np.int32))
+        out_sel.append(sel)
+    flat = np.concatenate(out_sel) if out_sel else np.zeros(0, dtype=np.int64)
+    qcol = np.concatenate(out_q) if out_q else np.zeros(0, dtype=np.int32)
+    out_sim = sims[qcol, flat].astype(np.float64) if len(flat) else np.zeros(0)
     return pa.table(
         {
-            "query_id": pa.array(out_q, pa.int32()),
-            id_col: pa.array(out_id),
+            "query_id": pa.array(qcol, pa.int32()),
+            id_col: pa.array(ids[flat].tolist()),
             "cosine": pa.array(out_sim, pa.float64()),
         }
     )
 
 
-def _merge_topk(group: pa.Table, *, k: int) -> pa.Table:
+def _merge_topk(group: pa.Table, *, k: int, id_col: str = "vec_id") -> pa.Table:
+    # rank by (-cosine, id): ties at the k-th place break on the id, not on
+    # partial-result arrival order, so the top-k is identical at any
+    # cluster size (and matches the oracle's row_number ordering)
     sims = np.asarray(group.column("cosine").to_pylist())
-    order = np.argsort(-sims, kind="stable")[:k]
+    ids = np.asarray(group.column(id_col).to_pylist())
+    order = np.lexsort((ids, -sims))[:k]
     return group.take(pa.array(order.tolist()))
 
 
@@ -73,7 +85,7 @@ def knn_brute_force(ds, queries: np.ndarray, *, k: int = 10, id_col: str = "vec_
         fn_kwargs={"queries_ref": queries_ref, "k": k, "id_col": id_col, "vec_col": vec_col},
     )
     merged = partial.groupby("query_id").map_groups(
-        lambda g: _merge_topk(g, k=k), batch_format="pyarrow"
+        lambda g: _merge_topk(g, k=k, id_col=id_col), batch_format="pyarrow"
     )
     return merged.sort(["query_id", "cosine", id_col], descending=[False, True, False])
 
@@ -102,7 +114,13 @@ def knn_ivf(ds, queries: np.ndarray, *, k: int = 10, n_clusters: int = 16,
     skipped before the GEMM."""
     import ray
 
-    sample_rows = ds.limit(sample_size).to_pandas()
+    # seeded random sample across the whole dataset — at scale the first
+    # file is not the distribution, so limit() would bias the centroids
+    n = ds.count()
+    frac = min(1.0, (sample_size * 1.25) / max(1, n))
+    sample_rows = ds.random_sample(frac, seed=42).limit(sample_size).to_pandas()
+    if len(sample_rows) < n_clusters:
+        sample_rows = ds.limit(max(n_clusters, sample_size)).to_pandas()
     sample = np.asarray(list(sample_rows[vec_col]), dtype=np.float32)
     centroids = kmeans_fit(sample, n_clusters=n_clusters)
     q = _normalize(np.asarray(queries, dtype=np.float32))
@@ -147,6 +165,6 @@ def knn_ivf(ds, queries: np.ndarray, *, k: int = 10, n_clusters: int = 16,
 
     partial = ds.map_batches(batch_fn, batch_format="pyarrow", batch_size=4096)
     merged = partial.groupby("query_id").map_groups(
-        lambda g: _merge_topk(g, k=k), batch_format="pyarrow"
+        lambda g: _merge_topk(g, k=k, id_col=id_col), batch_format="pyarrow"
     )
     return merged.sort(["query_id", "cosine", id_col], descending=[False, True, False])

@@ -445,7 +445,9 @@ def run_errors_report(target_ds, config: PipelineConfig | None = None, *, model:
     indexes are filtered out (Model::report_errors, model.rs:755-790)."""
     config = config or PipelineConfig()
     with_groups = target_ds.map_batches(
-        _add_group_key, batch_format="pyarrow"
+        _add_group_key,
+        batch_format="pyarrow",
+        fn_kwargs={"max_line_bytes": config.max_line_bytes},
     )
     errors_udf = ErrorsScan(config)
     scan = _run_scan(with_groups, errors_udf, config)
@@ -485,6 +487,9 @@ def run_errors_report(target_ds, config: PipelineConfig | None = None, *, model:
     return {"anomalies": anomalies, "reports": reports, "scan": scan}
 
 
-def _add_group_key(batch: pa.Table) -> pa.Table:
+def _add_group_key(batch: pa.Table, *, max_line_bytes: int = 6000) -> pa.Table:
+    from ..stages.tokenize import truncate_text_column
+
+    batch = truncate_text_column(batch, max_line_bytes)
     group = pc.binary_join_element_wise(batch.column("role"), batch.column("tool"), "/")
     return batch.append_column("group_key", group)

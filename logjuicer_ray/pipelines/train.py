@@ -42,71 +42,108 @@ from ..vectorize import SparseIndex, build_index, merge_indexes
 __all__ = ["train", "train_model"]
 
 
+_PREP_COLS = ["group_key", "salt", "dedup_key", "conv_id", "turn_idx", "tokens",
+              "n_lines", "n_bytes"]
+
+
+def _run_starts(*code_arrays: np.ndarray) -> np.ndarray:
+    """Start offsets of equal-key runs in pre-sorted code arrays."""
+    n = len(code_arrays[0])
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for codes in code_arrays:
+        change[1:] |= codes[1:] != codes[:-1]
+    return np.flatnonzero(change).astype(np.int64)
+
+
+def _codes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    enc = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    enc = enc.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    return enc.indices.to_numpy(zero_copy_only=False)
+
+
 def _prepare_batch(batch: pa.Table, *, salt_buckets: int, ignored) -> pa.Table:
-    conv = batch.column("conv_id").to_pylist()
-    turn = batch.column("turn_idx").to_pylist()
-    text = batch.column("text").to_pylist()
-    tokens = batch.column("tokens").to_pylist()
-    dkeys = batch.column("dedup_key").to_pylist()
-    gkeys = batch.column("group_key").to_pylist()
-    # in-batch combiner: one row per (group, dedup_key)
-    agg: dict[tuple[str, str], list] = {}
-    for i in range(len(conv)):
-        raw = text[i]
-        if not raw:
-            continue
-        gd = (gkeys[i], dkeys[i])
-        cur = agg.get(gd)
-        n_bytes = len(raw.encode("utf-8", "surrogatepass"))
-        if ignored(raw):
-            # ignored lines count but are never indexed (process.rs:71-73);
-            # track counts under a reserved key
-            gd = (gkeys[i], "\x00ignored")
-            cur = agg.get(gd)
-            if cur is None:
-                agg[gd] = [None, None, None, 1, n_bytes]
-            else:
-                cur[3] += 1
-                cur[4] += n_bytes
-            continue
-        if cur is None:
-            agg[gd] = [conv[i], turn[i], tokens[i], 1, n_bytes]
-        else:
-            cur[3] += 1
-            cur[4] += n_bytes
-            if (conv[i], turn[i]) < (cur[0], cur[1]):
-                cur[0], cur[1], cur[2] = conv[i], turn[i], tokens[i]
-    out = {
-        "group_key": [],
-        "salt": [],
-        "dedup_key": [],
-        "conv_id": [],
-        "turn_idx": [],
-        "tokens": [],
-        "n_lines": [],
-        "n_bytes": [],
-    }
-    for (gk, dk), (c, t, tok, nl, nb) in agg.items():
-        out["group_key"].append(gk)
-        out["salt"].append(crc32(dk.encode()) % salt_buckets)
-        out["dedup_key"].append(dk)
-        out["conv_id"].append(c)
-        out["turn_idx"].append(t)
-        out["tokens"].append(tok)
-        out["n_lines"].append(nl)
-        out["n_bytes"].append(nb)
-    return pa.table(
+    """In-batch combiner: one row per (group, dedup_key) carrying the
+    min-(conv_id, turn_idx) token string and summed line/byte counts, so the
+    train shuffle moves unique-ish token strings instead of raw text.
+
+    Vectorized: Arrow sort + dictionary codes + ``np.add.reduceat`` — the
+    only per-row Python left is crc32 over the (already unique) dedup keys.
+    """
+    text = pc.fill_null(batch.column("text"), "")
+    keep = pc.not_equal(text, "")
+    tbl = pa.table(
         {
-            "group_key": pa.array(out["group_key"], pa.string()),
-            "salt": pa.array(out["salt"], pa.int32()),
-            "dedup_key": pa.array(out["dedup_key"], pa.string()),
-            "conv_id": pa.array(out["conv_id"], pa.string()),
-            "turn_idx": pa.array(out["turn_idx"], pa.int32()),
-            "tokens": pa.array(out["tokens"], pa.string()),
-            "n_lines": pa.array(out["n_lines"], pa.int64()),
-            "n_bytes": pa.array(out["n_bytes"], pa.int64()),
+            "group_key": batch.column("group_key"),
+            "dedup_key": batch.column("dedup_key"),
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": batch.column("turn_idx"),
+            "tokens": batch.column("tokens"),
+            "n_bytes": pc.cast(pc.binary_length(text), pa.int64()),
+        }
+    ).filter(keep)
+    ign_tbl = None
+    if ignored is not None:
+        # ignored lines count but are never indexed (process.rs:71-73);
+        # rare path — the mask is computed row-wise with the user regex
+        raws = batch.filter(keep).column("text").to_pylist()
+        mask = np.fromiter((ignored(r) for r in raws), dtype=bool, count=len(raws))
+        if mask.any():
+            ign_tbl = tbl.filter(pa.array(mask))
+            tbl = tbl.filter(pa.array(~mask))
+    # sort so each (group, dedup_key) is one contiguous run with its winner
+    # (min conv_id, turn_idx) first
+    tbl = tbl.sort_by(
+        [("group_key", "ascending"), ("dedup_key", "ascending"),
+         ("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    starts = _run_starts(_codes(tbl.column("group_key")), _codes(tbl.column("dedup_key")))
+    nb = tbl.column("n_bytes").to_numpy(zero_copy_only=False)
+    n = tbl.num_rows
+    run_lines = np.diff(np.append(starts, n))
+    run_bytes = np.add.reduceat(nb, starts) if n else np.zeros(0, dtype=np.int64)
+    idx = pa.array(starts, pa.int64())
+    firsts = tbl.take(idx)
+    dkeys = firsts.column("dedup_key").to_pylist()
+    salts = np.fromiter(
+        (crc32(k.encode()) % salt_buckets for k in dkeys), dtype=np.int32, count=len(dkeys)
+    )
+    out = pa.table(
+        {
+            "group_key": firsts.column("group_key"),
+            "salt": pa.array(salts, pa.int32()),
+            "dedup_key": firsts.column("dedup_key"),
+            "conv_id": firsts.column("conv_id"),
+            "turn_idx": pc.cast(firsts.column("turn_idx"), pa.int32()),
+            "tokens": firsts.column("tokens"),
+            "n_lines": pa.array(run_lines, pa.int64()),
+            "n_bytes": pa.array(run_bytes, pa.int64()),
         }
     )
+    if ign_tbl is not None:
+        # aggregate ignored counts per group under a reserved key
+        g = pa.TableGroupBy(ign_tbl, "group_key").aggregate(
+            [("n_bytes", "sum"), ("n_bytes", "count")]
+        )
+        n_ign = g.num_rows
+        ign_rows = pa.table(
+            {
+                "group_key": g.column("group_key"),
+                "salt": pa.array(np.zeros(n_ign), pa.int32()),
+                "dedup_key": pa.array(["\x00ignored"] * n_ign, pa.string()),
+                "conv_id": pa.nulls(n_ign, pa.string()),
+                "turn_idx": pa.nulls(n_ign, pa.int32()),
+                "tokens": pa.nulls(n_ign, pa.string()),
+                "n_lines": pc.cast(g.column("n_bytes_count"), pa.int64()),
+                "n_bytes": pc.cast(g.column("n_bytes_sum"), pa.int64()),
+            }
+        )
+        out = pa.concat_tables([out, ign_rows])
+    return out
 
 
 def _build_partial(group: pa.Table) -> pa.Table:
@@ -118,18 +155,15 @@ def _build_partial(group: pa.Table) -> pa.Table:
     mask = pc.is_valid(group.column("conv_id"))
     counted_lines = int(pc.sum(group.column("n_lines")).as_py() or 0)
     counted_bytes = int(pc.sum(group.column("n_bytes")).as_py() or 0)
-    g = group.filter(mask)
-    convs = g.column("conv_id").to_pylist()
-    turns = g.column("turn_idx").to_pylist()
-    dkeys = g.column("dedup_key").to_pylist()
-    toks = g.column("tokens").to_pylist()
-    order = sorted(range(g.num_rows), key=lambda i: (convs[i], turns[i], dkeys[i]))
-    seen: set[str] = set()
-    token_lines: list[str] = []
-    for i in order:
-        if dkeys[i] not in seen:
-            seen.add(dkeys[i])
-            token_lines.append(toks[i])
+    g = group.filter(mask).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending"),
+         ("dedup_key", "ascending")]
+    )
+    # first occurrence of each dedup key in (conv, turn) order — vectorized
+    dcodes = _codes(g.column("dedup_key"))
+    _, first_pos = np.unique(dcodes, return_index=True)
+    first_pos.sort()
+    token_lines = g.column("tokens").take(pa.array(first_pos, pa.int64())).to_pylist()
     index = build_index(token_lines)
     buf = io.BytesIO()
     pickle.dump(index.to_arrays(), buf, protocol=5)
@@ -146,10 +180,36 @@ def _build_partial(group: pa.Table) -> pa.Table:
     )
 
 
+def _merge_group(group: pa.Table) -> pa.Table:
+    """Tree-reduce step: merge one group's per-salt partial indexes into a
+    single index row (Index::mconcat, model.rs:158-217) — the driver then
+    sees exactly one row per (role, tool) group instead of salt_buckets of
+    them."""
+    group = group.sort_by("salt")
+    gk = group.column("group_key")[0].as_py()
+    mats = [
+        SparseIndex.from_arrays(pickle.loads(p.as_py()))
+        for p in group.column("payload")
+    ]
+    merged = merge_indexes(mats)
+    buf = io.BytesIO()
+    pickle.dump(merged.to_arrays(), buf, protocol=5)
+    return pa.table(
+        {
+            "group_key": pa.array([gk], pa.string()),
+            "rows": pa.array([merged.nrows], pa.int64()),
+            "line_count": pa.array([int(pc.sum(group.column("line_count")).as_py() or 0)], pa.int64()),
+            "byte_count": pa.array([int(pc.sum(group.column("byte_count")).as_py() or 0)], pa.int64()),
+            "train_time": pa.array([float(pc.sum(group.column("train_time")).as_py() or 0.0)], pa.float64()),
+            "payload": pa.array([buf.getvalue()], pa.binary()),
+        }
+    )
+
+
 def train(ds, config: PipelineConfig | None = None) -> Model:
     """Train a model from a Dataset of baseline turns (input_hint schema)."""
     config = config or PipelineConfig()
-    ignored = config.ignored_fn()
+    ignored = config.ignored_fn() if config.ignore_patterns else None
     salt_buckets = max(1, config.train_salt_buckets)
     tokenized = ds.map_batches(
         tokenize_batch,
@@ -165,22 +225,21 @@ def train(ds, config: PipelineConfig | None = None) -> Model:
     partials = prepared.groupby(["group_key", "salt"]).map_groups(
         _build_partial, batch_format="pyarrow"
     )
-    # one row per (group, salt): tiny — safe to collect on the driver
+    if salt_buckets > 1:
+        # two-level combine: per-group partial merge runs in tasks, the
+        # driver collects one (already merged) row per group — a planted
+        # mega-group never ships salt_buckets copies to the driver
+        partials = partials.groupby("group_key").map_groups(
+            _merge_group, batch_format="pyarrow"
+        )
     rows = partials.take_all()
-    per_group: dict[str, list] = {}
-    for row in rows:
-        per_group.setdefault(row["group_key"], []).append(row)
     indexes: dict[str, GroupIndex] = {}
-    for gk, grouprows in per_group.items():
-        grouprows.sort(key=lambda r: r["salt"])
-        mats = [
-            SparseIndex.from_arrays(pickle.loads(r["payload"])) for r in grouprows
-        ]
-        indexes[gk] = GroupIndex(
-            merge_indexes(mats),
-            line_count=sum(r["line_count"] for r in grouprows),
-            byte_count=sum(r["byte_count"] for r in grouprows),
-            train_time=sum(r["train_time"] for r in grouprows),
+    for row in rows:
+        indexes[row["group_key"]] = GroupIndex(
+            SparseIndex.from_arrays(pickle.loads(row["payload"])),
+            line_count=row["line_count"],
+            byte_count=row["byte_count"],
+            train_time=row["train_time"],
         )
     return Model(indexes)
 

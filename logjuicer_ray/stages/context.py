@@ -17,14 +17,22 @@ The stage emits a single mixed table per conversation with ``row_type``:
 
 Emitting all three from the one shuffle avoids re-executing the
 tokenize+score stages once per sink.
+
+Hot-path note: the overwhelmingly common conversation contains ZERO anomaly
+candidates, so both scans first run a vectorized candidate check (Arrow/numpy
+masks over the whole conversation); only conversations that might emit an
+anomaly (or contain the job-output cut marker) pay the sequential Python
+scan.  Counters for the rest come from Arrow reductions — no per-row Python.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from ..chunk import scan_conversation, scan_errors
+from ..chunk import JOB_OUTPUT_MARKER, THRESHOLD, scan_conversation, scan_errors
+from ..errors_parser import _ERROR_LINE_RE, _GO_PANIC, _PY_TB  # noqa: F401
 from ..filtering import is_ansible_conv
 
 __all__ = ["SCAN_SCHEMA", "ConversationScan", "ErrorsScan", "empty_scan_table"]
@@ -67,8 +75,25 @@ def _rows_to_table(rows: list[dict]) -> pa.Table:
     )
 
 
-def _sorted_group(group: pa.Table) -> pa.Table:
-    return group.sort_by("turn_idx")
+def _counts_table(conv_id, role, tool, gk, line_count, byte_count) -> pa.Table:
+    return _rows_to_table(
+        [
+            {
+                "row_type": "counts",
+                "conv_id": conv_id,
+                "role": role,
+                "tool": tool,
+                "group_key": gk,
+                "line_count": int(line_count),
+                "byte_count": int(byte_count),
+            }
+        ]
+    )
+
+
+def _np(col) -> np.ndarray:
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return a.to_numpy(zero_copy_only=False)
 
 
 def _role_tool_at(group: pa.Table, idx: int = 0) -> tuple[str, str, str]:
@@ -104,49 +129,85 @@ class ConversationScan:
             self._cfg_cache[key] = hit
         return hit
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        group = _sorted_group(group)
+    def __call__(self, group: pa.Table, presorted: bool = False) -> pa.Table:
+        if not presorted:
+            group = group.sort_by("turn_idx")
         conv_id = group.column("conv_id")[0].as_py()
         cfg, ignored = self._resolve(conv_id)
         is_job = is_ansible_conv(conv_id)
-        turn_idx = group.column("turn_idx").to_pylist()
-        text = group.column("text").to_pylist()
-        dedup_keys = group.column("dedup_key").to_pylist()
-        distance = group.column("distance").to_pylist()
-        has_index = group.column("has_index").to_pylist()
-        group_keys = group.column("group_key").to_pylist()
-        roles = group.column("role").to_pylist()
-        tools = group.column("tool").to_pylist()
 
-        out: list[dict] = []
+        text = pc.fill_null(group.column("text"), "")
+        valid = pc.not_equal(text, "")
+        has_index = pc.fill_null(group.column("has_index"), False)
+        role0, tool0, gk0 = _role_tool_at(group)
+
+        out_tables: list[pa.Table] = []
         # unknown routing: groups with no baseline index are not scanned
         # (model.rs:665-673) — one row per (conv, group) with the row count
-        unknown_sel = [i for i, h in enumerate(has_index) if not h and text[i]]
-        if unknown_sel:
-            per_group: dict[str, int] = {}
-            for i in unknown_sel:
-                per_group[group_keys[i]] = per_group.get(group_keys[i], 0) + 1
-            for gk, cnt in sorted(per_group.items()):
-                i = next(j for j in unknown_sel if group_keys[j] == gk)
-                out.append(
+        unk_mask = pc.and_(pc.invert(has_index), valid)
+        if pc.any(unk_mask).as_py():
+            unk = group.filter(unk_mask)
+            codes = _np(unk.column("group_key").dictionary_encode())
+            _, first_idx = np.unique(codes, return_index=True)
+            nbytes = _np(pc.cast(pc.binary_length(unk.column("text")), pa.int64()))
+            rows = []
+            for fi in first_idx:
+                c = codes[fi]
+                sel = codes == c
+                rows.append(
                     {
                         "row_type": "unknown",
                         "conv_id": conv_id,
-                        "role": roles[i],
-                        "tool": tools[i],
-                        "group_key": gk,
-                        "line_count": cnt,
-                        "byte_count": sum(
-                            len(text[j].encode()) for j in unknown_sel if group_keys[j] == gk
-                        ),
+                        "role": unk.column("role")[fi].as_py(),
+                        "tool": unk.column("tool")[fi].as_py(),
+                        "group_key": unk.column("group_key")[fi].as_py(),
+                        "line_count": int(sel.sum()),
+                        "byte_count": int(nbytes[sel].sum()),
                     }
                 )
+            rows.sort(key=lambda r: r["group_key"])
+            out_tables.append(_rows_to_table(rows))
 
-        known_rows = [
-            (turn_idx[i], text[i], dedup_keys[i], distance[i])
-            for i in range(len(turn_idx))
-            if has_index[i]
-        ]
+        known_mask = pc.and_(has_index, valid)
+        # vectorized fast path: a conversation with no row over the anomaly
+        # threshold (and no job-output cut) emits only its counts row
+        if not cfg.ignore_patterns:
+            cand = pc.and_(
+                known_mask,
+                pc.greater(
+                    pc.fill_null(group.column("distance"), 0.0),
+                    pa.scalar(THRESHOLD, pa.float32()),
+                ),
+            )
+            cut = is_job and pc.any(pc.match_substring(text, JOB_OUTPUT_MARKER)).as_py()
+            if not cut and not pc.any(cand).as_py():
+                n_lines = pc.sum(pc.cast(known_mask, pa.int64())).as_py() or 0
+                nb = (
+                    pc.sum(
+                        pc.if_else(
+                            known_mask, pc.binary_length(text), pa.scalar(0, pa.int32())
+                        )
+                    ).as_py()
+                    or 0
+                )
+                out_tables.append(
+                    _counts_table(conv_id, role0, tool0, gk0, n_lines, nb)
+                )
+                return (
+                    pa.concat_tables(out_tables)
+                    if len(out_tables) > 1
+                    else out_tables[0]
+                )
+
+        known = group.filter(known_mask)
+        known_rows = list(
+            zip(
+                known.column("turn_idx").to_pylist(),
+                known.column("text").to_pylist(),
+                known.column("dedup_key").to_pylist(),
+                known.column("distance").to_pylist(),
+            )
+        )
         anomalies, line_count, byte_count = scan_conversation(
             known_rows,
             skip_duplicates=cfg.skip_duplicate,
@@ -154,24 +215,33 @@ class ConversationScan:
             gl_date=self.gl_date,
             ignored=ignored,
         )
-        role0, tool0, gk0 = _role_tool_at(group)
-        for a in anomalies:
-            out.append(
-                {
-                    "row_type": "anomaly",
-                    "conv_id": conv_id,
-                    "turn_idx": a["turn_idx"],
-                    "role": role0,
-                    "tool": tool0,
-                    "group_key": gk0,
-                    "distance": a["distance"],
-                    "ts": a["ts"],
-                    "text": a["text"],
-                    "before": a["before"],
-                    "after": a["after"],
-                    "dedup_key": a["dedup_key"],
-                }
-            )
+        out: list[dict] = []
+        if anomalies:
+            # per-anomaly attribution: each anomaly carries ITS turn's
+            # role/tool/group_key (mixed-role conversations are the norm in
+            # real transcripts; the conversation's first row would be wrong)
+            turn_np = _np(pc.cast(known.column("turn_idx"), pa.int64()))
+            roles = known.column("role")
+            tools = known.column("tool")
+            gks = known.column("group_key")
+            for a in anomalies:
+                i = int(np.searchsorted(turn_np, a["turn_idx"]))
+                out.append(
+                    {
+                        "row_type": "anomaly",
+                        "conv_id": conv_id,
+                        "turn_idx": a["turn_idx"],
+                        "role": roles[i].as_py(),
+                        "tool": tools[i].as_py(),
+                        "group_key": gks[i].as_py(),
+                        "distance": a["distance"],
+                        "ts": a["ts"],
+                        "text": a["text"],
+                        "before": a["before"],
+                        "after": a["after"],
+                        "dedup_key": a["dedup_key"],
+                    }
+                )
         out.append(
             {
                 "row_type": "counts",
@@ -183,7 +253,8 @@ class ConversationScan:
                 "byte_count": byte_count,
             }
         )
-        return _rows_to_table(out)
+        out_tables.append(_rows_to_table(out))
+        return pa.concat_tables(out_tables) if len(out_tables) > 1 else out_tables[0]
 
 
 class BlockScan:
@@ -210,22 +281,19 @@ class BlockScan:
         if batch.num_rows == 0:
             return empty_scan_table()
         batch = batch.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
-        convs = batch.column("conv_id").to_pylist()
-        first, last = convs[0], convs[-1]
+        codes = _np(batch.column("conv_id").dictionary_encode())
+        n = len(codes)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], n]
         out: list[pa.Table] = []
         fragments: list[pa.Table] = []
-        i = 0
-        n = len(convs)
-        while i < n:
-            j = i
-            while j < n and convs[j] == convs[i]:
-                j += 1
-            part = batch.slice(i, j - i)
-            if convs[i] == first or convs[i] == last:
+        first_code, last_code = codes[0], codes[-1]
+        for s, e in zip(starts, ends):
+            part = batch.slice(s, e - s)
+            if codes[s] == first_code or codes[s] == last_code:
                 fragments.append(part)
             else:
-                out.append(self.inner(part))
-            i = j
+                out.append(self.inner(part, presorted=True))
         if fragments:
             frag = pa.concat_tables(fragments)
             cols = {}
@@ -246,6 +314,13 @@ class BlockScan:
         return pa.concat_tables([t.cast(SCAN_SCHEMA) for t in out]).combine_chunks()
 
 
+# conservative superset of lines that can start/complete an error anomaly:
+# the standalone-error regex, the Python-traceback marker and the Go panic
+# marker (errors_parser.rs:46-198).  A conversation with zero such lines can
+# not emit an anomaly, so it takes the vectorized counts-only path.
+_ERROR_TRIGGER_RE = f"(?:{_ERROR_LINE_RE.pattern})"
+
+
 class ErrorsScan:
     """Errors-mode scan (ErrorsProcessor analog, errors.rs:116-194) — no
     baseline model required; per-source dedup skipped for ansible/job-output
@@ -258,34 +333,61 @@ class ErrorsScan:
         self._resolve = ConversationScan._resolve.__get__(self)
         self._cfg_cache: dict[str, tuple] = {}
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        group = _sorted_group(group)
+    def __call__(self, group: pa.Table, presorted: bool = False) -> pa.Table:
+        if not presorted:
+            group = group.sort_by("turn_idx")
         conv_id = group.column("conv_id")[0].as_py()
-        _, ignored = self._resolve(conv_id)
-        rows = list(
-            zip(group.column("turn_idx").to_pylist(), group.column("text").to_pylist())
-        )
+        cfg, ignored = self._resolve(conv_id)
+        role0, tool0, gk0 = _role_tool_at(group)
+        text = pc.fill_null(group.column("text"), "")
+        valid = pc.not_equal(text, "")
+
+        # vectorized trigger check (superset): no error-regex hit, no
+        # traceback/panic marker → counts row only, zero per-row Python
+        if not cfg.ignore_patterns:
+            trig = pc.or_(
+                pc.match_substring_regex(text, _ERROR_TRIGGER_RE),
+                pc.or_(
+                    pc.match_substring(text, _PY_TB),
+                    pc.match_substring(text, _GO_PANIC),
+                ),
+            )
+            if not pc.any(pc.and_(trig, valid)).as_py():
+                n_lines = pc.sum(pc.cast(valid, pa.int64())).as_py() or 0
+                nb = pc.sum(
+                    pc.if_else(valid, pc.binary_length(text), pa.scalar(0, pa.int32()))
+                ).as_py() or 0
+                return _counts_table(conv_id, role0, tool0, gk0, n_lines, nb)
+
+        turn_list = group.column("turn_idx").to_pylist()
+        rows = list(zip(turn_list, group.column("text").to_pylist()))
         anomalies, line_count, byte_count = scan_errors(
             rows, is_ansible=is_ansible_conv(conv_id), ignored=ignored
         )
-        role0, tool0, gk0 = _role_tool_at(group)
-        out = [
-            {
-                "row_type": "anomaly",
-                "conv_id": conv_id,
-                "turn_idx": a["turn_idx"],
-                "role": role0,
-                "tool": tool0,
-                "group_key": gk0,
-                "distance": a["distance"],
-                "ts": a["ts"],
-                "text": a["text"],
-                "before": a["before"],
-                "after": a["after"],
-                "dedup_key": a["dedup_key"],
-            }
-            for a in anomalies
-        ]
+        out: list[dict] = []
+        if anomalies:
+            turn_np = np.asarray(turn_list, dtype=np.int64)
+            roles = group.column("role")
+            tools = group.column("tool")
+            gks = group.column("group_key")
+            for a in anomalies:
+                i = int(np.searchsorted(turn_np, a["turn_idx"]))
+                out.append(
+                    {
+                        "row_type": "anomaly",
+                        "conv_id": conv_id,
+                        "turn_idx": a["turn_idx"],
+                        "role": roles[i].as_py(),
+                        "tool": tools[i].as_py(),
+                        "group_key": gks[i].as_py(),
+                        "distance": a["distance"],
+                        "ts": a["ts"],
+                        "text": a["text"],
+                        "before": a["before"],
+                        "after": a["after"],
+                        "dedup_key": a["dedup_key"],
+                    }
+                )
         out.append(
             {
                 "row_type": "counts",

@@ -124,27 +124,35 @@ _UID_SEPS = frozenset(":.-")
 
 
 def _uid_regex_match(word: str) -> bool:
+    # Linear-time scan equivalent to the reference alternation: the ':*'
+    # prefix and '[:.-]*' suffix belong to the hex-class branch ONLY —
+    # 'latest'/'none' take no separators, so 'latest-abc' does NOT match
+    # (the '-' can only be consumed by a following hex-class iteration,
+    # which requires at least one hex char it doesn't get).
     i, n = 0, len(word)
     matched = False
     while i < n:
-        while i < n and word[i] == ":":
-            i += 1
         if word.startswith("rabbitmq-cluster-id-", i):
             return True  # the reference branch ends with .* consuming the rest
         if word.startswith("latest", i):
             i += 6
             matched = True
-        elif word.startswith("none", i):
+            continue
+        if word.startswith("none", i):
             i += 4
             matched = True
-        elif i < n and word[i] in _UID_CHARS:
-            while i < n and word[i] in _UID_CHARS:
-                i += 1
-            matched = True
-        else:
+            continue
+        j = i
+        while j < n and word[j] == ":":
+            j += 1
+        if j >= n or word[j] not in _UID_CHARS:
             return False
-        while i < n and word[i] in _UID_SEPS:
-            i += 1
+        while j < n and word[j] in _UID_CHARS:
+            j += 1
+        while j < n and word[j] in _UID_SEPS:
+            j += 1
+        i = j
+        matched = True
     return matched
 
 

@@ -20,6 +20,15 @@ from logjuicer_ray.tokenizer import unordered_key
 from logjuicer_ray.vectorize import build_index, distances
 
 
+def _cap(text: str, max_bytes: int = 6000) -> str:
+    """Byte-based line cap matching the engine's ingest truncation
+    (iterator.rs:155-157; a dangling partial UTF-8 char at the cut drops)."""
+    b = text.encode("utf-8", "surrogatepass")
+    if len(b) <= max_bytes:
+        return text
+    return b[:max_bytes].decode("utf-8", "ignore")
+
+
 def _rows(table: pa.Table):
     cols = [table.column(n).to_pylist() for n in ("conv_id", "turn_idx", "role", "text", "tool")]
     return sorted(zip(*cols), key=lambda r: (r[0], r[1]))
@@ -30,7 +39,7 @@ def oracle_train(baseline: pa.Table):
     for conv, turn, role, text, tool in _rows(baseline):
         if not text:
             continue
-        groups[group_key(role, tool)].append(text[:6000])
+        groups[group_key(role, tool)].append(_cap(text))
     indexes = {}
     for gk, lines in groups.items():
         seen, toks = set(), []
@@ -66,7 +75,7 @@ def oracle_report(baseline: pa.Table, target: pa.Table, *, skip_duplicate=True):
                     unknown[(conv, gk)][0] += 1
                     unknown[(conv, gk)][1] += len(text.encode())
                 continue
-            text = text[:6000] if text else text
+            text = _cap(text) if text else text
             toks = tokenize(text) if text else ""
             pending.append((turn, text, toks, index))
         # batch the distance computation per (conv, index)
@@ -133,7 +142,7 @@ def oracle_report(baseline: pa.Table, target: pa.Table, *, skip_duplicate=True):
 def oracle_errors(target: pa.Table, *, skip_duplicate=True):
     per_conv = defaultdict(list)
     for conv, turn, role, text, tool in _rows(target):
-        per_conv[conv].append((turn, text))
+        per_conv[conv].append((turn, _cap(text) if text else text))
     anomalies = []
     for conv in sorted(per_conv):
         found, _, _ = scan_errors(per_conv[conv], is_ansible=is_ansible_conv(conv))
