@@ -39,15 +39,37 @@ def _init_ray(num_cpus: int | None) -> None:
 def _config_from_args(args) -> "PipelineConfig":
     from .config import PipelineConfig
 
-    cfg = PipelineConfig()
+    if getattr(args, "config", None):
+        # user config file (YAML/JSON, config.rs:60-310): resolved against
+        # --job-name (matcher configs, first match wins), then CLI flags
+        # override the file
+        from .config_file import load_config
+
+        user = load_config(args.config)
+        tc = user.get_target_config(getattr(args, "job_name", "") or "")
+        cfg = tc.to_pipeline_config()
+        args._target_config = tc
+    else:
+        cfg = PipelineConfig()
     if getattr(args, "ignore_pattern", None):
-        cfg.ignore_patterns = list(args.ignore_pattern)
+        cfg.ignore_patterns = cfg.ignore_patterns + list(args.ignore_pattern)
     if getattr(args, "keep_duplicate", False):
         # LOGJUICER_KEEP_DUPLICATE analog (config.rs:168-172)
         cfg.skip_duplicate = False
     if getattr(args, "sorted_input", False):
         cfg.sorted_input = True
     return cfg
+
+
+def _apply_source_filter(ds, args):
+    """includes/excludes from the config file filter sources by conv_id
+    (is_source_valid, config.rs:207-209)."""
+    tc = getattr(args, "_target_config", None)
+    if tc is None or (not tc.includes and not tc.excludes):
+        return ds
+    from .config_file import source_valid_filter
+
+    return source_valid_filter(ds, tc)
 
 
 def _print_anomalies(anomalies_ds, limit: int = 50) -> None:
@@ -102,11 +124,15 @@ def cmd_report(args) -> int:
     if args.model and os.path.exists(os.path.join(args.model, "manifest.json")):
         model = Model.load(args.model)
     else:
-        baseline = read_turns(args.baseline or args.input, split=args.baseline_split)
+        baseline = _apply_source_filter(
+            read_turns(args.baseline or args.input, split=args.baseline_split), args
+        )
         model = train(baseline, cfg)
         if args.model:
             model.save(args.model)
-    target = read_turns(args.target or args.input, split=args.target_split)
+    target = _apply_source_filter(
+        read_turns(args.target or args.input, split=args.target_split), args
+    )
     out = run_report(target, model, cfg)
     os.makedirs(args.out, exist_ok=True)
     summary = _write_outputs(
@@ -136,9 +162,13 @@ def cmd_errors(args) -> int:
     if args.model and os.path.exists(os.path.join(args.model, "manifest.json")):
         model = Model.load(args.model)
     elif args.baseline or args.baseline_split:
-        baseline = read_turns(args.baseline or args.input, split=args.baseline_split)
+        baseline = _apply_source_filter(
+            read_turns(args.baseline or args.input, split=args.baseline_split), args
+        )
         model = train(baseline, cfg)
-    target = read_turns(args.target or args.input, split=args.target_split)
+    target = _apply_source_filter(
+        read_turns(args.target or args.input, split=args.target_split), args
+    )
     out = run_errors_report(target, cfg, model=model)
     os.makedirs(args.out, exist_ok=True)
     summary = _write_outputs(out, args.out, inputs=[args.input or args.target])
@@ -191,6 +221,17 @@ def cmd_similarity(args) -> int:
     return 0
 
 
+def cmd_test(args) -> int:
+    """Dataset conformance verb (``logjuicer test DIR...``,
+    cli/src/dataset.rs:39-78): exit 1 when any dataset fails."""
+    _init_ray(args.num_cpus)
+    from .dataset_test import test_datasets
+
+    cfg = _config_from_args(args)
+    failures = test_datasets(list(args.paths), cfg, quiet=args.quiet)
+    return 1 if failures else 0
+
+
 def main(argv=None) -> int:
     parent = argparse.ArgumentParser(add_help=False)
     parent.add_argument("--num-cpus", type=int, default=None)
@@ -208,6 +249,8 @@ def main(argv=None) -> int:
         sp.add_argument("--out", required=True)
         sp.add_argument("--ignore-pattern", action="append")
         sp.add_argument("--keep-duplicate", action="store_true")
+        sp.add_argument("--config", help="user config file (.yaml/.json)")
+        sp.add_argument("--job-name", default="", help="job name matched against the config file's matcher entries")
         sp.add_argument(
             "--sorted-input",
             action="store_true",
@@ -237,6 +280,14 @@ def main(argv=None) -> int:
     sp.add_argument("--ignore-pattern", action="append")
     sp.add_argument("--keep-duplicate", action="store_true")
     sp.set_defaults(fn=cmd_similarity)
+
+    sp = sub.add_parser("test", parents=[parent], help="validate good/fail dataset dirs (logjuicer test analog)")
+    sp.add_argument("paths", nargs="+", help="dataset directories (*.good, *.fail, inf.yaml)")
+    sp.add_argument("--ignore-pattern", action="append")
+    sp.add_argument("--keep-duplicate", action="store_true")
+    sp.add_argument("--config", help="user config file (.yaml/.json)")
+    sp.add_argument("--job-name", default="")
+    sp.set_defaults(fn=cmd_test)
 
     args = p.parse_args(argv)
     rc = args.fn(args)
