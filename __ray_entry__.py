@@ -207,15 +207,63 @@ def _q_token_counts(sf_dir: str):
 
 
 def _q_text_features(sf_dir: str):
+    """Quality + language-ID features, emitted as micro-unit integers
+    (floor(x·10^6)) so the DuckDB oracle hash-compares exactly — both
+    engines compute the identical float64 sequence on ASCII text."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import ray.data as rd
 
-    from logjuicer_ray.functions.text import add_fingerprints, add_lang_id, add_quality
+    from logjuicer_ray.functions.text import add_lang_id, add_quality
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = add_fingerprints(add_lang_id(add_quality(docs)))
-    return out.select_columns(
-        ["doc_id", "quality", "lang_id", "fingerprint", "winnow_fp"]
-    ).sort("doc_id")
+    out = add_lang_id(add_quality(docs))
+
+    def project(batch: pa.Table) -> pa.Table:
+        def e6(name):
+            return pc.cast(
+                pc.floor(pc.multiply(batch.column(name), 1_000_000.0)), pa.int64()
+            )
+
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": batch.column("n_chars_q"),
+                "punct_ratio_e6": e6("punct_ratio"),
+                "stopword_ratio_e6": e6("stopword_ratio"),
+                "mean_word_len_e6": e6("mean_word_len"),
+                "quality_e6": e6("quality"),
+                "lang_id": batch.column("lang_id"),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow").sort("doc_id")
+
+
+def _q_fingerprint(sf_dir: str):
+    """md5-u64 document fingerprints (whole-doc + winnowed 4-gram min) —
+    recomputable in SQL, hard value oracle."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.text import add_fingerprints
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        add_fingerprints(docs)
+        .select_columns(["doc_id", "fingerprint", "winnow_fp"])
+        .sort("doc_id")
+    )
+
+
+def _q_embedding_dedup(sf_dir: str):
+    """Embedding-cosine near-dup (exact mode: broadcast corpus, per-batch
+    f64 GEMM) — dup_of = min earlier id with cosine ≥ 0.45."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.dedup import embedding_cosine_dedup
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_cosine_dedup(emb, threshold=0.45, mode="exact").sort("vec_id")
 
 
 def _q_knn(sf_dir: str):
@@ -231,18 +279,26 @@ def _q_knn(sf_dir: str):
     out = knn_brute_force(emb, queries_m, k=5).to_pandas()
     qids = list(qrows["vec_id"])
     out["query_vec_id"] = out["query_id"].map(lambda i: qids[i])
-    out["cosine"] = out["cosine"].round(4)
+    # integer 1e-4 units via the same floor(x*1e4 + 0.5) formula as the SQL
+    # oracle: no float bits ever enter the value hash
+    out["cosine_e4"] = np.floor(out["cosine"] * 10000.0 + 0.5).astype("int64")
     return pa.table(
         {
             "query_vec_id": pa.array(out["query_vec_id"], pa.int64()),
             "vec_id": pa.array(out["vec_id"], pa.int64()),
-            "cosine": pa.array(out["cosine"], pa.float64()),
+            "cosine_e4": pa.array(out["cosine_e4"], pa.int64()),
         }
     )
 
 
 def _q_knn_ivf(sf_dir: str):
+    """IVF search in exact mode (nprobe = n_clusters): probing every
+    cluster must reproduce brute force bit-for-bit — a hard invariant of
+    the assign/probe machinery, hash-checked against the same SQL oracle as
+    ``knn_bruteforce``.  The approximate regime (nprobe < n_clusters) is
+    covered by the pytest recall bound."""
     import numpy as np
+    import pyarrow as pa
     import ray.data as rd
 
     from logjuicer_ray.functions.knn import knn_ivf
@@ -250,7 +306,17 @@ def _q_knn_ivf(sf_dir: str):
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qrows = emb.sort("vec_id").limit(3).to_pandas()
     queries_m = np.asarray(list(qrows["embedding"]), dtype=np.float32)
-    return knn_ivf(emb, queries_m, k=5)
+    out = knn_ivf(emb, queries_m, k=5, n_clusters=16, nprobe=16).to_pandas()
+    qids = list(qrows["vec_id"])
+    out["query_vec_id"] = out["query_id"].map(lambda i: qids[i])
+    out["cosine_e4"] = np.floor(out["cosine"] * 10000.0 + 0.5).astype("int64")
+    return pa.table(
+        {
+            "query_vec_id": pa.array(out["query_vec_id"], pa.int64()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "cosine_e4": pa.array(out["cosine_e4"], pa.int64()),
+        }
+    )
 
 
 def _q_events_window(sf_dir: str):
@@ -460,6 +526,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_docs": _q_simhash_dedup,
         "token_counts_docs": _q_token_counts,
         "text_features_docs": _q_text_features,
+        "fingerprint_docs": _q_fingerprint,
+        "embedding_dedup": _q_embedding_dedup,
         "knn_bruteforce": _q_knn,
         "knn_ivf": _q_knn_ivf,
         "events_window": _q_events_window,
@@ -468,6 +536,167 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": _q_lineitem_agg,
         "similarity_report": _q_similarity,
     }
+
+
+def _md5_u64_sql(expr: str) -> str:
+    """SQL: md5-u64 of a string expression (UBIGINT), matching
+    logjuicer_ray.functions.hashing.md5_u64_str."""
+    return f"('0x' || substr(md5({expr}), 1, 16))::UBIGINT"
+
+
+def _signed_sql(u: str) -> str:
+    """SQL: unsigned 64-bit → signed two's-complement BIGINT, matching
+    logjuicer_ray.functions.hashing.u64_to_i64."""
+    return (
+        f"CASE WHEN ({u}) >= 9223372036854775808::UBIGINT THEN "
+        f"(({u})::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT "
+        f"ELSE ({u})::BIGINT END"
+    )
+
+
+# quality/lang-ID features (functions/text.py): both engines compute the
+# identical float64 sequence on ASCII text, compared as floor(x·10^6) ints
+_STOPLISTS = {
+    "en": "['the','and','of','to','a','in','is','it','that','for','with','was','on']",
+    "fr": "['le','la','les','de','des','et','un','une','est','que','pour','dans','du']",
+    "de": "['der','die','das','und','ist','von','mit','den','nicht','ein','eine','zu']",
+    "es": "['el','la','los','las','de','y','que','un','una','es','en','por','para']",
+}
+_TEXT_FEATURES_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+    length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct,
+    regexp_extract_all(lower(text), '[a-z'']+') AS words
+  FROM documents
+), feat AS (
+  SELECT doc_id, n,
+    CASE WHEN n > 0 THEN n_punct / (n)::DOUBLE ELSE 0.0 END AS pr,
+    CASE WHEN len(words) > 0 THEN len(list_filter(words, w -> list_contains({_STOPLISTS['en']}, w))) / len(words)::DOUBLE ELSE 0.0 END AS sr,
+    CASE WHEN len(words) > 0 THEN list_sum(list_transform(words, w -> length(w))) / len(words)::DOUBLE ELSE 0.0 END AS mw,
+    len(list_filter(words, w -> list_contains({_STOPLISTS['en']}, w))) AS v_en,
+    len(list_filter(words, w -> list_contains({_STOPLISTS['fr']}, w))) AS v_fr,
+    len(list_filter(words, w -> list_contains({_STOPLISTS['de']}, w))) AS v_de,
+    len(list_filter(words, w -> list_contains({_STOPLISTS['es']}, w))) AS v_es
+  FROM base
+), q AS (
+  SELECT doc_id, n, pr, sr, mw, v_en, v_fr, v_de, v_es,
+    LEAST(1.0, n / 200.0)
+      * (CASE WHEN sr < 0.2 THEN LEAST(1.0, sr / 0.2) ELSE 1.0 END)
+      * GREATEST(0.0, 1.0 - GREATEST(0.0, pr - 0.2) * 2.0)
+      * (CASE WHEN mw >= 3.0 AND mw <= 10.0 THEN 1.0 ELSE 0.5 END) AS quality
+  FROM feat
+)
+SELECT doc_id, n AS n_chars,
+  CAST(FLOOR(pr * 1000000.0) AS BIGINT) AS punct_ratio_e6,
+  CAST(FLOOR(sr * 1000000.0) AS BIGINT) AS stopword_ratio_e6,
+  CAST(FLOOR(mw * 1000000.0) AS BIGINT) AS mean_word_len_e6,
+  CAST(FLOOR(quality * 1000000.0) AS BIGINT) AS quality_e6,
+  CASE WHEN GREATEST(v_en, v_fr, v_de, v_es) = 0 THEN 'und'
+       WHEN v_en >= v_fr AND v_en >= v_de AND v_en >= v_es THEN 'en'
+       WHEN v_fr >= v_de AND v_fr >= v_es THEN 'fr'
+       WHEN v_de >= v_es THEN 'de' ELSE 'es' END AS lang_id
+FROM q ORDER BY doc_id
+"""
+
+_FINGERPRINT_SQL = f"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), wn AS (
+  SELECT doc_id, norm, string_split(norm, ' ') AS words,
+         len(string_split(norm, ' ')) AS nw FROM n
+), gi AS (
+  SELECT doc_id, words, unnest(generate_series(1, nw - 3)) AS i FROM wn WHERE nw >= 4
+), grams AS (
+  SELECT doc_id, MIN({_md5_u64_sql("array_to_string(words[i:i+3], ' ')")}) AS mn
+  FROM gi GROUP BY doc_id
+)
+SELECT wn.doc_id,
+  {_signed_sql(_md5_u64_sql('norm'))} AS fingerprint,
+  CASE WHEN wn.nw >= 4 THEN {_signed_sql('grams.mn')}
+       ELSE {_signed_sql(_md5_u64_sql('norm'))} END AS winnow_fp
+FROM wn LEFT JOIN grams ON wn.doc_id = grams.doc_id
+ORDER BY wn.doc_id
+"""
+
+# SimHash-band near-dup (functions/dedup.py simhash_dedup): md5-u64 token
+# hashes → 64-bit majority-vote signature → 4×16-bit bands → min-root pairs
+_SIMHASH_SQL = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents WHERE trim(text) != ''
+), wh AS (
+  SELECT doc_id, {_md5_u64_sql('tok')} AS h FROM w
+), bits AS (
+  SELECT doc_id, g.j,
+    SUM(CASE WHEN (h >> g.j) & 1::UBIGINT = 1::UBIGINT THEN 1 ELSE -1 END) AS vote
+  FROM wh CROSS JOIN generate_series(0, 63) g(j)
+  GROUP BY doc_id, g.j
+), sim AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN vote > 0 THEN (1::UBIGINT << j)::HUGEINT ELSE 0 END) AS UBIGINT) AS sh
+  FROM bits GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, g.b AS band,
+    CAST((sh >> (16 * g.b)::UBIGINT) & 65535::UBIGINT AS BIGINT) AS band_hash
+  FROM sim CROSS JOIN generate_series(0, 3) g(b)
+), roots AS (
+  SELECT band, band_hash, MIN(doc_id) AS root FROM bands GROUP BY band, band_hash
+), pairs AS (
+  SELECT s.doc_id, r.root AS dup_of
+  FROM bands s JOIN roots r USING (band, band_hash)
+  WHERE s.doc_id > r.root
+)
+SELECT doc_id, MIN(dup_of) AS dup_of FROM pairs GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _minhash_sql() -> str:
+    """MinHash-LSH dedup as one DuckDB query (functions/dedup.py
+    minhash_lsh_dedup): md5-u64 byte 5-shingles, the engine's seeded
+    permutation constants inlined, 128-bit arithmetic replicating numpy's
+    mod-2^64 wraparound, md5-banded buckets, min-root labels."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    p = (1 << 61) - 1
+    a = rng.integers(1, p, size=64, dtype=np.uint64)
+    b = rng.integers(0, p, size=64, dtype=np.uint64)
+    perm_rows = ", ".join(
+        f"({i}, {int(a[i])}::UBIGINT, {int(b[i])}::UBIGINT)" for i in range(64)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+long AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i
+  FROM docs WHERE length(text) > 5
+),
+sh_pos AS (
+  SELECT doc_id, substr(text, i, 5) AS s FROM long
+  UNION ALL
+  SELECT doc_id, text AS s FROM docs WHERE length(text) <= 5
+),
+sh AS (SELECT DISTINCT doc_id, {_md5_u64_sql('s')} AS h FROM sh_pos),
+perms AS (SELECT * FROM (VALUES {perm_rows}) p(i, a, b)),
+sig AS (
+  SELECT doc_id, p.i,
+    CAST(((p.a::HUGEINT * h::HUGEINT + p.b::HUGEINT) % 18446744073709551616::HUGEINT)
+      % 2305843009213693951::HUGEINT AS UBIGINT) AS v
+  FROM sh CROSS JOIN perms p GROUP BY doc_id, p.i, h, p.a, p.b
+),
+sigmin AS (SELECT doc_id, i, MIN(v) AS v FROM sig GROUP BY doc_id, i),
+band AS (
+  SELECT doc_id, i // 4 AS band, string_agg(v::VARCHAR, '-' ORDER BY i) AS key
+  FROM sigmin GROUP BY doc_id, i // 4
+),
+bh AS (SELECT doc_id, band, {_md5_u64_sql('key')} AS band_hash FROM band),
+roots AS (SELECT band, band_hash, MIN(doc_id) AS root FROM bh GROUP BY band, band_hash),
+pairs AS (
+  SELECT s.doc_id, r.root AS dup_of FROM bh s JOIN roots r USING (band, band_hash)
+  WHERE s.doc_id > r.root
+)
+SELECT doc_id, MIN(dup_of) AS dup_of FROM pairs GROUP BY doc_id ORDER BY doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -494,6 +723,31 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens "
             "FROM documents ORDER BY doc_id"
         ),
+        "text_features_docs": _TEXT_FEATURES_SQL,
+        "fingerprint_docs": _FINGERPRINT_SQL,
+        "simhash_dedup_docs": _SIMHASH_SQL,
+        "minhash_dedup_docs": _minhash_sql(),
+        "embedding_dedup": (
+            "SELECT a.vec_id, MIN(b.vec_id) AS dup_of "
+            "FROM embeddings a JOIN embeddings b "
+            "ON b.vec_id < a.vec_id "
+            "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45 "
+            "GROUP BY a.vec_id ORDER BY a.vec_id"
+        ),
+        # IVF in exact mode (nprobe = n_clusters) must equal brute force
+        "knn_ivf": (
+            "WITH q AS (SELECT vec_id AS query_vec_id, embedding AS qe "
+            "FROM embeddings ORDER BY vec_id LIMIT 3), "
+            "sims AS (SELECT q.query_vec_id, e.vec_id, "
+            "list_cosine_similarity(q.qe, e.embedding) AS cs "
+            "FROM q CROSS JOIN embeddings e), "
+            "ranked AS (SELECT query_vec_id, vec_id, cs, "
+            "row_number() OVER (PARTITION BY query_vec_id ORDER BY cs DESC, vec_id) AS rn "
+            "FROM sims) "
+            "SELECT query_vec_id, vec_id, "
+            "CAST(FLOOR(cs * 10000.0 + 0.5) AS BIGINT) AS cosine_e4 "
+            "FROM ranked WHERE rn <= 5 ORDER BY query_vec_id, cosine_e4 DESC, vec_id"
+        ),
         "knn_bruteforce": (
             "WITH q AS (SELECT vec_id AS query_vec_id, embedding AS qe "
             "FROM embeddings ORDER BY vec_id LIMIT 3), "
@@ -503,8 +757,9 @@ def oracle_sql() -> dict[str, str]:
             "ranked AS (SELECT query_vec_id, vec_id, cs, "
             "row_number() OVER (PARTITION BY query_vec_id ORDER BY cs DESC, vec_id) AS rn "
             "FROM sims) "
-            "SELECT query_vec_id, vec_id, ROUND(cs, 4) AS cosine "
-            "FROM ranked WHERE rn <= 5 ORDER BY query_vec_id, cosine DESC, vec_id"
+            "SELECT query_vec_id, vec_id, "
+            "CAST(FLOOR(cs * 10000.0 + 0.5) AS BIGINT) AS cosine_e4 "
+            "FROM ranked WHERE rn <= 5 ORDER BY query_vec_id, cosine_e4 DESC, vec_id"
         ),
         "events_window": (
             "SELECT event_type, date_trunc('hour', ts) AS window_start, "

@@ -26,6 +26,7 @@ __all__ = [
     "simhash_signatures",
     "simhash_dedup",
     "ngram_jaccard_pairs",
+    "embedding_cosine_dedup",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -68,13 +69,16 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
 # --- MinHash ---------------------------------------------------------------
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct byte k-shingles hashed to md5-u64 (portable: an external
+    SQL engine can recompute every shingle hash — see functions/hashing.py)."""
+    from .hashing import md5_u64
+
     data = text.encode("utf-8", "surrogatepass")
     if len(data) <= k:
-        return np.array([crc32(data)], dtype=np.uint64)
-    # rolling byte k-shingles hashed with crc32 (stable across processes)
+        return np.array([md5_u64(data)], dtype=np.uint64)
     return np.unique(
         np.fromiter(
-            (crc32(data[i : i + k]) for i in range(len(data) - k + 1)),
+            (md5_u64(data[i : i + k]) for i in range(len(data) - k + 1)),
             dtype=np.uint64,
             count=len(data) - k + 1,
         )
@@ -83,7 +87,9 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 
 class MinHasher:
     """Stateful batch mapper: the permutation table is built once per worker
-    (actor-pool pattern) — (a·x + b) mod p universal hashing."""
+    (actor-pool pattern) — (a·x + b) mod p universal hashing (arithmetic in
+    uint64 with natural mod-2^64 wraparound, then mod the Mersenne prime —
+    exactly reproducible in 128-bit SQL arithmetic)."""
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 42):
         rng = np.random.default_rng(seed)
@@ -94,14 +100,32 @@ class MinHasher:
 
     def signature(self, text: str) -> np.ndarray:
         sh = _shingle_hashes(text or "", self.shingle_k).astype(np.uint64)
-        # (num_perm × n_shingles) universal hashes, min over shingles
         vals = (np.outer(self.a, sh) + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
 
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """Vectorized across the whole batch: shingles are concatenated and
+        each permutation does ONE fused multiply-add + segmented min
+        (``np.minimum.reduceat``) over all docs — no per-doc Python in the
+        permutation math.  Returns (n_docs × num_perm)."""
+        sh_arrays = [_shingle_hashes(t or "", self.shingle_k) for t in texts]
+        if not sh_arrays:
+            return np.zeros((0, self.num_perm), dtype=np.uint64)
+        lens = np.array([len(s) for s in sh_arrays], dtype=np.int64)
+        cat = np.concatenate(sh_arrays).astype(np.uint64)
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        out = np.empty((self.num_perm, len(lens)), dtype=np.uint64)
+        for i in range(self.num_perm):  # bounded by num_perm, not batch size
+            row = self.a[i] * cat + self.b[i]  # uint64 wraparound
+            row %= _MERSENNE
+            out[i] = np.minimum.reduceat(row, starts)
+        return out.T
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t) for t in batch.column("text").to_pylist()]
+        sigs = self.signatures(batch.column("text").to_pylist())
         return batch.append_column(
-            "minhash", pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64()))
+            "minhash", pa.array(sigs.tolist(), pa.list_(pa.uint64()))
         )
 
 
@@ -114,6 +138,8 @@ def minhash_signatures(ds, *, num_perm: int = 64, shingle_k: int = 5):
 
 
 def _explode_bands(batch: pa.Table, *, bands: int, id_col: str) -> pa.Table:
+    from .hashing import md5_u64_str, u64_to_i64
+
     ids = batch.column(id_col).to_pylist()
     sigs = batch.column("minhash").to_pylist()
     out_ids, out_band, out_hash = [], [], []
@@ -121,7 +147,8 @@ def _explode_bands(batch: pa.Table, *, bands: int, id_col: str) -> pa.Table:
         rows_per_band = len(sig) // bands
         for b in range(bands):
             chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            h = crc32(np.asarray(chunk, dtype=np.uint64).tobytes())
+            # md5 over the decimal-joined band values: recomputable in SQL
+            h = u64_to_i64(md5_u64_str("-".join(map(str, chunk))))
             out_ids.append(ids[i])
             out_band.append(b)
             out_hash.append(h)
@@ -178,21 +205,23 @@ def minhash_lsh_dedup(
 
 # --- SimHash ---------------------------------------------------------------
 
-def _token_hashes(text: str) -> np.ndarray:
-    return np.fromiter(
-        (crc32(w.encode("utf-8", "surrogatepass")) for w in (text or "").split()),
-        dtype=np.uint64,
-    )
+_simhash_hasher = None
 
 
 def simhash64(text: str) -> int:
-    """64-bit simhash over whitespace tokens (two crc32 halves)."""
+    """64-bit simhash over whitespace tokens.  Token hashes are md5-derived
+    (:mod:`.hashing`) so an external SQL engine can recompute the signature
+    — the dedup output is oracle-checkable end to end."""
+    global _simhash_hasher
     toks = (text or "").split()
     if not toks:
         return 0
-    h1 = np.fromiter((crc32(w.encode()) for w in toks), dtype=np.uint64)
-    h2 = np.fromiter((crc32((w + "#").encode()) for w in toks), dtype=np.uint64)
-    h = (h1 << np.uint64(32)) | h2
+    if _simhash_hasher is None:
+        from .hashing import TokenHasher
+
+        _simhash_hasher = TokenHasher()
+    th = _simhash_hasher
+    h = np.fromiter((th(w) for w in toks), dtype=np.uint64, count=len(toks))
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
     votes = (2 * bits - 1).sum(axis=0)
     return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
@@ -266,34 +295,243 @@ def ngram_jaccard(a: str, b: str, *, k: int = 5) -> float:
 
 def ngram_jaccard_pairs(ds, pairs_ds, *, id_col: str = "doc_id", k: int = 5,
                         threshold: float = 0.8):
-    """Verify LSH candidate pairs with exact shingle Jaccard.  The documents
-    for both sides of each pair are fetched via a broadcast of the (small)
-    candidate id set — candidates are rare relative to the corpus."""
+    """Verify LSH candidate pairs with exact shingle Jaccard — fully
+    distributed: only the candidate-ID SET is broadcast (small); document
+    text never leaves the cluster.  Shape:
+
+    1. filter the corpus to candidate ids (streaming ``map_batches``) and
+       shingle each candidate doc ONCE;
+    2. keyed shuffle #1 (``groupby(join_id)``): attach each candidate's
+       shingle array to every pair side that references it;
+    3. keyed shuffle #2 (``groupby(pair)``): the two sides meet, exact
+       Jaccard, emit pairs ≥ threshold.
+
+    Both shuffles move only candidate rows (pairs + shingle arrays), so a
+    hot LSH bucket costs O(candidates), never a driver materialization of
+    the corpus."""
     import ray
 
-    wanted = set()
-    pairs = pairs_ds.to_pandas()
-    wanted.update(pairs[id_col])
-    wanted.update(pairs["dup_of"])
+    # candidate id set: bounded by 2 × n_pairs; collected as one small column
+    pair_tbl = pa.concat_tables(
+        [t.select([id_col, "dup_of"]) for t in ray.get(pairs_ds.to_arrow_refs()) if t.num_rows]
+    ) if pairs_ds.count() else pa.table({id_col: pa.array([], pa.int64()),
+                                         "dup_of": pa.array([], pa.int64())})
+    wanted = set(pair_tbl.column(id_col).to_pylist()) | set(pair_tbl.column("dup_of").to_pylist())
     wanted_ref = ray.put(wanted)
+    id_type = pair_tbl.column(id_col).type
 
-    def pick(batch: pa.Table) -> pa.Table:
+    def pick_and_shingle(batch: pa.Table) -> pa.Table:
         w = ray.get(wanted_ref)
         ids = batch.column(id_col).to_pylist()
         mask = pa.array([i in w for i in ids], pa.bool_())
-        return batch.filter(mask)
+        kept = batch.filter(mask)
+        sh = [
+            _shingle_hashes(t or "", k).tolist()
+            for t in kept.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "join_id": kept.column(id_col),
+                "pair_a": pa.nulls(kept.num_rows, id_type),
+                "pair_b": pa.nulls(kept.num_rows, id_type),
+                "shingles": pa.array(sh, pa.list_(pa.uint64())),
+            }
+        )
 
-    docs = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
-    texts = dict(zip(docs[id_col], docs["text"]))
-    rows = []
-    for _, r in pairs.iterrows():
-        j = ngram_jaccard(texts.get(r[id_col], ""), texts.get(r["dup_of"], ""), k=k)
-        if j >= threshold:
-            rows.append((r[id_col], r["dup_of"], j))
-    return pa.table(
-        {
-            id_col: pa.array([r[0] for r in rows]),
-            "dup_of": pa.array([r[1] for r in rows]),
-            "jaccard": pa.array([r[2] for r in rows], pa.float64()),
-        }
+    docs_rows = ds.map_batches(pick_and_shingle, batch_format="pyarrow")
+
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        a = batch.column(id_col).to_pylist()
+        b = batch.column("dup_of").to_pylist()
+        # one row per pair side, keyed by the doc id that side needs
+        return pa.table(
+            {
+                "join_id": pa.array(a + b, id_type),
+                "pair_a": pa.array(a + a, id_type),
+                "pair_b": pa.array(b + b, id_type),
+                "shingles": pa.nulls(2 * len(a), pa.list_(pa.uint64())),
+            }
+        )
+
+    pair_rows = pairs_ds.map_batches(explode_pairs, batch_format="pyarrow")
+
+    def attach(group: pa.Table) -> pa.Table:
+        sh_col = group.column("shingles").to_pylist()
+        doc_sh = next((s for s in sh_col if s is not None), None)
+        pa_ = group.column("pair_a").to_pylist()
+        pb_ = group.column("pair_b").to_pylist()
+        out_a, out_b, out_sh = [], [], []
+        for i in range(group.num_rows):
+            if pa_[i] is None:  # the doc row itself
+                continue
+            out_a.append(pa_[i])
+            out_b.append(pb_[i])
+            out_sh.append(doc_sh or [])
+        return pa.table(
+            {
+                "pair_a": pa.array(out_a, id_type),
+                "pair_b": pa.array(out_b, id_type),
+                "shingles": pa.array(out_sh, pa.list_(pa.uint64())),
+            }
+        )
+
+    sides = docs_rows.union(pair_rows).groupby("join_id").map_groups(
+        attach, batch_format="pyarrow"
     )
+
+    def verify(group: pa.Table) -> pa.Table:
+        sh = group.column("shingles").to_pylist()
+        if len(sh) < 2:  # a side referenced a missing doc
+            return pa.table(
+                {id_col: pa.array([], id_type), "dup_of": pa.array([], id_type),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        sa, sb = set(sh[0]), set(sh[1])
+        j = 1.0 if not sa and not sb else len(sa & sb) / max(1, len(sa | sb))
+        if j < threshold:
+            return pa.table(
+                {id_col: pa.array([], id_type), "dup_of": pa.array([], id_type),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                id_col: group.column("pair_a").slice(0, 1),
+                "dup_of": group.column("pair_b").slice(0, 1),
+                "jaccard": pa.array([j], pa.float64()),
+            }
+        )
+
+    return sides.groupby(["pair_a", "pair_b"]).map_groups(
+        verify, batch_format="pyarrow"
+    )
+
+
+# --- embedding-cosine near-dup --------------------------------------------
+
+def embedding_cosine_dedup(ds, *, threshold: float = 0.45, id_col: str = "vec_id",
+                           vec_col: str = "embedding", mode: str = "exact",
+                           n_planes: int = 32, band_bits: int = 8, seed: int = 42):
+    """Near-duplicate detection over an embedding column: row ``i`` is a
+    duplicate of ``dup_of = min{j < i : cosine(i, j) ≥ threshold}``.
+
+    ``mode="exact"`` — the normalized corpus matrix is broadcast once
+    (``ray.put``) and every batch runs one f64 GEMM against it: exact, but
+    the corpus must fit in the object store (the small-scale / verification
+    path, and the per-bucket kernel of the LSH path).
+
+    ``mode="lsh"`` — random-hyperplane signatures (seeded), banded buckets
+    like SimHash, exact cosine verification *within* each bucket: the only
+    all-to-all moves (id, signature) rows; recall depends on
+    (n_planes, band_bits) vs the threshold angle."""
+    import ray
+
+    if mode == "exact":
+        parts = [
+            t.select([id_col, vec_col])
+            for t in ray.get(ds.to_arrow_refs())
+            if t.num_rows
+        ]
+        corpus = pa.concat_tables(parts)
+        ids = np.asarray(corpus.column(id_col).to_pylist())
+        vecs = np.asarray(corpus.column(vec_col).to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        vecs = vecs / norms
+        order = np.argsort(ids, kind="stable")
+        ids, vecs = ids[order], vecs[order]
+        state_ref = ray.put((ids, vecs))
+
+        def batch_fn(batch: pa.Table) -> pa.Table:
+            c_ids, c_vecs = ray.get(state_ref)
+            b_ids = np.asarray(batch.column(id_col).to_pylist())
+            b_vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            n = np.linalg.norm(b_vecs, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            b_vecs = b_vecs / n
+            sims = b_vecs @ c_vecs.T  # (batch × corpus)
+            hit = sims >= threshold
+            # only corpus ids strictly below the row id count (c_ids sorted)
+            lower = c_ids[None, :] < b_ids[:, None]
+            hit &= lower
+            rows = np.flatnonzero(hit.any(axis=1))
+            dup_of = [int(c_ids[np.flatnonzero(hit[r])[0]]) for r in rows]
+            return pa.table(
+                {
+                    id_col: pa.array(b_ids[rows].tolist(), batch.column(id_col).type),
+                    "dup_of": pa.array(dup_of, batch.column(id_col).type),
+                }
+            )
+
+        return ds.map_batches(batch_fn, batch_format="pyarrow", batch_size=4096)
+
+    if mode != "lsh":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    class PlaneSigner:
+        """Actor-pool stage: hyperplanes drawn once per worker (same seed →
+        same planes everywhere)."""
+
+        def __init__(self):
+            self.planes: np.ndarray | None = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float32)
+            if self.planes is None:
+                r = np.random.default_rng(seed)
+                self.planes = r.standard_normal((vecs.shape[1], n_planes)).astype(np.float32)
+            bits = (vecs @ self.planes) >= 0
+            sig = np.zeros(len(vecs), dtype=np.uint64)
+            for j in range(n_planes):
+                sig |= bits[:, j].astype(np.uint64) << np.uint64(j)
+            n_bands = n_planes // band_bits
+            out_i, out_b, out_h, out_v = [], [], [], []
+            ids_l = batch.column(id_col).to_pylist()
+            vl = batch.column(vec_col).to_pylist()
+            for b in range(n_bands):
+                part = (sig >> np.uint64(b * band_bits)) & np.uint64((1 << band_bits) - 1)
+                out_i.extend(ids_l)
+                out_b.extend([b] * len(ids_l))
+                out_h.extend(part.astype(np.int64).tolist())
+                out_v.extend(vl)
+            return pa.table(
+                {
+                    id_col: pa.array(out_i, batch.column(id_col).type),
+                    "band": pa.array(out_b, pa.int32()),
+                    "band_hash": pa.array(out_h, pa.int64()),
+                    vec_col: pa.array(out_v, batch.column(vec_col).type),
+                }
+            )
+
+    bands_ds = ds.map_batches(PlaneSigner, batch_format="pyarrow", concurrency=(1, 8))
+
+    def bucket_verify(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column(id_col).to_pylist())
+        vecs = np.asarray(group.column(vec_col).to_pylist(), dtype=np.float64)
+        n = np.linalg.norm(vecs, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        vecs = vecs / n
+        order = np.argsort(ids, kind="stable")
+        ids, vecs = ids[order], vecs[order]
+        sims = vecs @ vecs.T
+        out_id, out_dup = [], []
+        for r in range(1, len(ids)):
+            hits = np.flatnonzero(sims[r, :r] >= threshold)
+            if len(hits):
+                out_id.append(int(ids[r]))
+                out_dup.append(int(ids[hits[0]]))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, group.column(id_col).type),
+                "dup_of": pa.array(out_dup, group.column(id_col).type),
+            }
+        )
+
+    pairs = bands_ds.groupby(["band", "band_hash"]).map_groups(
+        bucket_verify, batch_format="pyarrow"
+    )
+
+    def min_dup(group: pa.Table) -> pa.Table:
+        dups = group.column("dup_of").to_pylist()
+        return group.slice(int(np.argmin(dups)), 1)
+
+    return pairs.groupby(id_col).map_groups(min_dup, batch_format="pyarrow")

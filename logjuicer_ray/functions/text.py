@@ -8,7 +8,6 @@ All are vectorized-per-batch ``map_batches`` transforms over the
 from __future__ import annotations
 
 import re
-from zlib import crc32
 
 import numpy as np
 import pyarrow as pa
@@ -100,24 +99,30 @@ def lang_id_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
 
 
 def fingerprint_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
-    """Rolling-hash document fingerprint: crc32 over the normalized
-    (lowercase, whitespace-collapsed) text, plus a winnowed 4-gram min-hash
-    fingerprint robust to local edits."""
+    """Document fingerprints over the normalized (lowercase,
+    whitespace-collapsed) text: a whole-document md5-u64 hash plus a
+    winnowed 4-gram min-hash robust to local edits.  md5-derived so an
+    external SQL engine can recompute both columns (functions/hashing.py)."""
+    from .hashing import md5_u64_str, u64_to_i64
+
     texts = batch.column(text_col).to_pylist()
     fp, winnow = [], []
     for t in texts:
         norm = _WS_RE.sub(" ", (t or "").lower()).strip()
-        data = norm.encode("utf-8", "surrogatepass")
-        fp.append(crc32(data))
+        doc_h = u64_to_i64(md5_u64_str(norm))
+        fp.append(doc_h)
         words = norm.split(" ")
         if len(words) >= 4:
-            grams = [
-                crc32(" ".join(words[i : i + 4]).encode())
-                for i in range(len(words) - 3)
-            ]
-            winnow.append(int(min(grams)))
+            winnow.append(
+                u64_to_i64(
+                    min(
+                        md5_u64_str(" ".join(words[i : i + 4]))
+                        for i in range(len(words) - 3)
+                    )
+                )
+            )
         else:
-            winnow.append(crc32(data))
+            winnow.append(doc_h)
     return batch.append_column("fingerprint", pa.array(fp, pa.int64())).append_column(
         "winnow_fp", pa.array(winnow, pa.int64())
     )

@@ -178,3 +178,106 @@ def test_multimodal_plumbing(ray_session):
         ImageDecodeStage(strict=True)(imgs)
     with pytest.raises(NotImplementedError):
         AudioFeatureStage(strict=True)(table)
+
+
+def test_ngram_jaccard_pairs_distributed_hot_bucket(ray_session):
+    """10k docs with a 100-doc hot bucket of identical text: the verify
+    stage must stay distributed (no driver materialization) and keep only
+    the truly similar pairs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logjuicer_ray.functions.dedup import ngram_jaccard, ngram_jaccard_pairs
+
+    n = 10_000
+    hot = "the same hot duplicated document body repeated verbatim everywhere"
+    texts = [
+        hot if i % 100 == 0 else f"unique document number {i} with its own distinct words {i * 7}"
+        for i in range(n)
+    ]
+    docs = rd.from_arrow(pa.table({"doc_id": list(range(n)), "text": texts}))
+    hot_ids = [i for i in range(n) if i % 100 == 0]
+    # candidate pairs: every hot doc against the root (true dups), plus some
+    # false candidates that must be rejected by the exact Jaccard check
+    cand_ids = hot_ids[1:] + [7, 13]
+    cand_dup = [hot_ids[0]] * (len(hot_ids) - 1) + [1, 2]
+    pairs = rd.from_arrow(pa.table({"doc_id": cand_ids, "dup_of": cand_dup}))
+    out = ngram_jaccard_pairs(docs, pairs, threshold=0.8).to_pandas()
+    got = set(zip(out["doc_id"], out["dup_of"]))
+    assert got == set(zip(hot_ids[1:], [hot_ids[0]] * (len(hot_ids) - 1)))
+    assert (out["jaccard"] == 1.0).all()
+    # the rejected pairs really are below threshold
+    assert ngram_jaccard(texts[7], texts[1]) < 0.8
+
+
+def test_embedding_cosine_dedup_exact(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logjuicer_ray.functions.dedup import embedding_cosine_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((50, 16)).astype(np.float32)
+    # plant: 60 = copy of 3, 61 = near-copy of 10, 62 = copy of 3 again
+    vecs = np.vstack([base, base[3], base[10] + 0.01 * rng.standard_normal(16), base[3]])
+    ids = list(range(50)) + [60, 61, 62]
+    ds = rd.from_arrow(
+        pa.table({"vec_id": ids, "embedding": [v.tolist() for v in vecs]})
+    )
+    out = embedding_cosine_dedup(ds, threshold=0.95, mode="exact").to_pandas()
+    got = dict(zip(out["vec_id"], out["dup_of"]))
+    assert got[60] == 3
+    assert got[61] == 10
+    assert got[62] == 3
+    # numpy oracle: full pairwise check
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = nv @ nv.T
+    ids_a = np.array(ids)
+    order = np.argsort(ids_a)
+    want = {}
+    for r in range(len(ids)):
+        lower = [j for j in range(len(ids)) if ids[j] < ids[r] and sims[r, j] >= 0.95]
+        if lower:
+            want[ids[r]] = min(ids[j] for j in lower)
+    assert got == want
+
+
+def test_embedding_cosine_dedup_lsh_finds_copies(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logjuicer_ray.functions.dedup import embedding_cosine_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    vecs = np.vstack([base, base[5], base[17]])
+    ids = list(range(40)) + [90, 91]
+    ds = rd.from_arrow(
+        pa.table({"vec_id": ids, "embedding": [v.tolist() for v in vecs]})
+    )
+    out = embedding_cosine_dedup(ds, threshold=0.99, mode="lsh").to_pandas()
+    got = dict(zip(out["vec_id"], out["dup_of"]))
+    # exact copies share every LSH band (identical sign pattern) — must be found
+    assert got.get(90) == 5
+    assert got.get(91) == 17
+
+
+def test_minhash_signatures_vectorized_matches_scalar():
+    from logjuicer_ray.functions.dedup import MinHasher
+
+    mh = MinHasher(num_perm=16, shingle_k=5)
+    texts = ["hello world document one", "another body of text", "x", ""]
+    batch = mh.signatures(texts)
+    for i, t in enumerate(texts):
+        np.testing.assert_array_equal(batch[i], mh.signature(t))
+
+
+def test_md5_hash_helpers():
+    import hashlib
+
+    from logjuicer_ray.functions.hashing import md5_u64_str, u64_to_i64
+
+    v = md5_u64_str("abc")
+    assert v == int(hashlib.md5(b"abc").hexdigest()[:16], 16)
+    assert u64_to_i64(2**63) == -(2**63)
+    assert u64_to_i64(5) == 5
