@@ -205,17 +205,28 @@ def cmd_similarity(args) -> int:
     from .sources.transcripts import read_turns
 
     cfg = _config_from_args(args)
-    # reference flow (cli/src/main.rs:463-513): train on the first target's
-    # baselines, one report per target, then the co-occurrence merge
-    baseline = read_turns(args.inputs[0], split="baseline")
-    model = train(baseline, cfg)
-    anomalies = []
-    for path in args.inputs:
-        target = read_turns(path, split="target")
-        anomalies.append(run_report(target, model, cfg)["anomalies"])
+    if getattr(args, "from_reports", None):
+        # consume SAVED report sinks (load_report round-trip) instead of
+        # recomputing each target's report
+        from .pipelines.report import load_report
+
+        anomalies = [load_report(d)["anomalies"] for d in args.from_reports]
+    else:
+        # reference flow (cli/src/main.rs:463-513): train on the first
+        # target's baselines, one report per target, then the merge
+        baseline = read_turns(args.inputs[0], split="baseline")
+        model = train(baseline, cfg)
+        anomalies = []
+        for path in args.inputs:
+            target = read_turns(path, split="target")
+            anomalies.append(run_report(target, model, cfg)["anomalies"])
     sim = create_similarity(anomalies)
     os.makedirs(args.out, exist_ok=True)
-    manifest = write_sink(sim, os.path.join(args.out, "similarity"), inputs=args.inputs)
+    manifest = write_sink(
+        sim,
+        os.path.join(args.out, "similarity"),
+        inputs=list(getattr(args, "from_reports", None) or args.inputs or []),
+    )
     if not args.quiet:
         print(json.dumps({"similarity_rows": manifest["rows"]}))
     return 0
@@ -275,7 +286,12 @@ def main(argv=None) -> int:
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("similarity", parents=[parent], help="cross-target anomaly co-occurrence")
-    sp.add_argument("--inputs", nargs="+", required=True)
+    sp.add_argument("--inputs", nargs="+")
+    sp.add_argument(
+        "--from-reports",
+        nargs="+",
+        help="saved report output dirs (anomalies/ sinks) to merge instead of recomputing",
+    )
     sp.add_argument("--out", required=True)
     sp.add_argument("--ignore-pattern", action="append")
     sp.add_argument("--keep-duplicate", action="store_true")

@@ -39,7 +39,8 @@ from ..stages.score import ScorerStage, score_batch
 from ..stages.tokenize import tokenize_batch
 from ..state.model import Model
 
-__all__ = ["score_dataset", "run_report", "global_dedup", "build_reports", "run_errors_report"]
+__all__ = ["score_dataset", "run_report", "global_dedup", "build_reports",
+           "run_errors_report", "load_report"]
 
 ANOMALY_COLUMNS = [
     "conv_id",
@@ -256,6 +257,15 @@ def _repair_fragments_distributed(scan_ds, scan_udf):
     return scan_ds.filter(expr="row_type != 'fragment'").union(repaired)
 
 
+def _scan_partitions(n_rows: int) -> int:
+    """Size-based partition count for the post-scan distributed path: ~250k
+    scan rows per block (anomaly rows carry context lists), floored at 8 for
+    parallelism — a fixed count would serialize the downstream filter/sort
+    at 100× scale, the same reasoning as sources/transcripts.py
+    ``_default_num_blocks``."""
+    return max(8, n_rows // 250_000)
+
+
 def _collect_scan(scan) -> pa.Table:
     """Materialized scan Dataset → one Arrow table, normalizing per-block
     schema drift (list field names differ after shuffles)."""
@@ -417,7 +427,7 @@ def run_report(
         return out
     if config.sorted_input:
         scan = _repair_fragments_distributed(scan, scan_udf)
-    scan = scan.repartition(8).materialize()
+    scan = scan.repartition(_scan_partitions(scan.count())).materialize()
     anomalies = scan.filter(expr="row_type == 'anomaly'").select_columns(ANOMALY_COLUMNS)
     if config.skip_duplicate:
         anomalies = global_dedup(anomalies)
@@ -435,6 +445,42 @@ def run_report(
         "unknown": unknown,
         "scan": scan,
     }
+
+
+def load_report(out_dir: str) -> dict:
+    """Round-trip a persisted report (the ``Report`` load analog,
+    report.rs:198-237): read the ``anomalies``/``reports``/``unknown``
+    parquet sinks written by the CLI back into the ``run_report`` output
+    shape, so downstream consumers (similarity, re-filtering, audits) can
+    run from saved artifacts instead of recomputing the pipeline.
+
+    Each sink is validated against its manifest row count; missing optional
+    sinks (``unknown`` for errors-mode reports) are simply absent from the
+    returned dict."""
+    import os
+
+    import ray.data as rd
+
+    from ..sinks import read_manifest, sink_finished
+
+    out: dict = {}
+    for name in ("anomalies", "reports", "unknown"):
+        path = os.path.join(out_dir, name)
+        if not sink_finished(path):
+            continue
+        manifest = read_manifest(path)
+        files = [os.path.join(path, p["file"]) for p in manifest.get("partitions", [])]
+        if not files:
+            continue
+        ds = rd.read_parquet(files)
+        if manifest["rows"] and ds.count() != manifest["rows"]:
+            raise ValueError(
+                f"sink {path} rows {ds.count()} != manifest {manifest['rows']}"
+            )
+        out[name] = ds
+    if "anomalies" not in out:
+        raise FileNotFoundError(f"no finished anomalies sink under {out_dir}")
+    return out
 
 
 def run_errors_report(target_ds, config: PipelineConfig | None = None, *, model: Model | None = None):
@@ -465,7 +511,7 @@ def run_errors_report(target_ds, config: PipelineConfig | None = None, *, model:
                 "scan": rd.from_arrow(table)}
     if config.sorted_input:
         scan = _repair_fragments_distributed(scan, errors_udf)
-    scan = scan.repartition(8).materialize()
+    scan = scan.repartition(_scan_partitions(scan.count())).materialize()
     anomalies = scan.filter(expr="row_type == 'anomaly'").select_columns(
         ANOMALY_COLUMNS + ["group_key"]
     )

@@ -97,6 +97,39 @@ class Model:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, os.path.join(path, "manifest.json"))
 
+    def is_stale(self, input_paths, max_age_s: float | None = None) -> bool:
+        """Model-cache staleness (worker.rs:463-493 ``content.older_than``
+        analog): stale when any input file (or file inside an input dir) is
+        newer than ``created_at``, or when the model is older than
+        ``max_age_s``."""
+        if max_age_s is not None and time.time() - self.created_at > max_age_s:
+            return True
+        for p in input_paths or []:
+            if p is None:
+                continue
+            if os.path.isdir(p):
+                mtimes = [
+                    os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)
+                ]
+                mt = max(mtimes, default=0.0)
+            elif os.path.exists(p):
+                mt = os.path.getmtime(p)
+            else:
+                continue
+            if mt > self.created_at:
+                return True
+        return False
+
+    @classmethod
+    def load_if_fresh(cls, path: str, inputs, max_age_s: float | None = None):
+        """Load a saved model unless missing, incompatible, or stale vs the
+        inputs — the worker-cache decision in one call; None → retrain."""
+        try:
+            model = cls.load(path)
+        except (FileNotFoundError, ValueError):
+            return None
+        return None if model.is_stale(inputs, max_age_s) else model
+
     @classmethod
     def load(cls, path: str) -> "Model":
         with open(os.path.join(path, "manifest.json")) as f:
