@@ -141,24 +141,28 @@ def _q_group_volume(sf_dir: str):
     ds = rd.read_parquet(path, columns=["role", "tool", "text", "split"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        # in-batch pre-aggregation with Arrow C++ kernels only: byte length
+        # via pc.binary_length, per-key sums via pa.TableGroupBy
         import pyarrow.compute as pc
 
-        keys = {}
-        roles = batch.column("role").to_pylist()
-        tools = batch.column("tool").to_pylist()
-        splits = batch.column("split").to_pylist()
-        texts = batch.column("text").to_pylist()
-        for r, t, s, x in zip(roles, tools, splits, texts):
-            cur = keys.setdefault((r, t, s), [0, 0])
-            cur[0] += 1
-            cur[1] += len(x.encode())
+        tbl = pa.table(
+            {
+                "role": batch.column("role"),
+                "tool": batch.column("tool"),
+                "split": batch.column("split"),
+                "n_bytes": pc.cast(pc.binary_length(batch.column("text")), pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(tbl, ["role", "tool", "split"]).aggregate(
+            [("n_bytes", "sum"), ("n_bytes", "count")]
+        )
         return pa.table(
             {
-                "role": pa.array([k[0] for k in keys], pa.string()),
-                "tool": pa.array([k[1] for k in keys], pa.string()),
-                "split": pa.array([k[2] for k in keys], pa.string()),
-                "n_lines": pa.array([v[0] for v in keys.values()], pa.int64()),
-                "n_bytes": pa.array([v[1] for v in keys.values()], pa.int64()),
+                "role": g.column("role"),
+                "tool": g.column("tool"),
+                "split": g.column("split"),
+                "n_lines": pc.cast(g.column("n_bytes_count"), pa.int64()),
+                "n_bytes": pc.cast(g.column("n_bytes_sum"), pa.int64()),
             }
         )
 
@@ -426,23 +430,19 @@ def _q_lineitem_agg(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        agg: dict[tuple, list] = {}
-        rf = batch.column("l_returnflag").to_pylist()
-        ls = batch.column("l_linestatus").to_pylist()
-        qty = batch.column("l_quantity").to_pylist()
-        price = batch.column("l_extendedprice").to_pylist()
-        for i in range(len(rf)):
-            cur = agg.setdefault((rf[i], ls[i]), [0.0, 0.0, 0])
-            cur[0] += qty[i]
-            cur[1] += price[i]
-            cur[2] += 1
+        # vectorized in-batch combiner: one Arrow C++ hash-aggregate per batch
+        import pyarrow.compute as pc
+
+        g = pa.TableGroupBy(batch, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("l_quantity", "count")]
+        )
         return pa.table(
             {
-                "l_returnflag": pa.array([k[0] for k in agg], pa.string()),
-                "l_linestatus": pa.array([k[1] for k in agg], pa.string()),
-                "sum_qty": pa.array([v[0] for v in agg.values()], pa.float64()),
-                "sum_price": pa.array([v[1] for v in agg.values()], pa.float64()),
-                "n_rows": pa.array([v[2] for v in agg.values()], pa.int64()),
+                "l_returnflag": g.column("l_returnflag"),
+                "l_linestatus": g.column("l_linestatus"),
+                "sum_qty": pc.cast(g.column("l_quantity_sum"), pa.float64()),
+                "sum_price": pc.cast(g.column("l_extendedprice_sum"), pa.float64()),
+                "n_rows": pc.cast(g.column("l_quantity_count"), pa.int64()),
             }
         )
 
