@@ -37,12 +37,9 @@ def _run_bench() -> dict:
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
-    import logging
+    from logjuicer_ray.tuning import configure_data_context
 
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    configure_data_context(num_cpus)
 
     from logjuicer_ray.config import PipelineConfig
     from logjuicer_ray.pipelines.report import run_errors_report, run_report

@@ -28,12 +28,9 @@ def _init_ray(num_cpus: int | None) -> None:
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
-    import logging
+    from .tuning import configure_data_context
 
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    configure_data_context()
 
 
 def _config_from_args(args) -> "PipelineConfig":

@@ -27,6 +27,7 @@ __all__ = [
     "simhash_dedup",
     "ngram_jaccard_pairs",
     "embedding_cosine_dedup",
+    "connected_components",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -227,12 +228,44 @@ def simhash64(text: str) -> int:
     return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
 
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """Vectorized across the batch: all token hashes concatenated, ONE
+    (tokens × 64) sign expansion + segmented vote sum per batch
+    (``np.add.reduceat``) — the per-doc Python is just ``str.split``."""
+    global _simhash_hasher
+    if _simhash_hasher is None:
+        from .hashing import TokenHasher
+
+        _simhash_hasher = TokenHasher()
+    th = _simhash_hasher
+    toks_per = [(t or "").split() for t in texts]
+    lens = np.array([len(t) for t in toks_per], dtype=np.int64)
+    sigs = np.zeros(len(texts), dtype=np.uint64)
+    nonempty = np.flatnonzero(lens)
+    if not len(nonempty):
+        return sigs
+    cat = np.fromiter(
+        (th(w) for i in nonempty for w in toks_per[i]),
+        dtype=np.uint64,
+        count=int(lens[nonempty].sum()),
+    )
+    starts = np.zeros(len(nonempty), dtype=np.int64)
+    np.cumsum(lens[nonempty][:-1], out=starts[1:])
+    seg_lens = lens[nonempty]
+    out_ne = np.zeros(len(nonempty), dtype=np.uint64)
+    for j in range(64):  # one bit-plane at a time: memory stays O(tokens)
+        bit = ((cat >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+        ones = np.add.reduceat(bit, starts)
+        # vote = 2*ones - n  > 0
+        out_ne |= (2 * ones > seg_lens).astype(np.uint64) << np.uint64(j)
+    sigs[nonempty] = out_ne
+    return sigs
+
+
 def simhash_signatures(ds, *, text_col: str = "text"):
     def add(batch: pa.Table) -> pa.Table:
-        sigs = [simhash64(t) for t in batch.column(text_col).to_pylist()]
-        return batch.append_column(
-            "simhash", pa.array(np.array(sigs, dtype=np.uint64).view(np.int64), pa.int64())
-        )
+        sigs = simhash64_batch(batch.column(text_col).to_pylist())
+        return batch.append_column("simhash", pa.array(sigs.view(np.int64), pa.int64()))
 
     return ds.map_batches(add, batch_format="pyarrow")
 
@@ -281,6 +314,122 @@ def simhash_dedup(ds, *, id_col: str = "doc_id", band_bits: int = 16):
         return group.slice(int(np.argmin(dups)), 1)
 
     return pairs.groupby(id_col).map_groups(min_dup, batch_format="pyarrow")
+
+
+# --- connected components over candidate pairs ------------------------------
+
+def _as_array(col):
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    return col
+
+
+def connected_components(pairs_ds, *, id_col: str = "doc_id", max_iters: int = 20):
+    """Exact duplicate-cluster labels from (id, dup_of) candidate pairs:
+    iterative min-label propagation, each round two small keyed shuffles
+    over the PAIR list only (never the corpus) — the 10^12-scale upgrade of
+    the one-round approximation in :func:`minhash_lsh_dedup` /
+    :func:`simhash_dedup`.  Converges in O(component diameter) rounds (LSH
+    components are shallow); stops early when a round changes nothing.
+
+    Returns (id_col, component) with ``component`` = min id of the
+    connected component, one row per non-root member."""
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = _as_array(batch.column(id_col))
+        b = _as_array(batch.column("dup_of"))
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a, b]),
+                "peer": pa.concat_arrays([b, a]),
+                "label": pa.nulls(2 * len(a), a.type),
+            }
+        )
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
+    id_type = edges.schema().base_schema.field("node").type
+
+    def seed_labels(group: pa.Table) -> pa.Table:
+        node = group.column("node")[0].as_py()
+        lbl = min(min(group.column("peer").to_pylist()), node)
+        return pa.table(
+            {
+                "node": pa.array([node], id_type),
+                "peer": pa.nulls(1, id_type),
+                "label": pa.array([lbl], id_type),
+            }
+        )
+
+    labels = (
+        edges.groupby("node").map_groups(seed_labels, batch_format="pyarrow").materialize()
+    )
+
+    def send_messages(group: pa.Table) -> pa.Table:
+        """Group on `node` with this node's label row(s) + its edge rows:
+        emit (peer, label) messages."""
+        lbls = [v for v in group.column("label").to_pylist() if v is not None]
+        peers = [p for p in group.column("peer").to_pylist() if p is not None]
+        if not lbls or not peers:
+            return pa.table(
+                {"node": pa.array([], id_type), "peer": pa.nulls(0, id_type),
+                 "label": pa.array([], id_type)}
+            )
+        lbl = min(lbls)
+        return pa.table(
+            {
+                "node": pa.array(peers, id_type),
+                "peer": pa.nulls(len(peers), id_type),
+                "label": pa.array([lbl] * len(peers), id_type),
+            }
+        )
+
+    def combine_labels(group: pa.Table) -> pa.Table:
+        node = group.column("node")[0].as_py()
+        vals = [v for v in group.column("label").to_pylist() if v is not None]
+        return pa.table(
+            {
+                "node": pa.array([node], id_type),
+                "peer": pa.nulls(1, id_type),
+                "label": pa.array([min(vals)], id_type),
+            }
+        )
+
+    def label_sum(ds) -> int:
+        import pyarrow.compute as pc
+
+        total = 0
+        for t in ds.iter_batches(batch_format="pyarrow"):
+            total += pc.sum(t.column("label")).as_py() or 0
+        return total
+
+    prev_sum = label_sum(labels)
+    for _ in range(max_iters):
+        messages = (
+            edges.union(labels)
+            .groupby("node")
+            .map_groups(send_messages, batch_format="pyarrow")
+        )
+        labels = (
+            messages.union(labels)
+            .groupby("node")
+            .map_groups(combine_labels, batch_format="pyarrow")
+            .materialize()
+        )
+        cur_sum = label_sum(labels)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    def non_roots(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.not_equal(batch.column("node"), batch.column("label"))
+        kept = batch.filter(mask)
+        return pa.table(
+            {id_col: kept.column("node"), "component": kept.column("label")}
+        )
+
+    return labels.map_batches(non_roots, batch_format="pyarrow")
 
 
 # --- n-gram Jaccard verification ------------------------------------------

@@ -36,7 +36,8 @@ def _default_num_blocks(path: str) -> int | None:
             return None
         if size > 4 << 30:
             return None
-        return max(16, size // (12 << 20))
+        block_mib = int(os.environ.get("GRAFT_BLOCK_MIB", "12"))
+        return max(16, size // (block_mib << 20))
     except Exception:
         return None
 

@@ -129,6 +129,42 @@ class ConversationScan:
             self._cfg_cache[key] = hit
         return hit
 
+    def _count_mask_np(self, batch: pa.Table) -> np.ndarray:
+        """Rows counted by the fast-path counters: indexed, non-empty text
+        (known_mask of ``__call__``)."""
+        text = pc.fill_null(batch.column("text"), "")
+        valid = pc.not_equal(text, "")
+        has_index = pc.fill_null(batch.column("has_index"), False)
+        return _np(pc.and_(has_index, valid))
+
+    def _slow_mask_np(self, batch, codes, starts, ends):
+        """Boolean row mask: rows that force their conversation through the
+        exact per-conversation scan (a SUPERSET is safe — flagged rows only
+        cost the slow path, never change output).  ``None`` = no block-level
+        fast path possible (per-conversation config varies or ignore
+        patterns are active)."""
+        if self.config.matchers or self.config.ignore_patterns:
+            return None
+        text = pc.fill_null(batch.column("text"), "")
+        valid = pc.not_equal(text, "")
+        has_index = pc.fill_null(batch.column("has_index"), False)
+        # unknown routing needed
+        slow = pc.and_(pc.invert(has_index), valid)
+        # anomaly candidate
+        slow = pc.or_(
+            slow,
+            pc.and_(
+                pc.and_(has_index, valid),
+                pc.greater(
+                    pc.fill_null(batch.column("distance"), 0.0),
+                    pa.scalar(THRESHOLD, pa.float32()),
+                ),
+            ),
+        )
+        # job-output cut marker (superset: flagged even for non-job convs)
+        slow = pc.or_(slow, pc.match_substring(text, JOB_OUTPUT_MARKER))
+        return _np(slow)
+
     def __call__(self, group: pa.Table, presorted: bool = False) -> pa.Table:
         if not presorted:
             group = group.sort_by("turn_idx")
@@ -267,6 +303,14 @@ class BlockScan:
     contiguous slices.  The first and last conv_id of a block may continue
     in neighboring blocks → fragments; every interior conversation is
     complete and scans in place with zero data movement.
+
+    Block-level pre-check: the inner scan exposes ``block_masks`` marking
+    the rows that could make a conversation emit an anomaly (or need
+    unknown routing).  Conversations with zero such rows — the
+    overwhelming majority — get their counts row from ONE segmented
+    reduction over the whole block; only the rest pay the per-conversation
+    slice + Python scan.  (Per-conversation Arrow slicing costs ~3 ms × ~1k
+    conversations per 250k-row block, half the stage's wall time.)
     """
 
     FRAGMENT_COLUMNS = [
@@ -276,6 +320,38 @@ class BlockScan:
 
     def __init__(self, inner):
         self.inner = inner  # ConversationScan or ErrorsScan
+
+    def _fast_counts(self, batch, codes, starts, ends, conv_mask) -> pa.Table:
+        """One counts row per fast-path conversation, all from segmented
+        numpy reductions — no per-conversation Arrow work."""
+        count_mask = self.inner._count_mask_np(batch)
+        text = pc.fill_null(batch.column("text"), "")
+        nbytes = _np(pc.cast(pc.binary_length(text), pa.int64()))
+        nbytes = np.where(count_mask, nbytes, 0)
+        seg_lines = np.add.reduceat(count_mask.astype(np.int64), starts)
+        seg_bytes = np.add.reduceat(nbytes, starts)
+        sel = np.flatnonzero(conv_mask)
+        first_idx = pa.array(starts[sel], pa.int64())
+        n_out = len(sel)
+        return pa.table(
+            {
+                "row_type": pa.array(["counts"] * n_out, pa.string()),
+                "conv_id": batch.column("conv_id").take(first_idx),
+                "turn_idx": pa.nulls(n_out, pa.int32()),
+                "role": batch.column("role").take(first_idx),
+                "tool": batch.column("tool").take(first_idx),
+                "group_key": batch.column("group_key").take(first_idx),
+                "distance": pa.nulls(n_out, pa.float32()),
+                "ts": pa.nulls(n_out, pa.timestamp("ms")),
+                "text": pa.nulls(n_out, pa.string()),
+                "before": pa.nulls(n_out, pa.list_(pa.string())),
+                "after": pa.nulls(n_out, pa.list_(pa.string())),
+                "dedup_key": pa.nulls(n_out, pa.string()),
+                "line_count": pa.array(seg_lines[sel], pa.int64()),
+                "byte_count": pa.array(seg_bytes[sel], pa.int64()),
+                "has_index": pa.nulls(n_out, pa.bool_()),
+            }
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -288,9 +364,20 @@ class BlockScan:
         out: list[pa.Table] = []
         fragments: list[pa.Table] = []
         first_code, last_code = codes[0], codes[-1]
-        for s, e in zip(starts, ends):
+
+        slow_rows = self.inner._slow_mask_np(batch, codes, starts, ends)
+        is_frag = (codes[starts] == first_code) | (codes[starts] == last_code)
+        if slow_rows is None:
+            conv_slow = np.ones(len(starts), dtype=bool)
+        else:
+            conv_slow = np.add.reduceat(slow_rows.astype(np.int64), starts) > 0
+        fast_convs = ~conv_slow & ~is_frag
+        if fast_convs.any():
+            out.append(self._fast_counts(batch, codes, starts, ends, fast_convs))
+        for ci in np.flatnonzero(is_frag | conv_slow):
+            s, e = starts[ci], ends[ci]
             part = batch.slice(s, e - s)
-            if codes[s] == first_code or codes[s] == last_code:
+            if is_frag[ci]:
                 fragments.append(part)
             else:
                 out.append(self.inner(part, presorted=True))
@@ -332,6 +419,27 @@ class ErrorsScan:
         self.config = config or PipelineConfig()
         self._resolve = ConversationScan._resolve.__get__(self)
         self._cfg_cache: dict[str, tuple] = {}
+
+    def _count_mask_np(self, batch: pa.Table) -> np.ndarray:
+        text = pc.fill_null(batch.column("text"), "")
+        return _np(pc.not_equal(text, ""))
+
+    def _slow_mask_np(self, batch, codes, starts, ends):
+        """Rows that can start/complete an error anomaly (see
+        ``_ERROR_TRIGGER_RE``); superset-safe, ``None`` when per-conv config
+        varies or ignore patterns are active."""
+        if self.config.matchers or self.config.ignore_patterns:
+            return None
+        text = pc.fill_null(batch.column("text"), "")
+        valid = pc.not_equal(text, "")
+        trig = pc.or_(
+            pc.match_substring_regex(text, _ERROR_TRIGGER_RE),
+            pc.or_(
+                pc.match_substring(text, _PY_TB),
+                pc.match_substring(text, _GO_PANIC),
+            ),
+        )
+        return _np(pc.and_(trig, valid))
 
     def __call__(self, group: pa.Table, presorted: bool = False) -> pa.Table:
         if not presorted:

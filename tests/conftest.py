@@ -14,10 +14,8 @@ def ray_session():
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
-    from ray.data import DataContext
+    from logjuicer_ray.tuning import configure_data_context
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    configure_data_context()
     yield
     ray.shutdown()

@@ -203,3 +203,95 @@ def test_filter_anomalies():
     index = build_index(tokens)
     filtered = filter_anomalies(index, anomalies, check_before=True)
     assert filtered == [anomalies[1]]
+
+
+# --- BlockScan block-level fast path ---------------------------------------
+
+def _mk_conv(conv, n, dist=0.0, has_index=True, text_fn=None):
+    import pyarrow as pa
+
+    text_fn = text_fn or (lambda i: f"line {conv} {i} ok")
+    return pa.table(
+        {
+            "conv_id": pa.array([conv] * n),
+            "turn_idx": pa.array(range(n), pa.int32()),
+            "role": pa.array(["user" if i % 2 else "assistant" for i in range(n)]),
+            "tool": pa.array(["t"] * n),
+            "group_key": pa.array([f"g/{conv}"] * n),
+            "text": pa.array([text_fn(i) for i in range(n)]),
+            "dedup_key": pa.array([f"d{i}" for i in range(n)]),
+            "distance": pa.array([dist] * n, pa.float32()),
+            "has_index": pa.array([has_index] * n),
+        }
+    )
+
+
+def _norm_scan(t):
+    df = t.to_pandas()
+    return df.sort_values(
+        ["row_type", "conv_id", "turn_idx", "group_key"]
+    ).reset_index(drop=True)
+
+
+def test_block_scan_fast_path_parity():
+    """Block-level vectorized precheck: fast-path conversations (no anomaly
+    candidate, no unknown rows, no cut marker) must yield byte-identical
+    output to the exact per-conversation scan."""
+    import collections
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from logjuicer_ray.stages.context import BlockScan, ConversationScan
+
+    batch = pa.concat_tables(
+        [
+            _mk_conv("a", 5),
+            _mk_conv("b", 7),
+            _mk_conv("c", 3, dist=0.9),
+            _mk_conv("d", 4, has_index=False),
+            _mk_conv("e", 6),
+        ]
+    )
+    scan = ConversationScan()
+    fast = BlockScan(scan)(batch)
+    counts = collections.Counter(fast.column("row_type").to_pylist())
+    # b, c, d interior; a/e fragments; c anomalies; d unknown routing
+    assert counts["counts"] == 3 and counts["anomaly"] >= 1 and counts["unknown"] == 1
+    # fast path actually fires for conv b
+    assert scan._slow_mask_np(batch, None, None, None) is not None
+
+    class AllSlow(ConversationScan):
+        def _slow_mask_np(self, *a):
+            return None
+
+    slow = BlockScan(AllSlow())(batch)
+    pd.testing.assert_frame_equal(_norm_scan(fast), _norm_scan(slow))
+
+
+def test_block_scan_errors_fast_path_parity():
+    import pandas as pd
+    import pyarrow as pa
+
+    from logjuicer_ray.stages.context import BlockScan, ErrorsScan
+
+    batch = pa.concat_tables(
+        [
+            _mk_conv("a", 5),
+            _mk_conv("b", 7),
+            _mk_conv(
+                "c",
+                4,
+                text_fn=lambda i: "ERROR boom" if i == 2 else f"fine {i}",
+            ),
+            _mk_conv("e", 6),
+        ]
+    )
+    fast = BlockScan(ErrorsScan())(batch)
+
+    class AllSlow(ErrorsScan):
+        def _slow_mask_np(self, *a):
+            return None
+
+    slow = BlockScan(AllSlow())(batch)
+    pd.testing.assert_frame_equal(_norm_scan(fast), _norm_scan(slow))

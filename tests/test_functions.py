@@ -281,3 +281,61 @@ def test_md5_hash_helpers():
     assert v == int(hashlib.md5(b"abc").hexdigest()[:16], 16)
     assert u64_to_i64(2**63) == -(2**63)
     assert u64_to_i64(5) == 5
+
+
+def test_simhash_batch_matches_scalar():
+    from logjuicer_ray.functions.dedup import simhash64, simhash64_batch
+
+    texts = [
+        "the quick brown fox",
+        "",
+        "one",
+        "a b c d e f g",
+        "  spaced   out   tokens  ",
+        "repeated repeated repeated zebra",
+    ]
+    batch = simhash64_batch(texts)
+    for i, t in enumerate(texts):
+        assert int(batch[i]) == simhash64(t)
+
+
+def test_connected_components_chain(ray_session):
+    """A chain 1-2, 2-3, 3-4, 4-5 plus a separate pair 10-11: min-label
+    propagation must converge to the full components (one-round min-label
+    would mislabel the chain tail) — verified against union-find."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logjuicer_ray.functions.dedup import connected_components
+
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [2, 3, 4, 5, 11],
+                "dup_of": [1, 2, 3, 4, 10],
+            }
+        )
+    )
+    out = connected_components(pairs).to_pandas()
+    got = dict(zip(out["doc_id"], out["component"]))
+    assert got == {2: 1, 3: 1, 4: 1, 5: 1, 11: 10}
+
+
+def test_connected_components_star_and_cycle(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logjuicer_ray.functions.dedup import connected_components
+
+    # star around 7 + a cycle 20-21-22-20
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [8, 9, 10, 21, 22, 20],
+                "dup_of": [7, 7, 7, 20, 21, 22],
+            }
+        )
+    )
+    out = connected_components(pairs).to_pandas()
+    got = dict(zip(out["doc_id"], out["component"]))
+    assert got == {8: 7, 9: 7, 10: 7, 21: 20, 22: 20}
