@@ -510,6 +510,73 @@ def _q_similarity(sf_dir: str):
     )
 
 
+def _q_turn_lines(sf_dir: str):
+    """Sub-line iteration (BytesLines/LinesIterator analog): explode target
+    turns on embedded newlines — vectorized split_pattern + take — then
+    per-conversation line/byte aggregates.  On single-line synth data the
+    explode is an identity whose ordinality/byte accounting is still fully
+    hash-checked; multi-line semantics are pytest-covered."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from logjuicer_ray.sources.transcripts import explode_lines, read_turns
+
+    path = _turns_path(sf_dir)
+    target = read_turns(path, split="target", columns=["conv_id", "turn_idx", "text"])
+    lines = explode_lines(target)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tbl = pa.table(
+            {
+                "conv_id": batch.column("conv_id"),
+                "n_bytes": pc.cast(
+                    pc.binary_length(pc.fill_null(batch.column("text"), "")), pa.int64()
+                ),
+                "line_idx": pc.cast(batch.column("line_idx"), pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(tbl, "conv_id").aggregate(
+            [("n_bytes", "sum"), ("n_bytes", "count"), ("line_idx", "max")]
+        )
+        return pa.table(
+            {
+                "conv_id": g.column("conv_id"),
+                "n_lines": pc.cast(g.column("n_bytes_count"), pa.int64()),
+                "n_bytes": pc.cast(g.column("n_bytes_sum"), pa.int64()),
+                "max_line_idx": pc.cast(g.column("line_idx_max"), pa.int64()),
+            }
+        )
+
+    return (
+        lines.map_batches(partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(
+            Sum("n_lines", alias_name="n_lines"),
+            Sum("n_bytes", alias_name="n_bytes"),
+            Max("max_line_idx", alias_name="max_line_idx"),
+        )
+        .sort("conv_id")
+    )
+
+
+def _q_simhash_cc(sf_dir: str):
+    """Duplicate-cluster labels: simhash banded candidate pairs →
+    iterative min-label connected components (the exact-clusters upgrade of
+    the one-round min rule; only pair rows shuffle)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.dedup import (
+        connected_components,
+        simhash_candidate_pairs,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = simhash_candidate_pairs(docs)
+    return connected_components(pairs).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipelines (SURVEY.md §2 / §3)
@@ -524,6 +591,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": _q_exact_dedup,
         "minhash_dedup_docs": _q_minhash_dedup,
         "simhash_dedup_docs": _q_simhash_dedup,
+        "turn_lines": _q_turn_lines,
+        "simhash_cc_docs": _q_simhash_cc,
         "token_counts_docs": _q_token_counts,
         "text_features_docs": _q_text_features,
         "fingerprint_docs": _q_fingerprint,
@@ -621,8 +690,7 @@ ORDER BY wn.doc_id
 
 # SimHash-band near-dup (functions/dedup.py simhash_dedup): md5-u64 token
 # hashes → 64-bit majority-vote signature → 4×16-bit bands → min-root pairs
-_SIMHASH_SQL = f"""
-WITH w AS (
+_SIMHASH_PAIRS_CTE = f"""w AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
   FROM documents WHERE trim(text) != ''
 ), wh AS (
@@ -646,8 +714,32 @@ WITH w AS (
   SELECT s.doc_id, r.root AS dup_of
   FROM bands s JOIN roots r USING (band, band_hash)
   WHERE s.doc_id > r.root
-)
+)"""
+
+_SIMHASH_SQL = f"""
+WITH {_SIMHASH_PAIRS_CTE}
 SELECT doc_id, MIN(dup_of) AS dup_of FROM pairs GROUP BY doc_id ORDER BY doc_id
+"""
+
+# connected components over the simhash candidate pairs: transitive closure
+# by recursive CTE (UNION dedups rows, so the recursion terminates), then
+# component = min reachable id — the SQL twin of the engine's iterative
+# min-label propagation (functions/dedup.py connected_components)
+_SIMHASH_CC_SQL = f"""
+WITH RECURSIVE {_SIMHASH_PAIRS_CTE},
+edges AS (
+  SELECT doc_id AS a, dup_of AS b FROM pairs
+  UNION
+  SELECT dup_of, doc_id FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, LEAST(MIN(b), a) AS component
+FROM reach GROUP BY a HAVING LEAST(MIN(b), a) != a
+ORDER BY doc_id
 """
 
 
@@ -723,6 +815,17 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens "
             "FROM documents ORDER BY doc_id"
         ),
+        "turn_lines": (
+            f"WITH x AS (SELECT conv_id, string_split(COALESCE(text, ''), chr(10)) AS parts "
+            f"FROM {turns} WHERE split = 'target'), "
+            "e AS (SELECT conv_id, parts, "
+            "unnest(generate_series(1, len(parts))) AS i FROM x) "
+            "SELECT conv_id, COUNT(*) AS n_lines, "
+            "CAST(SUM(octet_length(CAST(parts[i] AS BLOB))) AS BIGINT) AS n_bytes, "
+            "CAST(MAX(i) - 1 AS BIGINT) AS max_line_idx "
+            "FROM e GROUP BY conv_id ORDER BY conv_id"
+        ),
+        "simhash_cc_docs": _SIMHASH_CC_SQL,
         "text_features_docs": _TEXT_FEATURES_SQL,
         "fingerprint_docs": _FINGERPRINT_SQL,
         "simhash_dedup_docs": _SIMHASH_SQL,

@@ -161,14 +161,13 @@ def _run_subprocess(ncpu: int) -> dict:
 
 def main() -> None:
     if "--scaling" in sys.argv:
-        # Default levels 2 and 8 (N and 4N): the cluster-size criterion
-        # stands in for N vs 4N NODES, where each node brings its own memory
-        # system.  On this single box, string-heavy Python work measures a
-        # ~2.7x ceiling from 8->32 processes (shared memory subsystem
-        # saturation, see BASELINE.md) — a within-box artifact that does not
-        # exist across nodes — so the faithful stand-in is a level pair
-        # below the saturation point.  Override with GRAFT_SCALE_LEVELS=8,32.
-        levels = os.environ.get("GRAFT_SCALE_LEVELS", "2,8")
+        # Default levels 8 and 32 (N and 4N) — the honest stand-in for the
+        # N vs 4N node criterion on this box.  BASELINE.md records this pair
+        # AND the 2->8 pair: on a single box all 32 processes share one
+        # memory subsystem, so any shortfall at 8->32 localizes the residual
+        # string/allocator bandwidth cost (across real nodes each node
+        # brings its own memory system).  Override with GRAFT_SCALE_LEVELS.
+        levels = os.environ.get("GRAFT_SCALE_LEVELS", "8,32")
         lo, hi = (int(x) for x in levels.split(","))
         r_lo = _run_subprocess(lo)
         r_hi = _run_subprocess(hi)

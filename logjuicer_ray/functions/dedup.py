@@ -17,6 +17,7 @@ from zlib import crc32
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = [
     "exact_dedup",
@@ -24,6 +25,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_dedup",
     "simhash_signatures",
+    "simhash_candidate_pairs",
     "simhash_dedup",
     "ngram_jaccard_pairs",
     "embedding_cosine_dedup",
@@ -270,9 +272,12 @@ def simhash_signatures(ds, *, text_col: str = "text"):
     return ds.map_batches(add, batch_format="pyarrow")
 
 
-def simhash_dedup(ds, *, id_col: str = "doc_id", band_bits: int = 16):
-    """Near-dup candidates via simhash bands: documents sharing any 16-bit
-    band of their simhash bucket together; min id per bucket is the root."""
+def simhash_candidate_pairs(ds, *, id_col: str = "doc_id", band_bits: int = 16):
+    """Simhash banded-LSH candidate pairs: one (id, dup_of) row per
+    (band, member) with ``dup_of`` the bucket's min id.  Star-to-root pairs
+    preserve bucket connectivity exactly, so feeding these to
+    :func:`connected_components` yields the same clusters as all-pairs
+    bucket edges at a fraction of the row count."""
     sigs = simhash_signatures(ds).select_columns([id_col, "simhash"])
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -305,9 +310,15 @@ def simhash_dedup(ds, *, id_col: str = "doc_id", band_bits: int = 16):
             }
         )
 
-    pairs = bands_ds.groupby(["band", "band_hash"]).map_groups(
+    return bands_ds.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pyarrow"
     )
+
+
+def simhash_dedup(ds, *, id_col: str = "doc_id", band_bits: int = 16):
+    """Near-dup candidates via simhash bands: documents sharing any 16-bit
+    band of their simhash bucket together; min id per bucket is the root."""
+    pairs = simhash_candidate_pairs(ds, id_col=id_col, band_bits=band_bits)
 
     def min_dup(group: pa.Table) -> pa.Table:
         dups = group.column("dup_of").to_pylist()
@@ -324,105 +335,155 @@ def _as_array(col):
     return col
 
 
-def connected_components(pairs_ds, *, id_col: str = "doc_id", max_iters: int = 20):
-    """Exact duplicate-cluster labels from (id, dup_of) candidate pairs:
-    iterative min-label propagation, each round two small keyed shuffles
-    over the PAIR list only (never the corpus) — the 10^12-scale upgrade of
-    the one-round approximation in :func:`minhash_lsh_dedup` /
-    :func:`simhash_dedup`.  Converges in O(component diameter) rounds (LSH
-    components are shallow); stops early when a round changes nothing.
+def _driver_union_find(pairs_tbl: pa.Table, id_col: str) -> pa.Table:
+    """Vectorized path-halving union-find over a pair table already on the
+    driver.  O(alpha) per edge, numpy-backed; used when the pair list is
+    small enough to collect (it is the CANDIDATE list, not the corpus)."""
+    a = pairs_tbl.column(id_col).to_numpy(zero_copy_only=False)
+    b = pairs_tbl.column("dup_of").to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([a, b]))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        rx, ry = find(idx[int(x)]), find(idx[int(y)])
+        if rx != ry:
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
+    comp = nodes[roots]
+    mask = comp != nodes
+    return pa.table(
+        {id_col: pa.array(nodes[mask]), "component": pa.array(comp[mask])}
+    )
+
+
+def connected_components(
+    pairs_ds,
+    *,
+    id_col: str = "doc_id",
+    max_iters: int = 30,
+    driver_pair_rows: int = 2_000_000,
+    num_partitions: int = 16,
+):
+    """Exact duplicate-cluster labels from (id, dup_of) candidate pairs —
+    the exact-clusters upgrade of the one-round min rule in
+    :func:`minhash_lsh_dedup` / :func:`simhash_dedup`.
+
+    Two paths, mirroring the repo's ``driver_finish_rows`` convention:
+
+    * pair list <= ``driver_pair_rows``: collect ONLY the two id columns
+      (never the corpus) and run vectorized union-find on the driver.
+    * larger: distributed min-label propagation built from native ops only
+      — per round one hash ``join`` (labels onto edge sources) and one
+      ``groupby().aggregate(Min)``; no per-group Python, block count
+      bounded by ``num_partitions``.  Converges in O(component diameter)
+      rounds (LSH components are shallow); stops when the label sum is
+      unchanged.
 
     Returns (id_col, component) with ``component`` = min id of the
-    connected component, one row per non-root member."""
+    connected component, one row per non-root member, sorted by id."""
+    from ray.data.aggregate import Min, Sum
 
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        empty = pa.table(
+            {id_col: pa.array([], pa.int64()), "component": pa.array([], pa.int64())}
+        )
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    if n_pairs <= driver_pair_rows:
+        import ray.data as rd
+
+        tbl = pa.concat_tables(
+            pairs_ds.select_columns([id_col, "dup_of"]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+        return rd.from_arrow(_driver_union_find(tbl, id_col))
+
+    # --- distributed path ---------------------------------------------------
     def to_edges(batch: pa.Table) -> pa.Table:
         a = _as_array(batch.column(id_col))
         b = _as_array(batch.column("dup_of"))
         return pa.table(
-            {
-                "node": pa.concat_arrays([a, b]),
-                "peer": pa.concat_arrays([b, a]),
-                "label": pa.nulls(2 * len(a), a.type),
-            }
+            {"src": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])}
         )
 
-    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
-    id_type = edges.schema().base_schema.field("node").type
-
-    def seed_labels(group: pa.Table) -> pa.Table:
-        node = group.column("node")[0].as_py()
-        lbl = min(min(group.column("peer").to_pylist()), node)
-        return pa.table(
-            {
-                "node": pa.array([node], id_type),
-                "peer": pa.nulls(1, id_type),
-                "label": pa.array([lbl], id_type),
-            }
-        )
-
-    labels = (
-        edges.groupby("node").map_groups(seed_labels, batch_format="pyarrow").materialize()
+    edges = (
+        pairs_ds.map_batches(to_edges, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
     )
 
-    def send_messages(group: pa.Table) -> pa.Table:
-        """Group on `node` with this node's label row(s) + its edge rows:
-        emit (peer, label) messages."""
-        lbls = [v for v in group.column("label").to_pylist() if v is not None]
-        peers = [p for p in group.column("peer").to_pylist() if p is not None]
-        if not lbls or not peers:
-            return pa.table(
-                {"node": pa.array([], id_type), "peer": pa.nulls(0, id_type),
-                 "label": pa.array([], id_type)}
-            )
-        lbl = min(lbls)
-        return pa.table(
-            {
-                "node": pa.array(peers, id_type),
-                "peer": pa.nulls(len(peers), id_type),
-                "label": pa.array([lbl] * len(peers), id_type),
-            }
-        )
+    def seed(batch: pa.Table) -> pa.Table:
+        lbl = pc.min_element_wise(batch.column("src"), batch.column("dst_min"))
+        return pa.table({"node": batch.column("src"), "label": lbl})
 
-    def combine_labels(group: pa.Table) -> pa.Table:
-        node = group.column("node")[0].as_py()
-        vals = [v for v in group.column("label").to_pylist() if v is not None]
-        return pa.table(
-            {
-                "node": pa.array([node], id_type),
-                "peer": pa.nulls(1, id_type),
-                "label": pa.array([min(vals)], id_type),
-            }
-        )
+    labels = (
+        edges.groupby("src")
+        .aggregate(Min("dst", alias_name="dst_min"))
+        .map_batches(seed, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
+    )
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
 
-    def label_sum(ds) -> int:
-        import pyarrow.compute as pc
-
-        total = 0
-        for t in ds.iter_batches(batch_format="pyarrow"):
-            total += pc.sum(t.column("label")).as_py() or 0
-        return total
-
-    prev_sum = label_sum(labels)
     for _ in range(max_iters):
-        messages = (
-            edges.union(labels)
-            .groupby("node")
-            .map_groups(send_messages, batch_format="pyarrow")
+        msgs = edges.join(
+            labels,
+            "inner",
+            num_partitions,
+            on=("src",),
+            right_on=("node",),
+        ).map_batches(
+            lambda b: pa.table({"node": b.column("dst"), "label": b.column("label")}),
+            batch_format="pyarrow",
         )
         labels = (
-            messages.union(labels)
+            msgs.union(labels)
             .groupby("node")
-            .map_groups(combine_labels, batch_format="pyarrow")
+            .aggregate(Min("label", alias_name="label"))
+            .repartition(num_partitions)
             .materialize()
         )
-        cur_sum = label_sum(labels)
+        # pointer jump: label <- label(label).  Every label value is itself a
+        # node (edges are symmetric), so the inner self-join is total; labels
+        # are monotone non-increasing, giving O(log diameter) total rounds
+        # instead of O(diameter).
+        labels = (
+            labels.join(
+                labels,
+                "inner",
+                num_partitions,
+                on=("label",),
+                right_on=("node",),
+                right_suffix="_r",
+            )
+            .map_batches(
+                lambda b: pa.table(
+                    {"node": b.column("node"), "label": b.column("label_r")}
+                ),
+                batch_format="pyarrow",
+            )
+            .repartition(num_partitions)
+            .materialize()
+        )
+        cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
 
     def non_roots(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         mask = pc.not_equal(batch.column("node"), batch.column("label"))
         kept = batch.filter(mask)
         return pa.table(
@@ -430,6 +491,7 @@ def connected_components(pairs_ds, *, id_col: str = "doc_id", max_iters: int = 2
         )
 
     return labels.map_batches(non_roots, batch_format="pyarrow")
+
 
 
 # --- n-gram Jaccard verification ------------------------------------------

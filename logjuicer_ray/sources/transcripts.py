@@ -65,6 +65,56 @@ def baseline_and_target(path: str):
     return read_turns(path, split="baseline"), read_turns(path, split="target")
 
 
+def explode_lines_batch(batch, *, text_col: str = "text", delimiter: str = "\n",
+                        max_line_bytes: int | None = None):
+    """Split each row's text on ``delimiter`` into one output row per line
+    (BytesLines/LinesIterator analog, iterator.rs:100-170: a record with
+    embedded newlines is N lines to the reference, each independently
+    byte-capped).  Vectorized: one Arrow ``split_pattern`` + ``list_flatten``
+    and a ``take`` by parent index — no per-row Python.  Adds ``line_idx``
+    (0-based position within the source row); single-line rows pass through
+    with ``line_idx`` 0."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks() if col.num_chunks else pa.array([], pa.string())
+    lists = pc.split_pattern(pc.fill_null(col, ""), pattern=delimiter)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    parents = pc.list_parent_indices(lists)
+    flat = pc.list_flatten(lists)
+    offsets = np.asarray(lists.offsets)
+    lengths = np.diff(offsets)
+    line_idx = np.arange(int(offsets[-1]) if len(offsets) else 0, dtype=np.int64)
+    line_idx -= np.repeat(offsets[:-1], lengths)
+    out = batch.drop_columns([text_col]).take(parents)
+    out = out.append_column(text_col, flat).append_column(
+        "line_idx", pa.array(line_idx, pa.int32())
+    )
+    if max_line_bytes:
+        from ..stages.tokenize import truncate_text_column
+
+        out = truncate_text_column(out, max_line_bytes, column=text_col)
+    return out
+
+
+def explode_lines(ds, *, text_col: str = "text", delimiter: str = "\n",
+                  max_line_bytes: int | None = None):
+    """Dataset-level line explode (see :func:`explode_lines_batch`)."""
+    return ds.map_batches(
+        explode_lines_batch,
+        batch_format="pyarrow",
+        fn_kwargs={
+            "text_col": text_col,
+            "delimiter": delimiter,
+            "max_line_bytes": max_line_bytes,
+        },
+    )
+
+
 def read_turns_json(path: str, *, columns=None):
     """JSON-lines turns source (the reference's json LinesIterator analog,
     source.rs:28-48 — ours reads whole turn records, not split scalars)."""
