@@ -26,6 +26,15 @@ class PipelineConfig:
     #: max raw line length in bytes; longer lines are truncated at ingest
     #: (the reference line iterator caps at 6000, iterator.rs:155-157)
     max_line_bytes: int = 6000
+    #: treat each embedded newline in a turn's text as a record boundary
+    #: (BytesLines/LinesIterator parity, iterator.rs:100-170: a record with
+    #: embedded newlines is N lines, each independently byte-capped).  Turns
+    #: are exploded at ingest and ``turn_idx`` in every output becomes the
+    #: per-conversation LINE ordinal — the reference's line_number — instead
+    #: of the record index.  Requires ``sorted_input=False`` (the exploded
+    #: rows flow through the keyed conv_id shuffle, which carries the
+    #: intra-turn line order explicitly).
+    split_multiline_turns: bool = False
 
     # --- engine scale knobs ----------------------------------------------
     #: rows per scoring batch (reference chunk is 512 unique lines;

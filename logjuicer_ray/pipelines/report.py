@@ -60,6 +60,15 @@ def score_dataset(ds, model: Model, config: PipelineConfig | None = None):
     """turns → tokenized + scored rows (adds tokens/group_key/distance/
     has_index).  The model ships to the actor pool via one ``ray.put``."""
     config = config or PipelineConfig()
+    if config.split_multiline_turns:
+        if config.sorted_input:
+            raise ValueError(
+                "split_multiline_turns requires sorted_input=False: the "
+                "block-scan fragment schema does not carry line_idx"
+            )
+        from ..sources.transcripts import explode_lines
+
+        ds = explode_lines(ds, max_line_bytes=config.max_line_bytes)
     model_ref = ray.put(model)
     # sorted-input mode keeps whole blocks intact (batch_size=None) so the
     # downstream per-block scan sees few boundary conversations
@@ -412,6 +421,7 @@ def run_report(
     scored = scored.select_columns(
         ["conv_id", "turn_idx", "role", "tool", "group_key", "text", "dedup_key",
          "distance", "has_index"]
+        + (["line_idx"] if config.split_multiline_turns else [])
     )
     scan_udf = ConversationScan(config, gl_date=gl_date)
     scan = _run_scan(scored, scan_udf, config)
@@ -490,6 +500,15 @@ def run_errors_report(target_ds, config: PipelineConfig | None = None, *, model:
     With ``model`` given, error anomalies already present in the baseline
     indexes are filtered out (Model::report_errors, model.rs:755-790)."""
     config = config or PipelineConfig()
+    if config.split_multiline_turns:
+        if config.sorted_input:
+            raise ValueError(
+                "split_multiline_turns requires sorted_input=False: the "
+                "block-scan fragment schema does not carry line_idx"
+            )
+        from ..sources.transcripts import explode_lines
+
+        target_ds = explode_lines(target_ds, max_line_bytes=config.max_line_bytes)
     with_groups = target_ds.map_batches(
         _add_group_key,
         batch_format="pyarrow",

@@ -209,6 +209,12 @@ def _merge_group(group: pa.Table) -> pa.Table:
 def train(ds, config: PipelineConfig | None = None) -> Model:
     """Train a model from a Dataset of baseline turns (input_hint schema)."""
     config = config or PipelineConfig()
+    if config.split_multiline_turns:
+        from ..sources.transcripts import explode_lines
+
+        # training is order-free (per-group bag-of-lines): explode only,
+        # no renumbering needed
+        ds = explode_lines(ds, max_line_bytes=config.max_line_bytes)
     ignored = config.ignored_fn() if config.ignore_patterns else None
     salt_buckets = max(1, config.train_salt_buckets)
     tokenized = ds.map_batches(

@@ -96,6 +96,25 @@ def _np(col) -> np.ndarray:
     return a.to_numpy(zero_copy_only=False)
 
 
+def _order_group(group: pa.Table, presorted: bool) -> pa.Table:
+    """Canonical in-conversation ordering.  Plain mode: sort by turn_idx.
+    Split-multiline mode (a ``line_idx`` column is present): sort by
+    (turn_idx, line_idx), then renumber ``turn_idx`` to the line ordinal —
+    the reference's per-source line_number (iterator.rs:100-170) — and drop
+    ``line_idx`` so every downstream consumer sees the plain schema."""
+    if "line_idx" not in group.schema.names:
+        return group if presorted else group.sort_by("turn_idx")
+    if not presorted:
+        group = group.sort_by(
+            [("turn_idx", "ascending"), ("line_idx", "ascending")]
+        )
+    idx = group.schema.get_field_index("turn_idx")
+    group = group.set_column(
+        idx, "turn_idx", pa.array(np.arange(group.num_rows, dtype=np.int32))
+    )
+    return group.drop_columns(["line_idx"])
+
+
 def _role_tool_at(group: pa.Table, idx: int = 0) -> tuple[str, str, str]:
     role = group.column("role")[idx].as_py()
     tool = group.column("tool")[idx].as_py()
@@ -166,8 +185,7 @@ class ConversationScan:
         return _np(slow)
 
     def __call__(self, group: pa.Table, presorted: bool = False) -> pa.Table:
-        if not presorted:
-            group = group.sort_by("turn_idx")
+        group = _order_group(group, presorted)
         conv_id = group.column("conv_id")[0].as_py()
         cfg, ignored = self._resolve(conv_id)
         is_job = is_ansible_conv(conv_id)
@@ -442,8 +460,7 @@ class ErrorsScan:
         return _np(pc.and_(trig, valid))
 
     def __call__(self, group: pa.Table, presorted: bool = False) -> pa.Table:
-        if not presorted:
-            group = group.sort_by("turn_idx")
+        group = _order_group(group, presorted)
         conv_id = group.column("conv_id")[0].as_py()
         cfg, ignored = self._resolve(conv_id)
         role0, tool0, gk0 = _role_tool_at(group)

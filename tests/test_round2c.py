@@ -62,6 +62,101 @@ def test_explode_lines_dataset_identity_on_single_line(ray_session):
     assert (out["line_idx"] == 0).all()
 
 
+# --- split_multiline_turns pipeline parity -----------------------------------
+
+def _pack_multiline(table, lines_per_record=3):
+    """Driver-side inverse of explode_lines: pack consecutive turns of a
+    conversation into one multiline record (text joined with \\n); the
+    record inherits the first line's role/tool/ts."""
+    import pandas as pd
+
+    df = table.to_pandas().sort_values(["conv_id", "turn_idx"], kind="stable")
+    recs = []
+    for conv_id, g in df.groupby("conv_id", sort=False):
+        for rec_idx, start in enumerate(range(0, len(g), lines_per_record)):
+            chunk = g.iloc[start : start + lines_per_record]
+            first = chunk.iloc[0]
+            recs.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": rec_idx,
+                    "role": first["role"],
+                    "tool": first["tool"],
+                    "ts": first["ts"],
+                    "text": "\n".join(chunk["text"].tolist()),
+                }
+            )
+    return pa.Table.from_pandas(pd.DataFrame(recs), preserve_index=False)
+
+
+def _pre_split(packed):
+    """Expected semantics: each embedded line is its own turn, turn_idx is
+    the per-conversation line ordinal, role/tool/ts inherited per record."""
+    import pandas as pd
+
+    df = packed.to_pandas().sort_values(["conv_id", "turn_idx"], kind="stable")
+    rows = []
+    ordinal: dict = {}
+    for rec in df.itertuples(index=False):
+        for line in rec.text.split("\n"):
+            i = ordinal.get(rec.conv_id, 0)
+            ordinal[rec.conv_id] = i + 1
+            rows.append(
+                {
+                    "conv_id": rec.conv_id,
+                    "turn_idx": i,
+                    "role": rec.role,
+                    "tool": rec.tool,
+                    "ts": rec.ts,
+                    "text": line,
+                }
+            )
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def test_split_multiline_turns_report_parity(ray_session):
+    """train+report over multiline records with split_multiline_turns=True
+    equals the same pipeline over the pre-split per-line input."""
+    import pandas.testing as pdt
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logjuicer_ray.config import PipelineConfig
+    from logjuicer_ray.pipelines.report import run_errors_report, run_report
+    from logjuicer_ray.pipelines.train import train
+    from logjuicer_ray.synth import generate_turns
+
+    table = generate_turns(0.00005)
+    assert not any("\n" in (t or "") for t in table.column("text").to_pylist()[:500])
+    base = table.filter(pc.equal(table.column("split"), "baseline")).drop_columns(["split"])
+    target = table.filter(pc.equal(table.column("split"), "target")).drop_columns(["split"])
+
+    packed_base, packed_target = _pack_multiline(base), _pack_multiline(target)
+    split_base, split_target = _pre_split(packed_base), _pre_split(packed_target)
+
+    cfg_pack = PipelineConfig(split_multiline_turns=True)
+    cfg_flat = PipelineConfig()
+
+    model_pack = train(rd.from_arrow(packed_base), cfg_pack)
+    model_flat = train(rd.from_arrow(split_base), cfg_flat)
+    out_pack = run_report(rd.from_arrow(packed_target), model_pack, cfg_pack)
+    out_flat = run_report(rd.from_arrow(split_target), model_flat, cfg_flat)
+
+    for key in ("anomalies", "reports", "unknown"):
+        got = out_pack[key].to_pandas().reset_index(drop=True)
+        want = out_flat[key].to_pandas().reset_index(drop=True)
+        pdt.assert_frame_equal(got, want, check_dtype=False)
+    assert len(out_flat["anomalies"].to_pandas()) > 0
+
+    err_pack = run_errors_report(rd.from_arrow(packed_target), cfg_pack)
+    err_flat = run_errors_report(rd.from_arrow(split_target), cfg_flat)
+    pdt.assert_frame_equal(
+        err_pack["anomalies"].to_pandas().reset_index(drop=True),
+        err_flat["anomalies"].to_pandas().reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
 # --- simhash candidate pairs + connected components -------------------------
 
 def test_simhash_cc_matches_union_find(ray_session):
