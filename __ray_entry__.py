@@ -110,7 +110,12 @@ def _q_tokenize(sf_dir: str):
         b = batch.append_column("role", pa.array(["doc"] * batch.num_rows)).append_column(
             "tool", pa.array([""] * batch.num_rows)
         )
-        return tokenize_batch(b).select(["doc_id", "tokens", "dedup_key"])
+        t = tokenize_batch(b).select(["doc_id", "tokens", "dedup_key"])
+        # plain strings at the API boundary (tokens/dedup_key are
+        # dictionary-encoded inside the engine)
+        return t.set_column(1, "tokens", t.column("tokens").cast(pa.string())).set_column(
+            2, "dedup_key", t.column("dedup_key").cast(pa.string())
+        )
 
     return docs.map_batches(add_cols, batch_format="pyarrow")
 

@@ -33,6 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..arrow_util import dict_codes, to_np as _to_np
 from ..config import PipelineConfig
 from ..state.model import GroupIndex, Model
 from ..stages.tokenize import tokenize_batch
@@ -66,14 +67,29 @@ def _codes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return enc.indices.to_numpy(zero_copy_only=False)
 
 
+def _rank_codes(col):
+    """(rank_codes, dictionary, raw_codes) where rank codes respect the
+    column's STRING sort order (dictionary codes alone are first-occurrence
+    ordered).  Ranking costs one argsort of the small dictionary instead of
+    a full-table string sort."""
+    codes, d = dict_codes(col)
+    order = pc.sort_indices(d).to_numpy(zero_copy_only=False)
+    ranks = np.empty(len(d), dtype=np.int64)
+    ranks[order] = np.arange(len(d))
+    return ranks[codes] if len(codes) else codes.astype(np.int64), d, codes
+
+
 def _prepare_batch(batch: pa.Table, *, salt_buckets: int, ignored) -> pa.Table:
     """In-batch combiner: one row per (group, dedup_key) carrying the
     min-(conv_id, turn_idx) token string and summed line/byte counts, so the
     train shuffle moves unique-ish token strings instead of raw text.
 
-    Vectorized: Arrow sort + dictionary codes + ``np.add.reduceat`` — the
-    only per-row Python left is crc32 over the (already unique) dedup keys.
-    """
+    Vectorized with INTEGER keys end-to-end: dictionary rank codes +
+    ``np.lexsort`` + ``np.add.reduceat``; only the winner rows (one per
+    unique (group, dedup_key)) are gathered from the Arrow table — the full
+    batch is never sorted or copied (the former full-table ``sort_by``
+    moved every token/text string and was the train stage's measured
+    bandwidth hog)."""
     text = pc.fill_null(batch.column("text"), "")
     keep = pc.not_equal(text, "")
     tbl = pa.table(
@@ -95,31 +111,42 @@ def _prepare_batch(batch: pa.Table, *, salt_buckets: int, ignored) -> pa.Table:
         if mask.any():
             ign_tbl = tbl.filter(pa.array(mask))
             tbl = tbl.filter(pa.array(~mask))
-    # sort so each (group, dedup_key) is one contiguous run with its winner
-    # (min conv_id, turn_idx) first
-    tbl = tbl.sort_by(
-        [("group_key", "ascending"), ("dedup_key", "ascending"),
-         ("conv_id", "ascending"), ("turn_idx", "ascending")]
-    )
-    starts = _run_starts(_codes(tbl.column("group_key")), _codes(tbl.column("dedup_key")))
-    nb = tbl.column("n_bytes").to_numpy(zero_copy_only=False)
     n = tbl.num_rows
-    run_lines = np.diff(np.append(starts, n))
-    run_bytes = np.add.reduceat(nb, starts) if n else np.zeros(0, dtype=np.int64)
-    idx = pa.array(starts, pa.int64())
-    firsts = tbl.take(idx)
-    dkeys = firsts.column("dedup_key").to_pylist()
-    salts = np.fromiter(
-        (crc32(k.encode()) % salt_buckets for k in dkeys), dtype=np.int32, count=len(dkeys)
+    gr, _, _ = _rank_codes(tbl.column("group_key"))
+    dr, ddict, dcodes = _rank_codes(tbl.column("dedup_key"))
+    cr, _, _ = _rank_codes(tbl.column("conv_id"))
+    ti = _to_np(tbl.column("turn_idx"))
+    if n:
+        perm = np.lexsort((ti, cr, dr, gr))
+        g_s, d_s = gr[perm], dr[perm]
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        change[1:] = (g_s[1:] != g_s[:-1]) | (d_s[1:] != d_s[:-1])
+        starts = np.flatnonzero(change)
+        run_lines = np.diff(np.append(starts, n))
+        run_bytes = np.add.reduceat(_to_np(tbl.column("n_bytes"))[perm], starts)
+        winner_idx = perm[starts]
+    else:
+        starts = winner_idx = np.zeros(0, dtype=np.int64)
+        run_lines = run_bytes = np.zeros(0, dtype=np.int64)
+    firsts = tbl.take(pa.array(winner_idx, pa.int64()))
+    # one crc32 per unique dedup value (dictionary), mapped to winners
+    salt_per_val = np.fromiter(
+        (crc32(k.encode()) % salt_buckets for k in ddict.to_pylist()),
+        dtype=np.int32,
+        count=len(ddict),
     )
+    salts = salt_per_val[dcodes[winner_idx]] if n else np.zeros(0, dtype=np.int32)
     out = pa.table(
         {
-            "group_key": firsts.column("group_key"),
+            # winners only → casting dictionary back to plain strings here
+            # materializes just the unique rows that enter the shuffle
+            "group_key": pc.cast(firsts.column("group_key"), pa.string()),
             "salt": pa.array(salts, pa.int32()),
-            "dedup_key": firsts.column("dedup_key"),
+            "dedup_key": pc.cast(firsts.column("dedup_key"), pa.string()),
             "conv_id": firsts.column("conv_id"),
             "turn_idx": pc.cast(firsts.column("turn_idx"), pa.int32()),
-            "tokens": firsts.column("tokens"),
+            "tokens": pc.cast(firsts.column("tokens"), pa.string()),
             "n_lines": pa.array(run_lines, pa.int64()),
             "n_bytes": pa.array(run_bytes, pa.int64()),
         }

@@ -371,13 +371,36 @@ class BlockScan:
             }
         )
 
+    @staticmethod
+    def _codes(batch: pa.Table) -> np.ndarray:
+        col = batch.column("conv_id")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks() if col.num_chunks else pa.array([], pa.string())
+        enc = col.dictionary_encode()
+        return enc.indices.to_numpy(zero_copy_only=False)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return empty_scan_table()
-        batch = batch.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
-        codes = _np(batch.column("conv_id").dictionary_encode())
+        # int32 dictionary codes, not decoded strings: boundary detection and
+        # fragment checks are integer compares, no per-row Python strings
+        codes = self._codes(batch)
         n = len(codes)
-        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        bnd = codes[1:] != codes[:-1]
+        # the declared contract is (conv_id, turn_idx)-sorted input; verify
+        # cheaply (each conv one contiguous run + turn_idx ascending within)
+        # instead of unconditionally re-sorting — sort_by copies the whole
+        # block including the text column, the scan stage's measured top cost
+        turn = _np(pc.cast(batch.column("turn_idx"), pa.int64()))
+        grouped = int(bnd.sum()) + 1 == int(codes.max()) + 1
+        ordered = bool(np.all(bnd | (turn[1:] >= turn[:-1]))) if n > 1 else True
+        if not (grouped and ordered):
+            batch = batch.sort_by(
+                [("conv_id", "ascending"), ("turn_idx", "ascending")]
+            )
+            codes = self._codes(batch)
+            bnd = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(np.r_[True, bnd])
         ends = np.r_[starts[1:], n]
         out: list[pa.Table] = []
         fragments: list[pa.Table] = []

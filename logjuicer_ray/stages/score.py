@@ -26,21 +26,30 @@ from ..vectorize import build_index, distances
 __all__ = ["ScorerStage", "score_table"]
 
 
+from ..arrow_util import dict_codes as _dict_encode
+
+
 def score_table(batch: pa.Table, model: Model) -> pa.Table:
-    tokens = np.asarray(batch.column("tokens").to_pylist(), dtype=object)
-    groups = np.asarray(batch.column("group_key").to_pylist(), dtype=object)
-    n = len(tokens)
+    n = batch.num_rows
     dist = np.ones(n, dtype=np.float32)
     has_index = np.zeros(n, dtype=bool)
-    for key in np.unique(groups) if n else []:
-        index = model.lookup(key)
-        sel = np.flatnonzero(groups == key)
-        if index is None:
-            continue
-        has_index[sel] = True
-        uniq, inverse = np.unique(tokens[sel], return_inverse=True)
-        d = distances(index, build_index(list(uniq)))
-        dist[sel] = d[inverse]
+    if n:
+        # dictionary-encode in Arrow C++ so Python only ever touches UNIQUE
+        # token strings (the reference scores unique lines once, process.rs);
+        # int32 code comparisons replace object-array string compares — the
+        # measured allocator hot spot at high worker counts
+        tok_codes, tok_dict = _dict_encode(batch.column("tokens"))
+        grp_codes, grp_dict = _dict_encode(batch.column("group_key"))
+        for gi, key in enumerate(grp_dict.to_pylist()):
+            index = model.lookup(key)
+            sel = np.flatnonzero(grp_codes == gi)
+            if index is None:
+                continue
+            has_index[sel] = True
+            uniq, inverse = np.unique(tok_codes[sel], return_inverse=True)
+            uniq_tokens = tok_dict.take(pa.array(uniq, pa.int64())).to_pylist()
+            d = distances(index, build_index(uniq_tokens))
+            dist[sel] = d[inverse]
     return batch.append_column("distance", pa.array(dist, pa.float32())).append_column(
         "has_index", pa.array(has_index, pa.bool_())
     )
