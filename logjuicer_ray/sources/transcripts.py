@@ -14,13 +14,16 @@ TURN_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 def _default_num_blocks(path: str) -> int | None:
     """Size-based block count, independent of the CPU count (the same job
-    must produce the same block layout at any cluster size): target ~12 MiB
-    of compressed parquet per block (~250k turn rows — bounded worker heap
-    for whole-block batches), floored at 16 for parallelism.  Ray's default
-    would otherwise split a small file into ~200 micro blocks (per-task
-    dispatch dominates) or leave one giant row group as a single task.
-    Inputs over ~4 GiB keep Ray's default 128 MiB block sizing (pass
-    ``num_blocks=0`` to force the default explicitly)."""
+    must produce the same block layout at any cluster size): target ~2 MiB
+    of compressed parquet per block (~40k turn rows), floored at 16 for
+    parallelism.  Measured sweep on the sf0.1 report pipeline (32 CPUs,
+    scoring seconds): 12 MiB → 86 s (split-filtered blocks come out 0-or-
+    250k rows, so the last task wave is ragged), 4 MiB → 49 s, **2 MiB →
+    44 s**, 1 MiB → 78 s (per-task dispatch dominates).  The 8-CPU leg
+    improves the same way (178 → 128 s), so this is wave-evenness, not a
+    CPU-count fit.  Inputs over ~4 GiB keep Ray's default 128 MiB block
+    sizing — at that scale task count ≫ CPU count and waves even out on
+    their own (pass ``num_blocks=0`` to force the default explicitly)."""
     try:
         import os
 
@@ -36,7 +39,7 @@ def _default_num_blocks(path: str) -> int | None:
             return None
         if size > 4 << 30:
             return None
-        block_mib = int(os.environ.get("GRAFT_BLOCK_MIB", "12"))
+        block_mib = int(os.environ.get("GRAFT_BLOCK_MIB", "2"))
         return max(16, size // (block_mib << 20))
     except Exception:
         return None
