@@ -354,6 +354,40 @@ def _q_events_window(sf_dir: str):
     )
 
 
+def _q_events_sessions(sf_dir: str):
+    """Gap-based sessionization (30-min silence) per user — one keyed
+    shuffle + vectorized per-group kernel (functions/windows.py)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.windows import sessionize
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+    return sessionize(events, key="user_id", ts_col="ts", id_col="event_id",
+                      gap_minutes=30).sort(["user_id", "session_idx"])
+
+
+def _q_events_asof_orders(sf_dir: str):
+    """As-of join: each event picks the user's latest order at-or-before the
+    event timestamp (tagged-union keyed shuffle + searchsorted merge,
+    functions/joins.py; ties broken by max o_orderkey)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.joins import asof_join
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+    return asof_join(
+        events, orders,
+        key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols=["o_orderkey", "o_totalprice"],
+        right_id="o_orderkey",
+    ).sort("event_id")
+
+
 def _q_orders_enriched(sf_dir: str):
     """Broadcast map-side join: customer (small) shipped once via ray.put,
     looked up per batch — never a shuffle join (SURVEY.md §2.4)."""
@@ -605,6 +639,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _q_knn,
         "knn_ivf": _q_knn_ivf,
         "events_window": _q_events_window,
+        "events_sessions": _q_events_sessions,
+        "events_asof_orders": _q_events_asof_orders,
         "orders_enriched": _q_orders_enriched,
         "events_routed": _q_events_routed,
         "lineitem_agg": _q_lineitem_agg,
@@ -875,6 +911,27 @@ def oracle_sql() -> dict[str, str]:
             "MAX(event_id) AS max_event_id "
             "FROM events GROUP BY event_type, date_trunc('hour', ts) "
             "ORDER BY event_type, window_start"
+        ),
+        "events_sessions": (
+            "WITH g AS (SELECT user_id, ts, event_id, CASE WHEN "
+            "ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS session_idx FROM g) "
+            "SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, "
+            "MIN(ts) AS session_start, MAX(ts) AS session_end, "
+            "COUNT(*) AS n_events, MIN(event_id) AS min_event_id, "
+            "MAX(event_id) AS max_event_id "
+            "FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx"
+        ),
+        "events_asof_orders": (
+            "WITH ranked AS (SELECT e.event_id, e.user_id, e.ts, "
+            "o.o_orderkey, o.o_totalprice, ROW_NUMBER() OVER ("
+            "PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn "
+            "FROM events e LEFT JOIN orders o "
+            "ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) "
+            "SELECT event_id, user_id, ts, o_orderkey, o_totalprice "
+            "FROM ranked WHERE rn = 1 ORDER BY event_id"
         ),
         "orders_enriched": (
             "SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS c_mktsegment, "

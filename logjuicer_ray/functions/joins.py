@@ -1,0 +1,105 @@
+"""Keyed temporal joins: as-of join.
+
+Engine addition beyond the reference: "enrich each event with the most
+recent right-side row at or before it" — the standard as-of join a feature
+pipeline needs (latest order / model version / config active at event time).
+
+Distribution shape: tag both sides, union, ONE keyed shuffle
+(``groupby(key)``), then a vectorized per-group merge (sort both sides,
+``np.searchsorted``).  This is the general big-both-sides plan; when the
+right side is small, broadcast it instead (see ``__ray_entry__``'s
+orders_enriched for the broadcast-join pattern).  Partitioning assumption:
+one key's rows (both sides) fit in a worker — the usual as-of contract.
+
+Determinism: among right rows sharing the max eligible timestamp the one
+with the greatest ``right_id`` wins (explicit tie-break; a plain SQL ASOF
+JOIN leaves this unspecified).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["asof_join"]
+
+
+def _asof_group(group: pa.Table, *, left_ts: str, right_ts: str,
+                left_cols: list[str], right_cols: list[str], right_id: str) -> pa.Table:
+    side = group.column("__side")
+    side = side.combine_chunks() if isinstance(side, pa.ChunkedArray) else side
+    is_left = pc.equal(side, "l")
+    left = group.filter(is_left)
+    right = group.filter(pc.invert(is_left))
+    out_cols = {c: left.column(c) for c in left_cols}
+    if right.num_rows == 0:
+        for c in right_cols:
+            out_cols[c] = pa.nulls(left.num_rows, group.schema.field(c).type)
+        return pa.table(out_cols)
+    lt = left.column(left_ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    rt = right.column(right_ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    rid = right.column(right_id).to_numpy(zero_copy_only=False)
+    order = np.lexsort((rid, rt))
+    rt_s = rt[order]
+    # latest right row with right_ts <= left_ts; ties on right_ts resolve to
+    # the max right_id because the sort puts it last
+    pos = np.searchsorted(rt_s, lt, side="right") - 1
+    matched = pos >= 0
+    take = np.where(matched, order[np.clip(pos, 0, None)], 0)
+    take_arr = pa.array(take, pa.int64())
+    valid = pa.array(matched)
+    for c in right_cols:
+        col = right.column(c).take(take_arr)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        out_cols[c] = pc.if_else(valid, col, pa.nulls(left.num_rows, col.type))
+    return pa.table(out_cols)
+
+
+def asof_join(left_ds, right_ds, *, key: str, right_key: str,
+              left_ts: str, right_ts: str, left_cols: list[str],
+              right_cols: list[str], right_id: str):
+    """For every left row, attach ``right_cols`` from the right row with the
+    greatest ``right_ts`` <= ``left_ts`` within the same key (NULLs when no
+    right row qualifies).  ``left_cols`` must include ``key`` and
+    ``left_ts``; output columns are ``left_cols + right_cols``."""
+    if key not in left_cols or left_ts not in left_cols:
+        raise ValueError("left_cols must include key and left_ts")
+    l_proj = left_ds.select_columns(sorted(set(left_cols)))
+    r_proj = right_ds.select_columns(sorted(set(right_cols + [right_key, right_ts])))
+
+    # resolve both sides' types on the driver; the maps are captured by
+    # value in the tag closures (module globals would not ship to workers)
+    l_schema = l_proj.schema().base_schema
+    r_schema = r_proj.schema().base_schema
+    left_types = {c: l_schema.field(c).type for c in left_cols if c != key}
+    right_side = sorted(set(right_cols + [right_ts]))
+    right_types = {c: r_schema.field(c).type for c in right_side}
+
+    def tag_left(b: pa.Table, _rt=right_types) -> pa.Table:
+        out = {key: b.column(key), "__side": pa.array(["l"] * b.num_rows)}
+        for c in left_cols:
+            if c != key:
+                out[c] = b.column(c)
+        for c, typ in _rt.items():
+            out[c] = pa.nulls(b.num_rows, typ)
+        return pa.table(out)
+
+    def tag_right(b: pa.Table, _lt=left_types) -> pa.Table:
+        out = {key: b.column(right_key), "__side": pa.array(["r"] * b.num_rows)}
+        for c, typ in _lt.items():
+            out[c] = pa.nulls(b.num_rows, typ)
+        for c in right_side:
+            out[c] = b.column(c)
+        return pa.table(out)
+
+    tagged = l_proj.map_batches(tag_left, batch_format="pyarrow").union(
+        r_proj.map_batches(tag_right, batch_format="pyarrow")
+    )
+    return tagged.groupby(key).map_groups(
+        lambda g: _asof_group(
+            g, left_ts=left_ts, right_ts=right_ts,
+            left_cols=left_cols, right_cols=list(right_cols), right_id=right_id,
+        ),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,100 @@
+"""Round-2 additions: sessionization and as-of join (+ driver-query twins)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_sessionize_gap_semantics(ray_session):
+    """Strict-gap boundary: exactly 30 min does NOT break; 30 min + 1 µs does.
+    Ordering ties on ts resolve by event_id in both engine and oracle."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.windows import sessionize
+
+    m = 60 * 1_000_000
+    rows = {
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([0, 30 * m, 60 * m + 1, 61 * m, 5], pa.timestamp("us")),
+        "event_id": pa.array([10, 11, 12, 13, 20], pa.int64()),
+    }
+    out = (
+        sessionize(rd.from_arrow(pa.table(rows)), gap_minutes=30)
+        .sort(["user_id", "session_idx"])
+        .to_pandas()
+    )
+    # user 1: [0, 30m] one session (gap == 30m keeps), then 60m+1µs breaks
+    assert list(out["user_id"]) == [1, 1, 2]
+    assert list(out["n_events"]) == [2, 2, 1]
+    assert list(out["min_event_id"]) == [10, 12, 20]
+    assert list(out["max_event_id"]) == [11, 13, 20]
+    assert list(out["session_idx"]) == [0, 1, 0]
+
+
+def test_asof_join_tie_break_and_nulls(ray_session):
+    import ray.data as rd
+
+    from logjuicer_ray.functions.joins import asof_join
+
+    events = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([7, 7, 8], pa.int64()),
+            "ts": pa.array([100, 60, 10], pa.timestamp("us")),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_custkey": pa.array([7, 7, 7], pa.int64()),
+            "o_orderkey": pa.array([500, 501, 502], pa.int64()),
+            # two orders share ts=100 → max orderkey (502) must win at ts>=100
+            "o_orderdate": pa.array([60, 100, 100], pa.timestamp("us")),
+            "o_totalprice": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        }
+    )
+    out = (
+        asof_join(
+            rd.from_arrow(events),
+            rd.from_arrow(orders),
+            key="user_id",
+            right_key="o_custkey",
+            left_ts="ts",
+            right_ts="o_orderdate",
+            left_cols=["event_id", "user_id", "ts"],
+            right_cols=["o_orderkey", "o_totalprice"],
+            right_id="o_orderkey",
+        )
+        .sort("event_id")
+        .to_pandas()
+    )
+    assert list(out["event_id"]) == [1, 2, 3]
+    assert out.loc[0, "o_orderkey"] == 502  # tie at date 100 → max orderkey
+    assert out.loc[1, "o_orderkey"] == 500  # only date 60 qualifies at ts 60
+    # user 8 has no orders at all → NULL enrichment
+    assert out.loc[2, ["o_orderkey", "o_totalprice"]].isna().all()
+
+
+@pytest.mark.parametrize("name", ["events_sessions", "events_asof_orders"])
+def test_new_queries_vs_duckdb(ray_session, name):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    out = e.queries()[name](sf).to_pandas()
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(e.oracle_sql()[name]).df()
+    assert len(out) == len(want)
+    assert list(out.columns) == list(want.columns)
+    for c in out.columns:
+        a, b = out[c], want[c]
+        if str(a.dtype).startswith("datetime") or str(b.dtype).startswith("datetime"):
+            a = pd.to_datetime(a).astype("int64")
+            b = pd.to_datetime(b).astype("int64")
+        if a.dtype.kind == "f":
+            assert np.allclose(a.fillna(-1), b.fillna(-1)), c
+        else:
+            assert (a.fillna(-1).values == b.fillna(-1).values).all(), c
