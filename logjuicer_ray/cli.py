@@ -55,6 +55,10 @@ def _config_from_args(args) -> "PipelineConfig":
         cfg.skip_duplicate = False
     if getattr(args, "sorted_input", False):
         cfg.sorted_input = True
+    if getattr(args, "split_lines", False):
+        if cfg.sorted_input:
+            raise SystemExit("--split-lines is incompatible with --sorted-input")
+        cfg.split_multiline_turns = True
     return cfg
 
 
@@ -264,6 +268,13 @@ def main(argv=None) -> int:
             action="store_true",
             help="input parquet is globally sorted by (conv_id, turn_idx): "
                  "scan per block with boundary repair instead of a full shuffle",
+        )
+        sp.add_argument(
+            "--split-lines",
+            action="store_true",
+            help="treat embedded newlines in a turn's text as record "
+                 "boundaries (BytesLines parity); turn_idx becomes the "
+                 "per-conversation line ordinal",
         )
 
     sp = sub.add_parser("report", parents=[parent], help="diff target against baseline (logjuicer diff analog)")

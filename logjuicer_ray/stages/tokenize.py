@@ -28,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..cache import GenCache
 from ..index_name import GROUP_SEP
 from ..tokenizer import process, unordered_key
 
@@ -43,8 +44,7 @@ TOKEN_COLUMNS = ["tokens", "dedup_key", "group_key"]
 # directly, with no representative-raw gather.  Replaces a C++ regex
 # replace that measured ~1 s per 250k-row block.
 _FOLD_CHAR = "0"
-_CACHE_MAX = 200_000
-_token_cache: dict[str, tuple[str, str]] = {}
+_token_cache = GenCache(200_000)
 
 
 def _fold_digits(text: pa.Array) -> pa.Array:
@@ -111,8 +111,6 @@ def _tokenize_array(text: pa.Array) -> tuple[pa.Array, pa.Array]:
             else:
                 t = process(fkey)
                 hit = (t, unordered_key(t))
-            if len(cache) >= _CACHE_MAX:
-                cache.clear()
             cache[fkey] = hit
         toks_u.append(hit[0])
         keys_u.append(hit[1])

@@ -17,6 +17,8 @@ All regexes are compiled once at module import (the reference uses
 from __future__ import annotations
 
 import re
+
+from .cache import GenCache
 import sys
 
 # Recursive word splitting can nest once per '/'-separated path segment
@@ -277,8 +279,7 @@ def _trim_quote_and_punctuation(word: str) -> str:
 # _parse_literal is a pure function of the word and dominates tokenizer
 # time (10 classifier probes per word); words repeat heavily across lines,
 # so memoize (capped — random-material words are unbounded)
-_LITERAL_CACHE: dict[str, str | None] = {}
-_LITERAL_CACHE_MAX = 500_000
+_LITERAL_CACHE = GenCache(500_000)
 
 
 def _parse_literal(word: str) -> str | None:
@@ -287,8 +288,6 @@ def _parse_literal(word: str) -> str | None:
     except KeyError:
         pass
     result = _parse_literal_uncached(word)
-    if len(_LITERAL_CACHE) >= _LITERAL_CACHE_MAX:
-        _LITERAL_CACHE.clear()
     _LITERAL_CACHE[word] = result
     return result
 
@@ -443,8 +442,7 @@ class _CountingIter:
 
 # Per-word memo: a word's emitted fragment, its `added` flag and how many
 # following words it consumes are all pure functions of the word itself.
-_WORD_CACHE: dict[str, tuple[str, bool, int]] = {}
-_WORD_CACHE_MAX = 500_000
+_WORD_CACHE = GenCache(500_000)
 
 
 def _word_process(word: str) -> tuple[str, bool, int]:
@@ -454,8 +452,6 @@ def _word_process(word: str) -> tuple[str, bool, int]:
         it = _CountingIter()
         added = _do_process(word, it, buf)
         hit = ("".join(buf), added, it.consumed)
-        if len(_WORD_CACHE) >= _WORD_CACHE_MAX:
-            _WORD_CACHE.clear()
         _WORD_CACHE[word] = hit
     return hit
 
