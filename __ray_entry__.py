@@ -354,6 +354,26 @@ def _q_events_window(sf_dir: str):
     )
 
 
+def _q_lineitem_topk(sf_dir: str):
+    """Top-3 lineitems by extended price per (returnflag, linestatus) —
+    map-side k-bounded combiner before the keyed shuffle
+    (functions/topk.py)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.topk import topk_per_group
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    return topk_per_group(
+        li, group_cols=["l_returnflag", "l_linestatus"], order_col="l_extendedprice",
+        k=3, tie_cols=["l_orderkey", "l_linenumber"],
+    ).sort(["l_returnflag", "l_linestatus", "rank"]).select_columns(
+        ["l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber", "l_extendedprice", "rank"]
+    )
+
+
 def _q_events_sessions(sf_dir: str):
     """Gap-based sessionization (30-min silence) per user — one keyed
     shuffle + vectorized per-group kernel (functions/windows.py)."""
@@ -640,6 +660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "events_window": _q_events_window,
         "events_sessions": _q_events_sessions,
+        "lineitem_topk": _q_lineitem_topk,
         "events_asof_orders": _q_events_asof_orders,
         "orders_enriched": _q_orders_enriched,
         "events_routed": _q_events_routed,
@@ -911,6 +932,16 @@ def oracle_sql() -> dict[str, str]:
             "MAX(event_id) AS max_event_id "
             "FROM events GROUP BY event_type, date_trunc('hour', ts) "
             "ORDER BY event_type, window_start"
+        ),
+        "lineitem_topk": (
+            "WITH r AS (SELECT l_returnflag, l_linestatus, l_orderkey, "
+            "l_linenumber, l_extendedprice, ROW_NUMBER() OVER ("
+            "PARTITION BY l_returnflag, l_linestatus "
+            "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn "
+            "FROM lineitem) "
+            "SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, "
+            "l_extendedprice, CAST(rn AS BIGINT) AS rank "
+            "FROM r WHERE rn <= 3 ORDER BY l_returnflag, l_linestatus, rank"
         ),
         "events_sessions": (
             "WITH g AS (SELECT user_id, ts, event_id, CASE WHEN "

@@ -98,3 +98,56 @@ def test_new_queries_vs_duckdb(ray_session, name):
             assert np.allclose(a.fillna(-1), b.fillna(-1)), c
         else:
             assert (a.fillna(-1).values == b.fillna(-1).values).all(), c
+
+
+def test_topk_per_group_combiner_parity(ray_session):
+    """Many tiny blocks (forces the map-side combiner to act per block) must
+    give the same top-k as a single-block run, incl. rank and tie-breaks."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.topk import topk_per_group
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    t = pa.table(
+        {
+            "g": pa.array([f"g{int(x)}" for x in rng.integers(0, 5, n)]),
+            "v": pa.array(rng.integers(0, 50, n).astype("float64")),  # many ties
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    kw = dict(group_cols=["g"], order_col="v", k=4, tie_cols=["id"])
+    one = (
+        topk_per_group(rd.from_arrow(t), **kw)
+        .sort(["g", "rank"]).to_pandas()
+    )
+    many = (
+        topk_per_group(rd.from_arrow(t).repartition(37), **kw)
+        .sort(["g", "rank"]).to_pandas()
+    )
+    assert one.equals(many)
+    assert list(one.groupby("g")["rank"].max()) == [4] * 5
+    # rank 1 really is the max v, min id among ties
+    for g, grp in one.groupby("g"):
+        sub = t.to_pandas().query("g == @g")
+        best = sub.sort_values(["v", "id"], ascending=[False, True]).iloc[0]
+        assert grp.iloc[0]["id"] == best["id"]
+
+
+def test_lineitem_topk_query_vs_duckdb(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    out = e.queries()["lineitem_topk"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf}/lineitem.parquet')")
+    want = con.execute(e.oracle_sql()["lineitem_topk"]).df()
+    assert len(out) == len(want)
+    for c in out.columns:
+        a, b = out[c], want[c]
+        if a.dtype.kind == "f":
+            assert np.allclose(a, b), c
+        else:
+            assert (a.values == b.values).all(), c
