@@ -151,3 +151,124 @@ def test_lineitem_topk_query_vs_duckdb(ray_session):
             assert np.allclose(a, b), c
         else:
             assert (a.values == b.values).all(), c
+
+
+def _brute_sessions(df, gap_us):
+    import pandas as pd
+
+    rows = []
+    for uid, g in df.sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+        sess, start = -1, None
+        prev = None
+        for r in g.itertuples(index=False):
+            if prev is None or (r.ts - prev) > gap_us:
+                sess += 1
+                rows.append({"user_id": uid, "session_idx": sess, "n_events": 0,
+                             "session_start": r.ts, "session_end": r.ts,
+                             "min_event_id": r.event_id, "max_event_id": r.event_id})
+            cur = rows[-1]
+            cur["n_events"] += 1
+            cur["session_end"] = r.ts
+            cur["min_event_id"] = min(cur["min_event_id"], r.event_id)
+            cur["max_event_id"] = max(cur["max_event_id"], r.event_id)
+            prev = r.ts
+    import pandas as pd
+
+    return pd.DataFrame(rows)
+
+
+def test_sessionize_random_property(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from logjuicer_ray.functions.windows import sessionize
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, n),
+            "ts": rng.integers(0, 10_000, n) * 1_000_000,  # µs, dense → many gaps
+            "event_id": np.arange(n, dtype=np.int64),
+        }
+    )
+    gap_us = 600 * 1_000_000  # 10 min
+    t = pa.table(
+        {
+            "user_id": pa.array(df.user_id, pa.int64()),
+            "ts": pa.array(df.ts, pa.timestamp("us")),
+            "event_id": pa.array(df.event_id, pa.int64()),
+        }
+    )
+    got = (
+        sessionize(rd.from_arrow(t).repartition(11), gap_minutes=10)
+        .sort(["user_id", "session_idx"]).to_pandas()
+    )
+    want = _brute_sessions(df, gap_us).sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["user_id"].values == want["user_id"].values).all()
+    assert (got["n_events"].values == want["n_events"].values).all()
+    assert (got["session_start"].astype("int64").values // 1 == want["session_start"].values).all()
+    assert (got["min_event_id"].values == want["min_event_id"].values).all()
+    assert (got["max_event_id"].values == want["max_event_id"].values).all()
+
+
+def test_asof_join_random_property(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from logjuicer_ray.functions.joins import asof_join
+
+    rng = np.random.default_rng(17)
+    ne, no = 800, 400
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(ne, dtype=np.int64),
+            "user_id": rng.integers(0, 25, ne),
+            "ts": rng.integers(0, 1000, ne),
+        }
+    )
+    od = pd.DataFrame(
+        {
+            "o_custkey": rng.integers(0, 30, no),  # some keys event-less / order-less
+            "o_orderkey": np.arange(no, dtype=np.int64),
+            "o_orderdate": rng.integers(0, 1000, no),
+            "o_totalprice": rng.normal(100, 10, no).round(2),
+        }
+    )
+    t_ev = pa.table(
+        {
+            "event_id": pa.array(ev.event_id),
+            "user_id": pa.array(ev.user_id, pa.int64()),
+            "ts": pa.array(ev.ts, pa.timestamp("us")),
+        }
+    )
+    t_od = pa.table(
+        {
+            "o_custkey": pa.array(od.o_custkey, pa.int64()),
+            "o_orderkey": pa.array(od.o_orderkey),
+            "o_orderdate": pa.array(od.o_orderdate, pa.timestamp("us")),
+            "o_totalprice": pa.array(od.o_totalprice),
+        }
+    )
+    got = (
+        asof_join(
+            rd.from_arrow(t_ev).repartition(7),
+            rd.from_arrow(t_od).repartition(5),
+            key="user_id", right_key="o_custkey", left_ts="ts",
+            right_ts="o_orderdate", left_cols=["event_id", "user_id", "ts"],
+            right_cols=["o_orderkey", "o_totalprice"], right_id="o_orderkey",
+        )
+        .sort("event_id").to_pandas()
+    )
+    # brute force
+    want_key = []
+    for r in ev.itertuples(index=False):
+        cand = od[(od.o_custkey == r.user_id) & (od.o_orderdate <= r.ts)]
+        if len(cand):
+            best = cand.sort_values(["o_orderdate", "o_orderkey"], ascending=False).iloc[0]
+            want_key.append(best.o_orderkey)
+        else:
+            want_key.append(None)
+    got_key = [None if pd.isna(x) else int(x) for x in got["o_orderkey"]]
+    assert got_key == [None if w is None else int(w) for w in want_key]
