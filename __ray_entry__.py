@@ -122,15 +122,31 @@ def _q_tokenize(sf_dir: str):
 
 def _q_turn_counts(sf_dir: str):
     """Per-conversation turn counts over the synthetic turns table
-    (SQL-checkable groupby over the transcript input)."""
+    (SQL-checkable groupby over the transcript input).
+
+    Map-side partial aggregation (Arrow hash aggregate per batch) before the
+    keyed shuffle: with conversations contiguous in the canonical layout the
+    shuffle moves ~one row per (conversation, block) instead of every turn."""
+    import pyarrow as pa
     import ray.data as rd
-    from ray.data.aggregate import Count, Max
+    from ray.data.aggregate import Max, Sum
 
     path = _turns_path(sf_dir)
-    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "split"])
+    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, "conv_id").aggregate(
+            [("turn_idx", "count"), ("turn_idx", "max")]
+        )
+        return g.select(["conv_id", "turn_idx_count", "turn_idx_max"])
+
     return (
-        ds.groupby("conv_id")
-        .aggregate(Count(alias_name="n_turns"), Max("turn_idx", alias_name="max_turn"))
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(
+            Sum("turn_idx_count", alias_name="n_turns"),
+            Max("turn_idx_max", alias_name="max_turn"),
+        )
         .sort("conv_id")
     )
 
