@@ -370,6 +370,28 @@ def _q_events_window(sf_dir: str):
     )
 
 
+def _q_orders_range_lineitem(sf_dir: str):
+    """Range (interval) join in aggregate form: per order, count + price sum
+    of its lineitems shipped within 90 days of the order date (prefix-sum
+    window merge, functions/joins.py — no pair explosion)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.joins import range_join_agg
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate", "l_extendedprice"]
+    )
+    day_us = 86_400 * 1_000_000
+    return range_join_agg(
+        orders, lineitem,
+        key="o_orderkey", right_key="l_orderkey",
+        left_ts="o_orderdate", right_ts="l_shipdate",
+        left_cols=["o_orderkey", "o_orderdate"],
+        value_col="l_extendedprice", lo_us=0, hi_us=90 * day_us,
+    ).sort("o_orderkey")
+
+
 def _q_lineitem_topk(sf_dir: str):
     """Top-3 lineitems by extended price per (returnflag, linestatus) —
     map-side k-bounded combiner before the keyed shuffle
@@ -677,6 +699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "events_sessions": _q_events_sessions,
         "lineitem_topk": _q_lineitem_topk,
+        "orders_range_lineitem": _q_orders_range_lineitem,
         "events_asof_orders": _q_events_asof_orders,
         "orders_enriched": _q_orders_enriched,
         "events_routed": _q_events_routed,
@@ -948,6 +971,14 @@ def oracle_sql() -> dict[str, str]:
             "MAX(event_id) AS max_event_id "
             "FROM events GROUP BY event_type, date_trunc('hour', ts) "
             "ORDER BY event_type, window_start"
+        ),
+        "orders_range_lineitem": (
+            "SELECT o.o_orderkey, o.o_orderdate, "
+            "CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_matches, "
+            "CAST(COALESCE(SUM(l.l_extendedprice), 0) AS DOUBLE) AS sum_value "
+            "FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY "
+            "GROUP BY o.o_orderkey, o.o_orderdate ORDER BY o.o_orderkey"
         ),
         "lineitem_topk": (
             "WITH r AS (SELECT l_returnflag, l_linestatus, l_orderkey, "

@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join_agg"]
 
 
 def _asof_group(group: pa.Table, *, left_ts: str, right_ts: str,
@@ -54,6 +54,87 @@ def _asof_group(group: pa.Table, *, left_ts: str, right_ts: str,
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         out_cols[c] = pc.if_else(valid, col, pa.nulls(left.num_rows, col.type))
     return pa.table(out_cols)
+
+
+def _range_agg_group(group: pa.Table, *, left_ts: str, right_ts: str,
+                     left_cols: list[str], value_col: str,
+                     lo_us: int, hi_us: int) -> pa.Table:
+    side = group.column("__side")
+    side = side.combine_chunks() if isinstance(side, pa.ChunkedArray) else side
+    is_left = pc.equal(side, "l")
+    left = group.filter(is_left)
+    right = group.filter(pc.invert(is_left))
+    out_cols = {c: left.column(c) for c in left_cols}
+    n = left.num_rows
+    if right.num_rows == 0:
+        out_cols["n_matches"] = pa.array(np.zeros(n, np.int64))
+        out_cols["sum_value"] = pa.array(np.zeros(n, np.float64))
+        return pa.table(out_cols)
+    lt = left.column(left_ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    rt = right.column(right_ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    rv = right.column(value_col).cast(pa.float64()).to_numpy(zero_copy_only=False)
+    order = np.argsort(rt, kind="stable")
+    rt_s = rt[order]
+    # prefix sums turn the per-row window aggregate into two searchsorted
+    # lookups — no pair materialization, O((L+R) log R) per key
+    prefix = np.concatenate(([0.0], np.cumsum(rv[order])))
+    lo = np.searchsorted(rt_s, lt + lo_us, side="left")
+    hi = np.searchsorted(rt_s, lt + hi_us, side="right")
+    out_cols["n_matches"] = pa.array((hi - lo).astype(np.int64))
+    out_cols["sum_value"] = pa.array(prefix[hi] - prefix[lo])
+    return pa.table(out_cols)
+
+
+def range_join_agg(left_ds, right_ds, *, key: str, right_key: str,
+                   left_ts: str, right_ts: str, left_cols: list[str],
+                   value_col: str, lo_us: int, hi_us: int):
+    """Interval (range) join in aggregate form: for every left row, the
+    count and value-sum of right rows with the same key whose ``right_ts``
+    falls in ``[left_ts + lo_us, left_ts + hi_us]`` (bounds inclusive).
+
+    Same tagged-union keyed-shuffle shape as :func:`asof_join`, but the
+    per-group merge uses prefix sums over the time-sorted right side, so a
+    hot key with R right rows and L left rows costs O((L+R) log R) and the
+    output stays one row per left row — the pair-explosion variant of a
+    range join is a ``flat_map`` away but is rarely what a feature pipeline
+    wants at scale."""
+    if key not in left_cols or left_ts not in left_cols:
+        raise ValueError("left_cols must include key and left_ts")
+    l_proj = left_ds.select_columns(sorted(set(left_cols)))
+    r_proj = right_ds.select_columns(sorted({right_key, right_ts, value_col}))
+    l_schema = l_proj.schema().base_schema
+    r_schema = r_proj.schema().base_schema
+    left_types = {c: l_schema.field(c).type for c in left_cols if c != key}
+    right_side = sorted({right_ts, value_col})
+    right_types = {c: r_schema.field(c).type for c in right_side}
+
+    def tag_left(b: pa.Table, _rt=right_types) -> pa.Table:
+        out = {key: b.column(key), "__side": pa.array(["l"] * b.num_rows)}
+        for c in left_cols:
+            if c != key:
+                out[c] = b.column(c)
+        for c, typ in _rt.items():
+            out[c] = pa.nulls(b.num_rows, typ)
+        return pa.table(out)
+
+    def tag_right(b: pa.Table, _lt=left_types) -> pa.Table:
+        out = {key: b.column(right_key), "__side": pa.array(["r"] * b.num_rows)}
+        for c, typ in _lt.items():
+            out[c] = pa.nulls(b.num_rows, typ)
+        for c in right_side:
+            out[c] = b.column(c)
+        return pa.table(out)
+
+    tagged = l_proj.map_batches(tag_left, batch_format="pyarrow").union(
+        r_proj.map_batches(tag_right, batch_format="pyarrow")
+    )
+    return tagged.groupby(key).map_groups(
+        lambda g: _range_agg_group(
+            g, left_ts=left_ts, right_ts=right_ts, left_cols=left_cols,
+            value_col=value_col, lo_us=lo_us, hi_us=hi_us,
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def asof_join(left_ds, right_ds, *, key: str, right_key: str,

@@ -272,3 +272,53 @@ def test_asof_join_random_property(ray_session):
             want_key.append(None)
     got_key = [None if pd.isna(x) else int(x) for x in got["o_orderkey"]]
     assert got_key == [None if w is None else int(w) for w in want_key]
+
+
+def test_range_join_agg_random_property(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from logjuicer_ray.functions.joins import range_join_agg
+
+    rng = np.random.default_rng(23)
+    nl, nr = 500, 700
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(nl, dtype=np.int64),
+            "k": rng.integers(0, 15, nl),
+            "ts": rng.integers(0, 500, nl),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 18, nr),
+            "rts": rng.integers(0, 500, nr),
+            "v": rng.normal(10, 3, nr).round(3),
+        }
+    )
+    t_l = pa.table(
+        {"lid": pa.array(left.lid), "k": pa.array(left.k, pa.int64()),
+         "ts": pa.array(left.ts, pa.timestamp("us"))}
+    )
+    t_r = pa.table(
+        {"k": pa.array(right.k, pa.int64()),
+         "rts": pa.array(right.rts, pa.timestamp("us")),
+         "v": pa.array(right.v)}
+    )
+    lo, hi = -25, 50  # inclusive window [ts-25, ts+50] µs
+    got = (
+        range_join_agg(
+            rd.from_arrow(t_l).repartition(9), rd.from_arrow(t_r).repartition(4),
+            key="k", right_key="k", left_ts="ts", right_ts="rts",
+            left_cols=["lid", "k", "ts"], value_col="v", lo_us=lo, hi_us=hi,
+        )
+        .sort("lid").to_pandas()
+    )
+    assert len(got) == nl
+    for r in got.sample(60, random_state=0).itertuples(index=False):
+        sub = right[(right.k == r.k)]
+        ts = int(pd.Timestamp(r.ts).value // 1000)
+        m = sub[(sub.rts >= ts + lo) & (sub.rts <= ts + hi)]
+        assert r.n_matches == len(m), (r.lid, r.n_matches, len(m))
+        assert abs(r.sum_value - m.v.sum()) < 1e-6
+    assert (got["n_matches"] > 0).any()
