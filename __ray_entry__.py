@@ -370,6 +370,25 @@ def _q_events_window(sf_dir: str):
     )
 
 
+def _q_distinct_users_hll(sf_dir: str):
+    """Approximate COUNT(DISTINCT user_id) via a mergeable HyperLogLog
+    sketch (p=14, ~0.8% std error) — one streaming pass, no shuffle; the
+    per-block 16 KiB sketches merge as a monoid (functions/sketch.py).
+    Approximate by construction → no SQL oracle; pytest asserts the error
+    bound against DuckDB's exact count."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logjuicer_ray.functions.sketch import hll_count_distinct
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = hll_count_distinct(events.map_batches(
+        lambda b: b.set_column(0, "user_id", b.column("user_id").cast(pa.string())),
+        batch_format="pyarrow",
+    ), "user_id")
+    return pa.table({"distinct_users_est": pa.array([int(round(est))], pa.int64())})
+
+
 def _q_orders_range_lineitem(sf_dir: str):
     """Range (interval) join in aggregate form: per order, count + price sum
     of its lineitems shipped within 90 days of the order date (prefix-sum
@@ -700,6 +719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "lineitem_topk": _q_lineitem_topk,
         "orders_range_lineitem": _q_orders_range_lineitem,
+        "distinct_users_hll": _q_distinct_users_hll,
         "events_asof_orders": _q_events_asof_orders,
         "orders_enriched": _q_orders_enriched,
         "events_routed": _q_events_routed,

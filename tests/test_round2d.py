@@ -322,3 +322,30 @@ def test_range_join_agg_random_property(ray_session):
         assert r.n_matches == len(m), (r.lid, r.n_matches, len(m))
         assert abs(r.sum_value - m.v.sum()) < 1e-6
     assert (got["n_matches"] > 0).any()
+
+
+def test_hll_error_bound_vs_exact(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        est = e.queries()["distinct_users_hll"](sf).to_pandas()["distinct_users_est"][0]
+        exact = duckdb.sql(
+            f"SELECT COUNT(DISTINCT user_id) FROM read_parquet('{sf}/events.parquet')"
+        ).fetchone()[0]
+        assert abs(est - exact) / max(exact, 1) < 0.05, (sf, est, exact)
+
+
+def test_hll_partitioning_invariance(ray_session):
+    """Identical registers (hence estimate) regardless of block layout."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logjuicer_ray.functions.sketch import hll_count_distinct
+
+    vals = pa.table({"v": pa.array([f"u{i % 3777}" for i in range(20000)])})
+    a = hll_count_distinct(rd.from_arrow(vals), "v")
+    b = hll_count_distinct(rd.from_arrow(vals).repartition(17), "v")
+    assert a == b
+    assert abs(a - 3777) / 3777 < 0.03
