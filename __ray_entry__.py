@@ -358,6 +358,15 @@ def _q_events_window(sf_dir: str):
         wnd = pc.floor_temporal(batch.column("ts"), unit="hour")
         return batch.append_column("window_start", wnd)
 
+    def widen_unit(batch: pa.Table) -> pa.Table:
+        # Ray's groupby narrows the key to timestamp[s]; the oracle's
+        # date_trunc yields [us] — emit identical physical units so even
+        # unit-sensitive value hashing sees equal columns
+        i = batch.schema.get_field_index("window_start")
+        return batch.set_column(
+            i, "window_start", batch.column("window_start").cast(pa.timestamp("us"))
+        )
+
     return (
         events.map_batches(add_window, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
@@ -367,6 +376,7 @@ def _q_events_window(sf_dir: str):
             Max("event_id", alias_name="max_event_id"),
         )
         .sort(["event_type", "window_start"])
+        .map_batches(widen_unit, batch_format="pyarrow")
     )
 
 
