@@ -210,7 +210,10 @@ def _q_minhash_dedup(sf_dir: str):
     from logjuicer_ray.functions.dedup import minhash_lsh_dedup
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_lsh_dedup(docs).sort("doc_id")
+    # portable=True: md5-u64 shingle hashing so the DuckDB oracle recomputes
+    # the full signature/band pipeline (the default fast polynomial hash is
+    # the 100-TB path but is not SQL-expressible)
+    return minhash_lsh_dedup(docs, portable=True).sort("doc_id")
 
 
 def _q_simhash_dedup(sf_dir: str):

@@ -45,6 +45,24 @@ TOKEN_COLUMNS = ["tokens", "dedup_key", "group_key"]
 # replace that measured ~1 s per 250k-row block.
 _FOLD_CHAR = "0"
 _token_cache = GenCache(200_000)
+_gc_frozen = False
+
+
+def _maybe_gc_freeze() -> None:
+    """Experimental hook (GRAFT_GC_FREEZE=1): after the memo cache has
+    warmed, move the worker's heap to the permanently-frozen GC generation
+    so later collections stop scanning it."""
+    global _gc_frozen
+    import os
+
+    if _gc_frozen or os.environ.get("GRAFT_GC_FREEZE") != "1":
+        return
+    if len(_token_cache) >= 50_000:
+        import gc
+
+        gc.collect()
+        gc.freeze()
+        _gc_frozen = True
 
 
 def _fold_digits(text: pa.Array) -> pa.Array:
@@ -120,6 +138,7 @@ def _tokenize_array(text: pa.Array) -> tuple[pa.Array, pa.Array]:
     # train-prepare / sink boundaries)
     tokens = pa.DictionaryArray.from_arrays(enc.indices, pa.array(toks_u, pa.string()))
     keys = pa.DictionaryArray.from_arrays(enc.indices, pa.array(keys_u, pa.string()))
+    _maybe_gc_freeze()
     return tokens, keys
 
 
