@@ -25,6 +25,50 @@ import sys
 import time
 
 
+def _sys_snapshot() -> dict:
+    """Cheap /proc counters for run forensics: the box this benches on shows
+    bimodal behavior (identical code measured 20 s and 240 s for the report
+    phase on the same day), so every emitted sample carries enough system
+    state to tell box contention from code regression after the fact."""
+    snap: dict = {}
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        # user nice system idle iowait irq softirq steal
+        keys = ["user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal"]
+        snap.update({k: int(v) for k, v in zip(keys, parts[1:9])})
+    except Exception:
+        pass
+    try:
+        with open("/proc/vmstat") as f:
+            vm = dict(line.split() for line in f)
+        for k in ("pgmajfault", "pgscan_direct", "compact_stall", "pswpout"):
+            if k in vm:
+                snap[k] = int(vm[k])
+    except Exception:
+        pass
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    snap["mem_avail_mb"] = int(line.split()[1]) // 1024
+                    break
+    except Exception:
+        pass
+    return snap
+
+
+def _sys_delta(before: dict, after: dict) -> dict:
+    out = {}
+    for k in ("idle", "iowait", "steal", "user", "system",
+              "pgmajfault", "pgscan_direct", "compact_stall", "pswpout"):
+        if k in before and k in after:
+            out[k] = after[k] - before[k]
+    if "mem_avail_mb" in after:
+        out["mem_avail_mb"] = after["mem_avail_mb"]
+    return out
+
+
 def _run_bench() -> dict:
     import ray
 
@@ -105,42 +149,76 @@ def _run_bench() -> dict:
     target_turns = counts_by.get("target", 0)
     base, target = baseline_and_target(path)
 
-    queries: dict[str, float] = {}
-    t0 = time.monotonic()
+    # The box shows bimodal performance (report phase measured 20 s and
+    # 240 s for identical code on the same day, while train stays ~flat) —
+    # one sample per invocation is a coin flip.  Run the measured sequence
+    # GRAFT_BENCH_REPEATS times in this one Ray session, score the MEDIAN
+    # run (by scoring seconds), and emit every sample + per-phase /proc
+    # deltas so a slow run is diagnosable from the JSON alone.
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
     cfg = PipelineConfig(sorted_input=os.environ.get("GRAFT_SORTED", "1") == "1")
-    model = train(base, cfg)
-    queries["train"] = round(time.monotonic() - t0, 3)
+    runs: list[dict] = []
+    for _ in range(repeats):
+        queries: dict[str, float] = {}
+        sys_phases: dict[str, dict] = {}
+        s0 = _sys_snapshot()
+        t0 = time.monotonic()
+        model = train(base, cfg)
+        queries["train"] = round(time.monotonic() - t0, 3)
+        s1 = _sys_snapshot()
+        sys_phases["train"] = _sys_delta(s0, s1)
 
-    t1 = time.monotonic()
-    out = run_report(target, model, cfg)
-    n_anom = out["anomalies"].count()
-    n_reports = out["reports"].count()
-    queries["report"] = round(time.monotonic() - t1, 3)
+        t1 = time.monotonic()
+        out = run_report(target, model, cfg)
+        n_anom = out["anomalies"].count()
+        n_reports = out["reports"].count()
+        queries["report"] = round(time.monotonic() - t1, 3)
+        s2 = _sys_snapshot()
+        sys_phases["report"] = _sys_delta(s1, s2)
 
-    t2 = time.monotonic()
-    err = run_errors_report(read_turns(path, split="target"), cfg)
-    n_err = err["anomalies"].count()
-    queries["errors"] = round(time.monotonic() - t2, 3)
+        t2 = time.monotonic()
+        err = run_errors_report(read_turns(path, split="target"), cfg)
+        n_err = err["anomalies"].count()
+        queries["errors"] = round(time.monotonic() - t2, 3)
+        sys_phases["errors"] = _sys_delta(s2, _sys_snapshot())
 
-    total = time.monotonic() - t0
+        runs.append(
+            {
+                "value": round(time.monotonic() - t0, 3),
+                "queries": queries,
+                "scoring_sec": round(queries["report"] + queries["errors"], 3),
+                "sys": sys_phases,
+                "anomalies": n_anom,
+                "reports": n_reports,
+                "errors_anomalies": n_err,
+            }
+        )
+    runs_sorted = sorted(runs, key=lambda r: r["scoring_sec"])
+    med = runs_sorted[(len(runs_sorted) - 1) // 2]
     # scoring seconds = the anomaly-scoring pipelines (report + errors);
     # training is reported separately — at the design scale models are
-    # trained once and reused (the reference's --model cache semantics)
-    scoring_sec = queries["report"] + queries["errors"]
+    # trained once and reused (the reference's --model cache semantics).
+    # turns_per_sec counts target turns once per scoring pipeline (report
+    # AND errors each scan all target turns, hence the 2×) — documented in
+    # BASELINE.md.
+    scoring_sec = med["scoring_sec"]
     result = {
         "metric": "report_e2e",
-        "value": round(total, 3),
+        "value": med["value"],
         "unit": "sec",
-        "queries": queries,
+        "queries": med["queries"],
         "sf": sf,
         "num_cpus": num_cpus,
         "baseline_turns": base_turns,
         "target_turns": target_turns,
-        "scoring_sec": round(scoring_sec, 3),
+        "scoring_sec": scoring_sec,
         "turns_per_sec": round(2 * target_turns / scoring_sec, 1),
-        "anomalies": n_anom,
-        "reports": n_reports,
-        "errors_anomalies": n_err,
+        "anomalies": med["anomalies"],
+        "reports": med["reports"],
+        "errors_anomalies": med["errors_anomalies"],
+        "repeats": repeats,
+        "scoring_runs": [r["scoring_sec"] for r in runs],
+        "runs": runs,
     }
     ray.shutdown()
     return result
