@@ -83,6 +83,22 @@ def _q_unknown(sf_dir: str):
     return out["unknown"]
 
 
+def _q_report_counts(sf_dir: str):
+    """Per-conversation line/byte counters straight out of the flagship
+    report scan's counts rows (LineCounters analog, model.rs:451-470) —
+    the hard-oracle surface for the scan's counter plumbing: SQL recomputes
+    the same totals from the turns table (non-empty target turns, job-output
+    conversations truncated at the cut marker, role/tool = the
+    conversation's first row)."""
+    out = _report_outputs(sf_dir)
+    return (
+        out["scan"]
+        .filter(expr="row_type == 'counts'")
+        .select_columns(["conv_id", "role", "tool", "line_count", "byte_count"])
+        .sort("conv_id")
+    )
+
+
 def _q_errors(sf_dir: str):
     from logjuicer_ray.config import PipelineConfig
     from logjuicer_ray.pipelines.report import run_errors_report
@@ -712,6 +728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "report_anomalies": _q_anomalies,
         "report_reports": _q_reports,
         "report_unknown": _q_unknown,
+        "report_counts": _q_report_counts,
         "errors_anomalies": _q_errors,
         "tokenize_documents": _q_tokenize,
         "turn_counts": _q_turn_counts,
@@ -933,6 +950,34 @@ def oracle_sql() -> dict[str, str]:
         "turn_counts": (
             f"SELECT conv_id, COUNT(*) AS n_turns, MAX(turn_idx) AS max_turn "
             f"FROM {turns} GROUP BY conv_id ORDER BY conv_id"
+        ),
+        "report_counts": (
+            # the scan counts non-empty indexed target rows per conversation,
+            # truncating job-output conversations at the first cut-marker
+            # line (marker line included, chunk.py:80-83); role/tool come
+            # from the conversation's first row.  At the driver scale every
+            # (role, tool) group has a baseline index, so has_index == true
+            # for every row and the counters are exactly recomputable.
+            f"WITH cut AS ("
+            f"  SELECT conv_id, MIN(turn_idx) AS cut_idx FROM {turns} "
+            f"  WHERE split = 'target' "
+            f"    AND (conv_id LIKE 'job-output%' OR conv_id LIKE '%ansible%') "
+            f"    AND text LIKE '%TASK [run-logjuicer%' GROUP BY conv_id), "
+            f"counted AS ("
+            f"  SELECT t.conv_id, COUNT(*) AS line_count, "
+            f"    CAST(SUM(octet_length(CAST(t.text AS BLOB))) AS BIGINT) AS byte_count "
+            f"  FROM {turns} t LEFT JOIN cut c ON t.conv_id = c.conv_id "
+            f"  WHERE t.split = 'target' AND t.text <> '' "
+            f"    AND (c.cut_idx IS NULL OR t.turn_idx <= c.cut_idx) "
+            f"  GROUP BY t.conv_id), "
+            f"first_rt AS ("
+            f"  SELECT conv_id, role, tool FROM ("
+            f"    SELECT conv_id, role, tool, "
+            f"      ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn "
+            f"    FROM {turns} WHERE split = 'target') WHERE rn = 1) "
+            f"SELECT c.conv_id, f.role, f.tool, c.line_count, c.byte_count "
+            f"FROM counted c JOIN first_rt f ON c.conv_id = f.conv_id "
+            f"ORDER BY c.conv_id"
         ),
         "group_volume": (
             f"SELECT role, tool, split, COUNT(*) AS n_lines, "
