@@ -104,7 +104,10 @@ def _q_errors(sf_dir: str):
     from logjuicer_ray.pipelines.report import run_errors_report
     from logjuicer_ray.sources.transcripts import read_turns
 
-    target = read_turns(_turns_path(sf_dir), split="target")
+    from logjuicer_ray.sources.transcripts import ENGINE_COLUMNS, ERRORS_BLOCK_MIB
+
+    target = read_turns(_turns_path(sf_dir), split="target",
+                        columns=ENGINE_COLUMNS, block_mib=ERRORS_BLOCK_MIB)
     out = run_errors_report(target, PipelineConfig(sorted_input=True))
     return out["anomalies"].select_columns(
         ["conv_id", "turn_idx", "role", "tool", "distance", "text"]

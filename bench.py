@@ -88,7 +88,12 @@ def _run_bench() -> dict:
     from logjuicer_ray.config import PipelineConfig
     from logjuicer_ray.pipelines.report import run_errors_report, run_report
     from logjuicer_ray.pipelines.train import train
-    from logjuicer_ray.sources.transcripts import baseline_and_target, read_turns
+    from logjuicer_ray.sources.transcripts import (
+        ENGINE_COLUMNS,
+        ERRORS_BLOCK_MIB,
+        baseline_and_target,
+        read_turns,
+    )
     from logjuicer_ray.synth import ensure_turns, sf_from_dir
 
     sf = sf_from_dir(sf_dir)
@@ -177,7 +182,11 @@ def _run_bench() -> dict:
         sys_phases["report"] = _sys_delta(s1, s2)
 
         t2 = time.monotonic()
-        err = run_errors_report(read_turns(path, split="target"), cfg)
+        err = run_errors_report(
+            read_turns(path, split="target", columns=ENGINE_COLUMNS,
+                       block_mib=ERRORS_BLOCK_MIB),
+            cfg,
+        )
         n_err = err["anomalies"].count()
         queries["errors"] = round(time.monotonic() - t2, 3)
         sys_phases["errors"] = _sys_delta(s2, _sys_snapshot())

@@ -120,7 +120,10 @@ def cmd_report(args) -> int:
     from .sources.transcripts import read_turns
     from .state.model import Model
 
+    from .metrics import Metrics
+
     cfg = _config_from_args(args)
+    metrics = Metrics()
     t0 = time.monotonic()
     if args.model and os.path.exists(os.path.join(args.model, "manifest.json")):
         model = Model.load(args.model)
@@ -128,14 +131,15 @@ def cmd_report(args) -> int:
         baseline = _apply_source_filter(
             read_turns(args.baseline or args.input, split=args.baseline_split), args
         )
-        model = train(baseline, cfg)
+        model = train(baseline, cfg, metrics=metrics)
         if args.model:
             model.save(args.model)
     target = _apply_source_filter(
         read_turns(args.target or args.input, split=args.target_split), args
     )
-    out = run_report(target, model, cfg)
+    out = run_report(target, model, cfg, metrics=metrics)
     os.makedirs(args.out, exist_ok=True)
+    metrics.write(args.out)
     summary = _write_outputs(
         out,
         args.out,
@@ -167,11 +171,18 @@ def cmd_errors(args) -> int:
             read_turns(args.baseline or args.input, split=args.baseline_split), args
         )
         model = train(baseline, cfg)
+    from .sources.transcripts import ERRORS_BLOCK_MIB
+
     target = _apply_source_filter(
-        read_turns(args.target or args.input, split=args.target_split), args
+        read_turns(args.target or args.input, split=args.target_split,
+                   block_mib=ERRORS_BLOCK_MIB), args
     )
-    out = run_errors_report(target, cfg, model=model)
+    from .metrics import Metrics
+
+    metrics = Metrics()
+    out = run_errors_report(target, cfg, model=model, metrics=metrics)
     os.makedirs(args.out, exist_ok=True)
+    metrics.write(args.out)
     summary = _write_outputs(out, args.out, inputs=[args.input or args.target])
     if not args.quiet:
         _print_anomalies(out["anomalies"])

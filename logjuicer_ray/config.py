@@ -65,6 +65,15 @@ class PipelineConfig:
     #: the anomaly set itself is dataset-sized, and by the parity tests).
     driver_finish_rows: int = 2_000_000
 
+    #: two-pass global date seeding (model.rs:644-648 parity, opt-in): pass 1
+    #: reports normally; the timestamp of the first timed anomaly in global
+    #: (conv_id, turn_idx) order becomes ``gl_date`` for pass 2, so
+    #: conversations whose lines carry only time-of-day stamps inherit that
+    #: date.  Deterministic replacement of the reference's first-finished-
+    #: source race (the Mutex in model.rs:644-648).  Costs a second scan of
+    #: the target — only enable for sources with time-only timestamps.
+    global_date: bool = False
+
     #: per-conversation config matchers, the ``match_job`` analog
     #: (config.rs:224-249): ``[(conv_id_regex, {field: override, ...}), ...]``
     #: — the first matching entry overrides fields of this config for that

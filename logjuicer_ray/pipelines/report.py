@@ -400,20 +400,70 @@ def _driver_finish(scan_table: pa.Table, *, skip_duplicate: bool, anomaly_filter
     }
 
 
+def _record_scan_metrics(metrics, pipeline: str, table: pa.Table, *, wall_s: float) -> None:
+    """One metrics row for the scan stage: counted lines/bytes in (from the
+    scan's own counters — already computed, no re-execution), scan rows out."""
+    rt = table.column("row_type")
+
+    def _sum(col: str, row_type: str) -> int:
+        m = pc.equal(rt, row_type)
+        return int(
+            pc.sum(pc.if_else(m, pc.fill_null(table.column(col), 0),
+                              pa.scalar(0, pa.int64()))).as_py() or 0
+        )
+
+    lines_in = _sum("line_count", "counts") + _sum("line_count", "unknown")
+    bytes_in = _sum("byte_count", "counts") + _sum("byte_count", "unknown")
+    metrics.record(pipeline, "scan", rows_in=lines_in, rows_out=table.num_rows,
+                   wall_s=wall_s, bytes_out=table.nbytes, counted_bytes_in=bytes_in,
+                   path="block_scan+driver_repair")
+
+
+def _first_timed_ts(anomalies_ds) -> int | None:
+    """First non-null anomaly timestamp in (conv_id, turn_idx) order — the
+    deterministic gl_date seed (``anomalies`` is already sorted; the stream
+    stops at the first hit, so this reads at most one batch in the common
+    case)."""
+    for b in anomalies_ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        ts = b.column("ts").cast(pa.int64())  # epoch ms regardless of storage type
+        for i in range(len(ts)):
+            v = ts[i].as_py()
+            if v is not None:
+                return int(v)
+    return None
+
+
 def run_report(
     target_ds,
     model: Model,
     config: PipelineConfig | None = None,
     *,
     gl_date: int | None = None,
+    metrics=None,
 ):
     """Full report: returns a dict of Datasets
     ``{"anomalies", "reports", "unknown", "scan"}`` plus totals.
 
     ``anomalies`` is ordered by (conv_id, turn_idx) — the north-rule stable
-    ordering invariant.
+    ordering invariant.  ``metrics`` (a ``metrics.Metrics``) collects one
+    row per stage (model.rs:451-470 counter analog).
     """
+    import time as _time
+
     config = config or PipelineConfig()
+    if config.global_date and gl_date is None:
+        # two-pass gl_date seeding (model.rs:644-648 parity; deterministic
+        # rule documented in config.py): pass 1 without a date anchor, then
+        # re-scan with the first timed anomaly's timestamp
+        from dataclasses import replace as _replace
+
+        pass1_cfg = _replace(config, global_date=False)
+        first = run_report(target_ds, model, pass1_cfg, metrics=metrics)
+        seed = _first_timed_ts(first["anomalies"])
+        if seed is None:
+            return first
+        return run_report(target_ds, model, pass1_cfg, gl_date=seed, metrics=metrics)
+    _t_scan = _time.monotonic()
     scored = score_dataset(target_ds, model, config)
     # prune before the wide conv_id shuffle: the scan needs the dedup key,
     # not the token string, and not the raw ts column (anomaly timestamps are
@@ -432,12 +482,28 @@ def run_report(
         import ray.data as rd
 
         table = _repair_fragments_table(_collect_scan(scan), scan_udf)
+        if metrics is not None:
+            _record_scan_metrics(metrics, "report", table,
+                                 wall_s=_time.monotonic() - _t_scan)
+        _t_fin = _time.monotonic()
         out = _driver_finish(table, skip_duplicate=config.skip_duplicate)
         out["scan"] = rd.from_arrow(table)
+        if metrics is not None:
+            metrics.record(
+                "report", "dedup+reports",
+                rows_in=int(pc.sum(pc.cast(pc.equal(table.column("row_type"), "anomaly"), pa.int64())).as_py() or 0),
+                rows_out=out["anomalies"].count(),
+                wall_s=_time.monotonic() - _t_fin,
+                path="driver_finish",
+            )
         return out
     if config.sorted_input:
         scan = _repair_fragments_distributed(scan, scan_udf)
     scan = scan.repartition(_scan_partitions(scan.count())).materialize()
+    if metrics is not None:
+        metrics.record("report", "scan", rows_out=scan.count(),
+                       wall_s=_time.monotonic() - _t_scan, path="distributed")
+    _t_fin = _time.monotonic()
     anomalies = scan.filter(expr="row_type == 'anomaly'").select_columns(ANOMALY_COLUMNS)
     if config.skip_duplicate:
         anomalies = global_dedup(anomalies)
@@ -449,6 +515,9 @@ def run_report(
         .sort(["group_key", "conv_id"])
         .materialize()
     )
+    if metrics is not None:
+        metrics.record("report", "dedup+reports", rows_out=anomalies.count(),
+                       wall_s=_time.monotonic() - _t_fin, path="distributed")
     return {
         "anomalies": anomalies,
         "reports": reports,
@@ -493,7 +562,8 @@ def load_report(out_dir: str) -> dict:
     return out
 
 
-def run_errors_report(target_ds, config: PipelineConfig | None = None, *, model: Model | None = None):
+def run_errors_report(target_ds, config: PipelineConfig | None = None, *,
+                      model: Model | None = None, metrics=None):
     """Errors mode (errors_report, errors.rs:341-377): no baseline needed —
     the state-machine classifier runs per conversation; global dedup and the
     per-conversation report aggregation are shared with the main pipeline.
@@ -514,6 +584,9 @@ def run_errors_report(target_ds, config: PipelineConfig | None = None, *, model:
         batch_format="pyarrow",
         fn_kwargs={"max_line_bytes": config.max_line_bytes},
     )
+    import time as _time
+
+    _t_scan = _time.monotonic()
     errors_udf = ErrorsScan(config)
     scan = _run_scan(with_groups, errors_udf, config)
     anomaly_filter = make_errors_model_filter(model) if model is not None else None
@@ -521,11 +594,23 @@ def run_errors_report(target_ds, config: PipelineConfig | None = None, *, model:
         import ray.data as rd
 
         table = _repair_fragments_table(_collect_scan(scan), errors_udf)
+        if metrics is not None:
+            _record_scan_metrics(metrics, "errors", table,
+                                 wall_s=_time.monotonic() - _t_scan)
+        _t_fin = _time.monotonic()
         out = _driver_finish(
             table,
             skip_duplicate=config.skip_duplicate,
             anomaly_filter=anomaly_filter,
         )
+        if metrics is not None:
+            metrics.record(
+                "errors", "dedup+reports",
+                rows_in=int(pc.sum(pc.cast(pc.equal(table.column("row_type"), "anomaly"), pa.int64())).as_py() or 0),
+                rows_out=out["anomalies"].count(),
+                wall_s=_time.monotonic() - _t_fin,
+                path="driver_finish",
+            )
         return {"anomalies": out["anomalies"], "reports": out["reports"],
                 "scan": rd.from_arrow(table)}
     if config.sorted_input:

@@ -233,8 +233,12 @@ def _merge_group(group: pa.Table) -> pa.Table:
     )
 
 
-def train(ds, config: PipelineConfig | None = None) -> Model:
-    """Train a model from a Dataset of baseline turns (input_hint schema)."""
+def train(ds, config: PipelineConfig | None = None, *, metrics=None) -> Model:
+    """Train a model from a Dataset of baseline turns (input_hint schema).
+    ``metrics`` (a ``metrics.Metrics``) collects one stage row."""
+    import time as _time
+
+    _t0 = _time.monotonic()
     config = config or PipelineConfig()
     if config.split_multiline_turns:
         from ..sources.transcripts import explode_lines
@@ -273,6 +277,14 @@ def train(ds, config: PipelineConfig | None = None) -> Model:
             line_count=row["line_count"],
             byte_count=row["byte_count"],
             train_time=row["train_time"],
+        )
+    if metrics is not None:
+        metrics.record(
+            "train", "tokenize+dedup+index",
+            rows_in=sum(g.line_count for g in indexes.values()),
+            rows_out=sum(g.index.nrows for g in indexes.values()),
+            wall_s=_time.monotonic() - _t0,
+            groups=len(indexes),
         )
     return Model(indexes)
 

@@ -10,9 +10,18 @@ from __future__ import annotations
 import ray.data as rd
 
 TURN_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+# The flagship pipelines never consume the input ``ts`` column (anomaly
+# timestamps are parsed from the text per reference semantics,
+# timestamps.rs:22-109) — pruning it at the parquet scan saves its decode
+# and one object-store copy per phase.
+ENGINE_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool"]
+# The errors scan does ~2× less work per row than the report scan, so its
+# per-task cost at 2 MiB blocks is dispatch-dominated; 8 MiB measured best
+# (32 CPUs: 12.8 → 8.4 s, 8 CPUs: 29.1 → 23.4 s at sf0.1).
+ERRORS_BLOCK_MIB = 8
 
 
-def _default_num_blocks(path: str) -> int | None:
+def _default_num_blocks(path: str, block_mib: int | None = None) -> int | None:
     """Size-based block count, independent of the CPU count (the same job
     must produce the same block layout at any cluster size): target ~2 MiB
     of compressed parquet per block (~40k turn rows), floored at 16 for
@@ -39,18 +48,21 @@ def _default_num_blocks(path: str) -> int | None:
             return None
         if size > 4 << 30:
             return None
-        block_mib = int(os.environ.get("GRAFT_BLOCK_MIB", "2"))
+        if block_mib is None:
+            block_mib = int(os.environ.get("GRAFT_BLOCK_MIB", "2"))
         return max(16, size // (block_mib << 20))
     except Exception:
         return None
 
 
-def read_turns(path: str, *, split: str | None = None, columns=None, num_blocks=None):
+def read_turns(path: str, *, split: str | None = None, columns=None, num_blocks=None,
+               block_mib: int | None = None):
     """Read a turns table; ``split`` filters on the generator's split column
-    at the parquet scan (row-group pushdown)."""
+    at the parquet scan (row-group pushdown).  ``block_mib`` overrides the
+    per-phase read-block target (see ``_default_num_blocks``)."""
     cols = list(columns or TURN_COLUMNS)
     if num_blocks is None:
-        num_blocks = _default_num_blocks(path)
+        num_blocks = _default_num_blocks(path, block_mib=block_mib)
     kwargs = {}
     if num_blocks:
         kwargs["override_num_blocks"] = num_blocks
@@ -65,7 +77,10 @@ def read_turns(path: str, *, split: str | None = None, columns=None, num_blocks=
 
 
 def baseline_and_target(path: str):
-    return read_turns(path, split="baseline"), read_turns(path, split="target")
+    return (
+        read_turns(path, split="baseline", columns=ENGINE_COLUMNS),
+        read_turns(path, split="target", columns=ENGINE_COLUMNS),
+    )
 
 
 def explode_lines_batch(batch, *, text_col: str = "text", delimiter: str = "\n",

@@ -54,3 +54,131 @@ def test_fast_and_portable_modes_rank_similarity_identically():
         near = (s[0] == s[1]).mean()
         far = (s[0] == s[2]).mean()
         assert near > far, portable
+
+
+def _mk_turns(convs):
+    """convs: list of (conv_id, [text, ...]) → turns-schema Arrow table."""
+    rows = {"conv_id": [], "turn_idx": [], "role": [], "text": [], "tool": [], "ts": []}
+    for cid, texts in convs:
+        for i, t in enumerate(texts):
+            rows["conv_id"].append(cid)
+            rows["turn_idx"].append(i)
+            rows["role"].append("svc")
+            rows["text"].append(t)
+            rows["tool"].append("")
+            rows["ts"].append(None)
+    return pa.table(
+        {
+            "conv_id": pa.array(rows["conv_id"], pa.string()),
+            "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+            "role": pa.array(rows["role"], pa.string()),
+            "text": pa.array(rows["text"], pa.string()),
+            "tool": pa.array(rows["tool"], pa.string()),
+            "ts": pa.array(rows["ts"], pa.timestamp("ms")),
+        }
+    )
+
+
+def test_global_date_two_pass_seeds_time_only_conversations(ray_session):
+    """gl_date parity (model.rs:644-648): with config.global_date, the first
+    timed anomaly's date seeds time-only timestamps in OTHER conversations."""
+    import ray.data as rd
+
+    from logjuicer_ray.config import PipelineConfig
+    from logjuicer_ray.pipelines.report import run_report
+    from logjuicer_ray.pipelines.train import train
+
+    good = [
+        "2026-03-05 09:00:00 INFO request handled path status ok",
+        "2026-03-05 09:00:01 INFO cache warmed entries loaded fine",
+    ] * 4
+    base = rd.from_arrow(_mk_turns([("base-conv", good)]))
+    cfg = PipelineConfig(sorted_input=True)
+    model = train(base, cfg)
+
+    target = _mk_turns(
+        [
+            (
+                "a-conv",
+                [
+                    "2026-03-05 10:00:00 INFO request handled path status ok",
+                    "2026-03-05 10:00:05 ERROR totally unexpected meltdown visible here",
+                ],
+            ),
+            (
+                "b-conv",
+                [
+                    # kubelet-style time-only stamps (parsed at offset 6,
+                    # timestamps.rs:41-44 / timestamps.py _TIME_DOT_RE)
+                    "I0305 11:22:33.444 INFO request handled path status ok",
+                    "E0305 11:22:40.555 ERROR different catastrophic explosion elsewhere",
+                ],
+            ),
+        ]
+    )
+
+    out_plain = run_report(rd.from_arrow(target), model, cfg)
+    plain = {
+        r["conv_id"]: r["ts"]
+        for r in out_plain["anomalies"].select_columns(["conv_id", "ts"]).take_all()
+    }
+    assert plain["a-conv"] is not None
+    assert plain["b-conv"] is None  # time-only, no date anchor
+
+    cfg_gl = PipelineConfig(sorted_input=True, global_date=True)
+    out_gl = run_report(rd.from_arrow(target), model, cfg_gl)
+    seeded = {
+        r["conv_id"]: r["ts"]
+        for r in out_gl["anomalies"].select_columns(["conv_id", "ts"]).take_all()
+    }
+    # a-conv unchanged by the second pass
+    assert seeded["a-conv"] == plain["a-conv"]
+    # b-conv inherits a-conv's date: 2026-03-05T11:22:40.555
+    from datetime import datetime
+
+    assert seeded["b-conv"].replace(tzinfo=None) == datetime(2026, 3, 5, 11, 22, 40, 555000)
+
+
+def test_global_date_noop_without_timed_anomalies(ray_session):
+    """No timed anomaly anywhere → pass 1 result returned unchanged."""
+    import ray.data as rd
+
+    from logjuicer_ray.config import PipelineConfig
+    from logjuicer_ray.pipelines.report import run_report
+    from logjuicer_ray.pipelines.train import train
+
+    good = ["INFO request handled path status ok"] * 6
+    base = rd.from_arrow(_mk_turns([("base-conv", good)]))
+    cfg = PipelineConfig(sorted_input=True, global_date=True)
+    model = train(base, cfg)
+    target = _mk_turns(
+        [("t-conv", ["INFO request handled path status ok",
+                     "ERROR surprising breakdown words appear suddenly"])]
+    )
+    out = run_report(rd.from_arrow(target), model, cfg)
+    rows = out["anomalies"].select_columns(["conv_id", "ts"]).take_all()
+    assert len(rows) == 1 and rows[0]["ts"] is None
+
+
+def test_metrics_rows_written_by_cli(ray_session, tmp_path):
+    """Per-stage metrics/lineage rows (model.rs:451-470 counter analog):
+    the report CLI writes metrics/part-0.parquet with one row per stage."""
+    import pyarrow.parquet as pq
+
+    from logjuicer_ray.cli import main
+    from logjuicer_ray.synth import ensure_turns
+
+    path = ensure_turns(0.0003)
+    out = tmp_path / "out"
+    rc = main(["report", "--input", str(path), "--out", str(out), "--quiet"])
+    assert rc == 0
+    t = pq.read_table(out / "metrics" / "part-0.parquet")
+    stages = {(r["pipeline"], r["stage"]) for r in t.to_pylist()}
+    assert ("train", "tokenize+dedup+index") in stages
+    assert ("report", "scan") in stages
+    assert ("report", "dedup+reports") in stages
+    rows = {(r["pipeline"], r["stage"]): r for r in t.to_pylist()}
+    scan = rows[("report", "scan")]
+    assert scan["rows_in"] > 0 and scan["rows_out"] > 0 and scan["wall_s"] > 0
+    tr = rows[("train", "tokenize+dedup+index")]
+    assert tr["rows_in"] >= tr["rows_out"] > 0
