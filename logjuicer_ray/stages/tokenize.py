@@ -30,7 +30,10 @@ import pyarrow.compute as pc
 
 from ..cache import GenCache
 from ..index_name import GROUP_SEP
-from ..tokenizer import process, unordered_key
+from ..tokenizer import GL_FILTER, _GLOBAL_FILTER_RE, _process_words, process, unordered_key
+
+_GL_FILTER_PATTERN = _GLOBAL_FILTER_RE.pattern
+_GL_FILTER_HIT = (GL_FILTER, unordered_key(GL_FILTER))
 
 __all__ = ["tokenize_batch", "truncate_text_column", "TOKEN_COLUMNS"]
 
@@ -116,18 +119,33 @@ def _tokenize_array(text: pa.Array) -> tuple[pa.Array, pa.Array]:
     # process() runs on the folded line itself: the fold target '0' is a
     # digit, so the folded line is a digit-variant of the raw line and the
     # digit-fold invariance gives process(folded) == process(raw) — no
-    # representative-raw gather needed
+    # representative-raw gather needed.  Known caveat: GL-filter patterns
+    # with literal non-zero digits ("GET / HTTP/1.1") can't match a folded
+    # line; digit-class patterns ([0-9]) are unaffected.
     uniq_folded = enc.dictionary.to_pylist()
+    # global filter vectorized over the unique-line array: single-word lines
+    # and the GL filter regex run as TWO Arrow RE2 kernels instead of two
+    # Python re.search calls per unique line (~10 µs/line, the tokenize
+    # stage's single largest per-line cost; equivalence asserted by
+    # tests/test_round3.py::test_vectorized_global_filter_parity)
+    _stripped = pc.utf8_trim_whitespace(enc.dictionary)
+    _filtered = pc.or_(
+        pc.invert(pc.match_substring_regex(_stripped, r"\s")),
+        pc.match_substring_regex(_stripped, _GL_FILTER_PATTERN),
+    ).to_pylist()
+    _stripped_l = _stripped.to_pylist()
     cache = _token_cache
     toks_u: list[str] = []
     keys_u: list[str] = []
-    for fkey in uniq_folded:
+    for i, fkey in enumerate(uniq_folded):
         hit = cache.get(fkey)
         if hit is None:
             if not fkey:
                 hit = ("", "")
+            elif _filtered[i]:
+                hit = _GL_FILTER_HIT
             else:
-                t = process(fkey)
+                t = _process_words(_stripped_l[i])
                 hit = (t, unordered_key(t))
             cache[fkey] = hit
         toks_u.append(hit[0])

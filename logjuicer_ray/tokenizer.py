@@ -491,6 +491,13 @@ def process(line: str) -> str:
     line = line.strip()
     if _global_filter(line):
         return GL_FILTER
+    return _process_words(line)
+
+
+def _process_words(line: str) -> str:
+    """``process()`` minus strip + global filter — the per-line body for
+    callers that already ran the filter vectorized over a whole unique-line
+    array (stages/tokenize.py); ``line`` must be pre-stripped."""
     result: list[str] = []
     words = _WORDS_RE.split(line)
     i = 0

@@ -182,3 +182,63 @@ def test_metrics_rows_written_by_cli(ray_session, tmp_path):
     assert scan["rows_in"] > 0 and scan["rows_out"] > 0 and scan["wall_s"] > 0
     tr = rows[("train", "tokenize+dedup+index")]
     assert tr["rows_in"] >= tr["rows_out"] > 0
+
+
+def test_vectorized_global_filter_parity():
+    """The Arrow RE2 global filter in the tokenize stage must agree with the
+    per-line Python filter on every corpus line (RE2 vs re divergence would
+    silently change which lines are trained/scored)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from logjuicer_ray import tokenizer as tk
+    from logjuicer_ray.stages.tokenize import _GL_FILTER_PATTERN
+
+    lines = [
+        "single", "  padded  ", "GET / HTTP/1.1 extra", "* foo: bar",
+        "Trying other mirror.", "ovs-ofctl br dump-ports", "iptables -t nat -L",
+        "^+ ntp1.example 10", "dnsmasq[123]: query A example.com",
+        "ab3s/f>42 get", "x y z", "", "\t", "a b", "ERROR failed to start",
+        "2026-01-01 00:00:00 INFO ok fine", "%GL_FILTER", "a\tb", "a\nb",
+    ]
+    import glob as _g, os as _o
+    for p in _g.glob(_o.path.join(_o.path.dirname(__file__), "data", "datasets", "*", "*.good")):
+        lines.extend(open(p).read().splitlines())
+    arr = pa.array(lines, pa.string())
+    stripped = pc.utf8_trim_whitespace(arr)
+    vec = pc.or_(
+        pc.invert(pc.match_substring_regex(stripped, r"\s")),
+        pc.match_substring_regex(stripped, _GL_FILTER_PATTERN),
+    ).to_pylist()
+    ref = [tk._global_filter(t.strip()) for t in lines]
+    assert vec == ref
+
+
+def test_tokenize_stage_matches_process(ray_session):
+    """End-to-end: the vectorized stage path equals per-line process()."""
+    import pyarrow as pa
+
+    from logjuicer_ray import tokenizer as tk
+    from logjuicer_ray.stages.tokenize import tokenize_batch
+
+    texts = [
+        "ERROR failed to acquire lease for partition 7",
+        "GET / HTTP/1.1 trailing", "lonely", "  spaced words here  ",
+        "sha256://toto tata finished in 28ms by systemd[4248]", "",
+    ]
+    n = len(texts)
+    batch = pa.table(
+        {
+            "conv_id": pa.array(["c"] * n), "turn_idx": pa.array(range(n), pa.int32()),
+            "role": pa.array(["r"] * n), "text": pa.array(texts),
+            "tool": pa.array([""] * n),
+        }
+    )
+    out = tokenize_batch(batch)
+    got = out.column("tokens").cast(pa.string()).to_pylist()
+    # the stage contract: process() over the digit-FOLDED line (stage
+    # pre-fold, stages/tokenize.py _fold_digits) — fold first to compare
+    import re
+
+    want = [tk.process(re.sub(r"\d", "0", t)) if t else "" for t in texts]
+    assert got == want
