@@ -235,6 +235,31 @@ def _q_minhash_dedup(sf_dir: str):
     return minhash_lsh_dedup(docs, portable=True).sort("doc_id")
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    """Exact shingle-Jaccard verification of the MinHash-LSH candidate
+    pairs (the verify stage of a production near-dup pipeline) — portable
+    md5-u64 shingles so the DuckDB oracle recomputes candidates AND the
+    per-pair Jaccard values; compared as floor(j·10^6 + 0.5) ints."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logjuicer_ray.functions.dedup import minhash_lsh_dedup, ngram_jaccard_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_dedup(docs, portable=True)
+    verified = ngram_jaccard_pairs(docs, pairs, k=5, threshold=0.0, portable=True)
+
+    def to_e6(batch: pa.Table) -> pa.Table:
+        e6 = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch.column("jaccard"), 1e6), 0.5)),
+            pa.int64(),
+        )
+        return batch.drop_columns(["jaccard"]).append_column("jaccard_e6", e6)
+
+    return verified.map_batches(to_e6, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_simhash_dedup(sf_dir: str):
     import ray.data as rd
 
@@ -313,6 +338,23 @@ def _q_embedding_dedup(sf_dir: str):
     return embedding_cosine_dedup(emb, threshold=0.45, mode="exact").sort("vec_id")
 
 
+def _first_query_rows(emb, n: int):
+    """First ``n`` rows by vec_id as pandas WITHOUT sorting the wide
+    embedding column: sort only the narrow id column, then fetch the few
+    selected rows with a vectorized ``is_in`` filter (at scale the full-row
+    sort would shuffle every vector once just to pick n query rows)."""
+    import pyarrow.compute as pc
+
+    ids = [r["vec_id"] for r in emb.select_columns(["vec_id"]).sort("vec_id").take(n)]
+    import pyarrow as pa
+
+    qrows = emb.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("vec_id"), value_set=pa.array(ids))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return qrows.sort_values("vec_id").reset_index(drop=True)
+
+
 def _q_knn(sf_dir: str):
     import numpy as np
     import pyarrow as pa
@@ -321,7 +363,7 @@ def _q_knn(sf_dir: str):
     from logjuicer_ray.functions.knn import knn_brute_force
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qrows = emb.sort("vec_id").limit(3).to_pandas()
+    qrows = _first_query_rows(emb, 3)
     queries_m = np.asarray(list(qrows["embedding"]), dtype=np.float32)
     out = knn_brute_force(emb, queries_m, k=5).to_pandas()
     qids = list(qrows["vec_id"])
@@ -351,7 +393,7 @@ def _q_knn_ivf(sf_dir: str):
     from logjuicer_ray.functions.knn import knn_ivf
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qrows = emb.sort("vec_id").limit(3).to_pandas()
+    qrows = _first_query_rows(emb, 3)
     queries_m = np.asarray(list(qrows["embedding"]), dtype=np.float32)
     out = knn_ivf(emb, queries_m, k=5, n_clusters=16, nprobe=16).to_pandas()
     qids = list(qrows["vec_id"])
@@ -739,6 +781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data operators
         "exact_dedup_docs": _q_exact_dedup,
         "minhash_dedup_docs": _q_minhash_dedup,
+        "ngram_jaccard_docs": _q_ngram_jaccard,
         "simhash_dedup_docs": _q_simhash_dedup,
         "turn_lines": _q_turn_lines,
         "simhash_cc_docs": _q_simhash_cc,
@@ -897,11 +940,13 @@ ORDER BY doc_id
 """
 
 
-def _minhash_sql() -> str:
-    """MinHash-LSH dedup as one DuckDB query (functions/dedup.py
-    minhash_lsh_dedup): md5-u64 byte 5-shingles, the engine's seeded
-    permutation constants inlined, 128-bit arithmetic replicating numpy's
-    mod-2^64 wraparound, md5-banded buckets, min-root labels."""
+def _minhash_ctes() -> str:
+    """Shared WITH-body for the MinHash oracles (functions/dedup.py
+    minhash_lsh_dedup in portable mode): md5-u64 byte 5-shingles, the
+    engine's seeded permutation constants inlined, 128-bit arithmetic
+    replicating numpy's mod-2^64 wraparound, md5-banded buckets, min-root
+    labels.  Ends with the ``pairs`` CTE (and keeps ``sh`` — the distinct
+    per-doc shingle-hash sets — visible for the Jaccard verifier)."""
     import numpy as np
 
     rng = np.random.default_rng(42)
@@ -912,7 +957,7 @@ def _minhash_sql() -> str:
         f"({i}, {int(a[i])}::UBIGINT, {int(b[i])}::UBIGINT)" for i in range(64)
     )
     return f"""
-WITH docs AS (SELECT doc_id, text FROM documents),
+docs AS (SELECT doc_id, text FROM documents),
 long AS (
   SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i
   FROM docs WHERE length(text) > 5
@@ -940,8 +985,40 @@ roots AS (SELECT band, band_hash, MIN(doc_id) AS root FROM bh GROUP BY band, ban
 pairs AS (
   SELECT s.doc_id, r.root AS dup_of FROM bh s JOIN roots r USING (band, band_hash)
   WHERE s.doc_id > r.root
-)
-SELECT doc_id, MIN(dup_of) AS dup_of FROM pairs GROUP BY doc_id ORDER BY doc_id
+)"""
+
+
+def _minhash_sql() -> str:
+    return (
+        f"WITH {_minhash_ctes()} "
+        "SELECT doc_id, MIN(dup_of) AS dup_of FROM pairs GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+def _ngram_jaccard_sql() -> str:
+    """Exact n-gram Jaccard verification of the MinHash-LSH candidates
+    (functions/dedup.py ngram_jaccard_pairs, portable mode): the candidate
+    pairs AND the per-pair Jaccard over the distinct md5-u64 shingle sets
+    are both recomputed in SQL; values compared as floor(j·10^6 + 0.5)."""
+    return f"""
+WITH {_minhash_ctes()},
+cand AS (SELECT doc_id, MIN(dup_of) AS dup_of FROM pairs GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id, c.dup_of, COUNT(*) AS n_int
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_id
+  JOIN sh b ON b.doc_id = c.dup_of AND b.h = a.h
+  GROUP BY c.doc_id, c.dup_of
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+SELECT c.doc_id, c.dup_of,
+  CAST(FLOOR(1000000.0 * (COALESCE(i.n_int, 0)::DOUBLE
+    / (sa.n + sb.n - COALESCE(i.n_int, 0))::DOUBLE) + 0.5) AS BIGINT) AS jaccard_e6
+FROM cand c
+JOIN sizes sa ON sa.doc_id = c.doc_id
+JOIN sizes sb ON sb.doc_id = c.dup_of
+LEFT JOIN inter i ON i.doc_id = c.doc_id AND i.dup_of = c.dup_of
+ORDER BY c.doc_id
 """
 
 
@@ -1012,6 +1089,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_docs": _FINGERPRINT_SQL,
         "simhash_dedup_docs": _SIMHASH_SQL,
         "minhash_dedup_docs": _minhash_sql(),
+        "ngram_jaccard_docs": _ngram_jaccard_sql(),
         "embedding_dedup": (
             "SELECT a.vec_id, MIN(b.vec_id) AS dup_of "
             "FROM embeddings a JOIN embeddings b "

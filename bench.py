@@ -80,6 +80,7 @@ def _run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        log_to_driver=False,  # keep worker stdout out of the one-JSON-line contract
     )
     from logjuicer_ray.tuning import configure_data_context
 

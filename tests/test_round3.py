@@ -242,3 +242,43 @@ def test_tokenize_stage_matches_process(ray_session):
 
     want = [tk.process(re.sub(r"\d", "0", t)) if t else "" for t in texts]
     assert got == want
+
+
+def test_ngram_jaccard_query_vs_duckdb(ray_session):
+    """Exact shingle-Jaccard verify of LSH candidates hash-matches a full
+    SQL recomputation (candidates AND per-pair jaccard_e6 values)."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    out = e.queries()["ngram_jaccard_docs"]("/root/testdata/sf0.001").to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = con.execute(e.oracle_sql()["ngram_jaccard_docs"]).df()
+    assert len(out) == len(want) and len(out) > 0
+    cols = sorted(out.columns)
+    assert cols == sorted(want.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
+    assert (a["dup_of"].to_numpy() == b["dup_of"].to_numpy()).all()
+    assert (a["jaccard_e6"].to_numpy() == b["jaccard_e6"].to_numpy()).all()
+
+
+def test_knn_query_prep_avoids_wide_sort(ray_session):
+    """_first_query_rows returns the same 3 query vectors the old
+    full-row sort produced, without sorting the embedding column."""
+    import ray.data as rd
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    got = e._first_query_rows(emb, 3)
+    want = emb.sort("vec_id").limit(3).to_pandas()
+    assert list(got["vec_id"]) == list(want["vec_id"])
+    for i in range(3):
+        assert np.allclose(np.asarray(got["embedding"][i]), np.asarray(want["embedding"][i]))
