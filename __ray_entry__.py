@@ -539,6 +539,72 @@ def _q_events_asof_orders(sf_dir: str):
     ).sort("event_id")
 
 
+def _q_vocab_topk(sf_dir: str):
+    """Corpus vocabulary: top-100 whitespace tokens by (count desc, token
+    asc) — per-batch Arrow value_counts partials, groupby over unique
+    tokens only (functions/corpus.py vocab_topk)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.corpus import vocab_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return vocab_topk(docs, k=100)
+
+
+def _q_doc_quantiles(sf_dir: str):
+    """Exact p50/p90/p99 of document length via mergeable value-count
+    partials (functions/corpus.py exact_quantiles; driver work bounded by
+    DISTINCT lengths, not rows)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.corpus import exact_quantiles
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    return exact_quantiles(docs, "n_chars", [0.5, 0.9, 0.99])
+
+
+# stratified sampling rates for sampled_docs: exact integer thresholds so
+# the engine AND the SQL oracle reproduce the same sample bit-for-bit
+_SAMPLE_FRACS = {"en": 0.25, "zh": 0.75}
+_SAMPLE_DEFAULT = 0.5
+
+
+def _q_sampled_docs(sf_dir: str):
+    """Deterministic stratified hash sampling: keep doc iff
+    md5_u64(doc_id) < floor(frac[lang] * 2^64) — reproducible across
+    cluster sizes and resumable, no RNG state (functions/corpus.py
+    hash_sample)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.corpus import hash_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return hash_sample(
+        docs, key_col="doc_id", strata_col="lang",
+        strata_frac=_SAMPLE_FRACS, default_frac=_SAMPLE_DEFAULT,
+    ).sort("doc_id")
+
+
+def _q_customer_orders_join(sf_dir: str):
+    """Distributed equi-join via Ray Data's native hash join
+    (``Dataset.join``) — the shuffle-join path for two large sides, in
+    contrast to ``orders_enriched``'s broadcast join for a small side."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    return (
+        joined.groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_orderkey", alias_name="sum_orderkey"))
+        .sort("c_mktsegment")
+    )
+
+
 def _q_orders_enriched(sf_dir: str):
     """Broadcast map-side join: customer (small) shipped once via ray.put,
     looked up per batch — never a shuffle join (SURVEY.md §2.4)."""
@@ -801,7 +867,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_routed": _q_events_routed,
         "lineitem_agg": _q_lineitem_agg,
         "similarity_report": _q_similarity,
+        "vocab_topk_docs": _q_vocab_topk,
+        "doc_quantiles": _q_doc_quantiles,
+        "sampled_docs": _q_sampled_docs,
+        "customer_orders_join": _q_customer_orders_join,
     }
+
+
+def _sampled_docs_sql() -> str:
+    """Deterministic stratified hash sample (functions/corpus.py
+    hash_sample): the exact integer thresholds the engine uses, inlined."""
+    thr = {s: int(f * 2**64) for s, f in _SAMPLE_FRACS.items()}
+    default_thr = int(_SAMPLE_DEFAULT * 2**64)
+    cases = " ".join(f"WHEN '{s}' THEN {t}::UBIGINT" for s, t in thr.items())
+    return (
+        "SELECT doc_id, lang FROM documents "
+        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT < "
+        f"(CASE lang {cases} ELSE {default_thr}::UBIGINT END) "
+        "ORDER BY doc_id"
+    )
 
 
 def _md5_u64_sql(expr: str) -> str:
@@ -1192,5 +1276,26 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_rows "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus "
             "ORDER BY l_returnflag, l_linestatus"
+        ),
+        "vocab_topk_docs": (
+            "WITH toks AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token "
+            "FROM documents WHERE text IS NOT NULL), "
+            "cnts AS (SELECT token, COUNT(*)::BIGINT AS cnt FROM toks "
+            "WHERE token <> '' GROUP BY token), "
+            "ranked AS (SELECT token, cnt, "
+            "ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank FROM cnts) "
+            "SELECT token, cnt, rank FROM ranked WHERE rank <= 100 ORDER BY rank"
+        ),
+        "doc_quantiles": (
+            "SELECT quantile_disc(n_chars, 0.5) AS p50, "
+            "quantile_disc(n_chars, 0.9) AS p90, "
+            "quantile_disc(n_chars, 0.99) AS p99 FROM documents"
+        ),
+        "sampled_docs": _sampled_docs_sql(),
+        "customer_orders_join": (
+            "SELECT c_mktsegment, COUNT(*) AS n_orders, "
+            "CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment ORDER BY c_mktsegment"
         ),
     }

@@ -1,0 +1,138 @@
+"""Corpus-statistics operators for training-data curation: vocabulary
+top-k, exact distributed quantiles, and deterministic hash sampling.
+
+All three follow the partial-aggregation shape (combine inside
+``map_batches``, shuffle only the reduced rows) so the wide all-to-all
+moves unique values, never the corpus:
+
+- ``vocab_topk``: per-batch token value_counts (Arrow kernels, no Python
+  per row) -> ``groupby(token).sum`` over unique-token partials -> global
+  (count desc, token asc) top-k.  The shuffle is bounded by vocabulary
+  size x tasks, not corpus tokens.
+- ``exact_quantiles``: per-batch value_counts -> groupby(value).sum ->
+  driver cumsum pick.  Driver materialization is bounded by the number of
+  DISTINCT values of the column (lengths/counts at 100 TB: thousands),
+  never by rows.
+- ``hash_sample``: stateless deterministic filter — keep rows whose
+  md5-u64(key) clears a per-stratum integer threshold.  No shuffle at
+  all; resumable and reproducible across cluster sizes by construction,
+  and SQL-recomputable (the driver oracle re-derives the exact sample).
+
+Reference analog: the logjuicer reference has no corpus-stat operators
+(its aggregations are per-IndexName line/byte counters,
+crates/model/src/model.rs:451-470); these extend the engine for
+training-data pipelines per the brief.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashing import md5_u64_str
+
+__all__ = ["vocab_topk", "exact_quantiles", "hash_sample"]
+
+
+def _token_counts(batch: pa.Table, text_col: str) -> pa.Table:
+    toks = pc.list_flatten(
+        pc.utf8_split_whitespace(pc.drop_null(batch.column(text_col)))
+    )
+    toks = toks.filter(pc.not_equal(toks, ""))
+    vc = toks.value_counts()
+    if isinstance(vc, pa.ChunkedArray):
+        vc = vc.combine_chunks()
+    return pa.table(
+        {"token": vc.field("values"), "cnt": pc.cast(vc.field("counts"), pa.int64())}
+    )
+
+
+def vocab_topk(ds, *, text_col: str = "text", k: int = 100):
+    """Corpus-wide whitespace-token frequencies, top ``k`` by
+    (count desc, token asc) with a ``rank`` column (1-based; ties broken
+    by token so the result is deterministic under any partitioning)."""
+    partials = ds.map_batches(
+        lambda b: _token_counts(b, text_col), batch_format="pyarrow"
+    )
+    totals = partials.groupby("token").sum("cnt")
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["token", "cnt"])
+
+    totals = totals.map_batches(_rename, batch_format="pyarrow")
+    # global top-k over unique tokens: the sort input is the vocabulary
+    # (bounded, already one row per token), not the corpus
+    top = totals.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+    def _rank(b: pa.Table) -> pa.Table:
+        return b.append_column("rank", pa.array(range(1, b.num_rows + 1), pa.int64()))
+
+    # limit(k) yields a single tiny block; ranking in one map is exact
+    return top.repartition(1).map_batches(_rank, batch_format="pyarrow")
+
+
+def exact_quantiles(ds, col: str, qs: list[float]):
+    """Exact discrete quantiles (percentile_disc semantics: the smallest
+    value whose cumulative count reaches ceil(q*n)) of an integer column,
+    via mergeable value-count partials.  Returns a one-row pyarrow Table
+    with columns ``p<q*100>`` (e.g. p50, p90, p99)."""
+
+    def _vc(batch: pa.Table) -> pa.Table:
+        v = pc.drop_null(batch.column(col))
+        vc = v.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table(
+            {col: vc.field("values"), "cnt": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    import math
+
+    totals = ds.map_batches(_vc, batch_format="pyarrow").groupby(col).sum("cnt")
+    # distinct-value table: bounded driver materialization (documented above)
+    rows = sorted((r[col], r["sum(cnt)"]) for r in totals.take_all())
+    n = sum(c for _, c in rows)
+    out: dict[str, list] = {}
+    for q in qs:
+        target = max(1, math.ceil(q * n))
+        acc = 0
+        val = rows[-1][0] if rows else None
+        for v, c in rows:
+            acc += c
+            if acc >= target:
+                val = v
+                break
+        out[f"p{int(round(q * 100))}"] = [val]
+    return pa.table(out)
+
+
+def hash_sample(ds, *, key_col: str, frac: float | None = None,
+                strata_col: str | None = None,
+                strata_frac: dict[str, float] | None = None,
+                default_frac: float = 0.0):
+    """Deterministic reproducible sampling: keep a row iff
+    ``md5_u64(str(key)) < floor(frac * 2^64)``.  With ``strata_col`` +
+    ``strata_frac``, the fraction is chosen per stratum (unlisted strata
+    use ``default_frac``).  Thresholds are exact integers so an external
+    SQL engine reproduces the sample bit-for-bit; no RNG state, no
+    shuffle, stable under repartitioning and resume."""
+    if (frac is None) == (strata_frac is None):
+        raise ValueError("pass exactly one of frac / strata_frac")
+    if frac is not None:
+        thresholds = {None: int(frac * 2**64)}
+    else:
+        thresholds = {s: int(f * 2**64) for s, f in strata_frac.items()}
+    default_thr = int(default_frac * 2**64)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        hs = [md5_u64_str(str(k)) for k in keys]
+        if frac is not None:
+            thr = thresholds[None]
+            mask = [h < thr for h in hs]
+        else:
+            ss = batch.column(strata_col).to_pylist()
+            mask = [h < thresholds.get(s, default_thr) for h, s in zip(hs, ss)]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

@@ -282,3 +282,85 @@ def test_knn_query_prep_avoids_wide_sort(ray_session):
     assert list(got["vec_id"]) == list(want["vec_id"])
     for i in range(3):
         assert np.allclose(np.asarray(got["embedding"][i]), np.asarray(want["embedding"][i]))
+
+
+def _docs_con(sf="/root/testdata/sf0.001"):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("documents", "orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize(
+    "name", ["vocab_topk_docs", "doc_quantiles", "sampled_docs", "customer_orders_join"]
+)
+def test_corpus_queries_vs_duckdb(ray_session, name):
+    import __ray_entry__ as e
+
+    out = e.queries()[name]("/root/testdata/sf0.001")
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    want = _docs_con().execute(e.oracle_sql()[name]).df()
+    assert len(out) == len(want) and len(out) > 0
+    cols = sorted(out.columns)
+    assert cols == sorted(want.columns)
+    a = out[cols].reset_index(drop=True)
+    b = want[cols].reset_index(drop=True)
+    a = a.astype({c: b[c].dtype for c in cols})
+    assert a.equals(b)
+
+
+def test_vocab_topk_partition_invariance(ray_session):
+    """Same top-k under different block counts (combiner correctness)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.corpus import vocab_topk
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    a = vocab_topk(rd.read_parquet(path, columns=["text"]), k=20).to_pandas()
+    b = vocab_topk(
+        rd.read_parquet(path, columns=["text"]).repartition(13), k=20
+    ).to_pandas()
+    assert a.equals(b)
+
+
+def test_exact_quantiles_edge_cases(ray_session):
+    """percentile_disc semantics on tiny inputs incl. q hitting exact
+    cumulative boundaries."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.corpus import exact_quantiles
+
+    ds = rd.from_items([{"x": v} for v in [1, 2, 3, 4]])
+    t = exact_quantiles(ds, "x", [0.25, 0.5, 0.75, 0.9]).to_pylist()[0]
+    # ceil(q*n)-th smallest: 0.25->1st=1, 0.5->2nd=2, 0.75->3rd=3, 0.9->4th=4
+    assert (t["p25"], t["p50"], t["p75"], t["p90"]) == (1, 2, 3, 4)
+
+
+def test_hash_sample_deterministic_and_stratified(ray_session):
+    import ray.data as rd
+
+    from logjuicer_ray.functions.corpus import hash_sample
+    from logjuicer_ray.functions.hashing import md5_u64_str
+
+    rows = [{"doc_id": i, "lang": "en" if i % 2 else "zh"} for i in range(200)]
+    ds = rd.from_items(rows)
+    out = hash_sample(
+        ds, key_col="doc_id", strata_col="lang",
+        strata_frac={"en": 0.3}, default_frac=0.6,
+    ).to_pandas()
+    thr = {"en": int(0.3 * 2**64), "zh": int(0.6 * 2**64)}
+    want = sorted(
+        r["doc_id"] for r in rows if md5_u64_str(str(r["doc_id"])) < thr[r["lang"]]
+    )
+    assert sorted(out["doc_id"]) == want
+    # repartitioning must not change the sample
+    out2 = hash_sample(
+        ds.repartition(7), key_col="doc_id", strata_col="lang",
+        strata_frac={"en": 0.3}, default_frac=0.6,
+    ).to_pandas()
+    assert sorted(out2["doc_id"]) == want
