@@ -34,6 +34,12 @@ Prints one JSON line; a markdown table is written to stdout with --md.
 from __future__ import annotations
 
 import argparse
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import multiprocessing as mp
 import os
@@ -50,6 +56,11 @@ def _stream_worker(seconds: float, q) -> None:
     b = np.random.default_rng(0).random(n)
     c = np.random.default_rng(1).random(n)
     a = np.empty_like(b)
+    # touch every page of a (and warm the kernel) before the clock starts —
+    # this box's first-touch fault path is pathologically slow (hypervisor),
+    # and measuring it would report fault cost, not streaming bandwidth
+    np.add(b, c, out=a)
+    np.add(b, c, out=a)
     t0 = time.monotonic()
     it = 0
     while time.monotonic() - t0 < seconds:
@@ -74,6 +85,8 @@ def stream_bandwidth(procs: int, seconds: float = 3.0) -> float:
 
 def pipeline_budget(sf_dir: str) -> dict:
     """Measured bytes/turn per flagship stage from the real sf parquet."""
+    import glob
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -84,12 +97,16 @@ def pipeline_budget(sf_dir: str) -> dict:
 
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
         path = ensure_turns(sf)
-    f = pq.ParquetFile(path)
-    file_bytes = os.path.getsize(path)
-    n_rows = f.metadata.num_rows
+    parts = sorted(glob.glob(os.path.join(path, "part-*.parquet"))) or [path]
+    file_bytes = sum(os.path.getsize(p) for p in parts)
+    n_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
 
     cols = ["conv_id", "turn_idx", "role", "tool", "text", "ts", "split"]
-    tbl = pq.read_table(path, columns=cols)
+    # decode stats from a sample of parts (a Ray worker sees one block at a
+    # time; per-part unique fraction models the per-worker memo hit rate)
+    sample_parts = parts[:: max(1, len(parts) // 4)][:4]
+    tbl = pa.concat_tables(pq.read_table(p, columns=cols) for p in sample_parts)
+    n_rows_sample = tbl.num_rows
 
     def col_bytes(name: str) -> int:
         return tbl.column(name).nbytes
@@ -101,8 +118,8 @@ def pipeline_budget(sf_dir: str) -> dict:
     import pyarrow.compute as pc
 
     uniq = pc.count_distinct(tbl.column("text")).as_py()
-    uniq_frac = uniq / n_rows
-    mean_line = text_bytes / n_rows
+    uniq_frac = uniq / n_rows_sample
+    mean_line = text_bytes / n_rows_sample
 
     # score: hashed CSR per unique line — measured nnz/line from the engine
     try:
@@ -123,8 +140,8 @@ def pipeline_budget(sf_dir: str) -> dict:
     per_turn = {
         # every stage that touches a byte of DRAM per target turn, r/w summed
         "parquet_read": file_bytes / n_rows,
-        "arrow_decode_rw": 2 * decode_bytes / n_rows,  # write on decode + read downstream
-        "fold_dict_rw": 3 * text_bytes / n_rows,  # fold read+write, dict-encode read
+        "arrow_decode_rw": 2 * decode_bytes / n_rows_sample,  # write on decode + read downstream
+        "fold_dict_rw": 3 * text_bytes / n_rows_sample,  # fold read+write, dict-encode read
         "tokenize_unique": uniq_frac * 2 * mean_line,  # process() reads+writes unique lines
         "score_csr": uniq_frac * nnz * 12,  # (i32 idx + f64 val) per nnz, unique lines only
         "scan_counters": 16.0,  # O(1) counter updates per row
