@@ -585,6 +585,34 @@ def _q_sampled_docs(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_packed_docs(sf_dir: str):
+    """Sequence packing: contiguous-fill bin assignment via a distributed
+    ordered prefix sum over row-group units (functions/corpus.py
+    pack_sequences — the raw-Ray-task last-resort case, partitioning
+    assumption checked)."""
+    from logjuicer_ray.functions.corpus import pack_sequences
+
+    return pack_sequences(
+        f"{sf_dir}/documents.parquet", id_col="doc_id", size_col="n_chars",
+        cap=4096,
+    ).sort("doc_id")
+
+
+def _q_lineitem_quantiles(sf_dir: str):
+    """Per-group exact quantiles over unique-(group,value) partials
+    (functions/corpus.py grouped_quantiles)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.corpus import grouped_quantiles
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    return grouped_quantiles(
+        li, group_cols=["l_returnflag"], col="l_quantity", qs=[0.5, 0.9, 0.99]
+    ).sort("l_returnflag")
+
+
 def _q_customer_orders_join(sf_dir: str):
     """Distributed equi-join via Ray Data's native hash join
     (``Dataset.join``) — the shuffle-join path for two large sides, in
@@ -871,6 +899,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quantiles": _q_doc_quantiles,
         "sampled_docs": _q_sampled_docs,
         "customer_orders_join": _q_customer_orders_join,
+        "packed_docs": _q_packed_docs,
+        "lineitem_quantiles": _q_lineitem_quantiles,
     }
 
 
@@ -1297,5 +1327,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "packed_docs": (
+            "SELECT doc_id, n_chars, "
+            "CAST(FLOOR(COALESCE(SUM(n_chars) OVER "
+            "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "/ 4096.0) AS BIGINT) AS bin "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "lineitem_quantiles": (
+            "SELECT l_returnflag, "
+            "quantile_disc(l_quantity, 0.5) AS p50, "
+            "quantile_disc(l_quantity, 0.9) AS p90, "
+            "quantile_disc(l_quantity, 0.99) AS p99 "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
     }

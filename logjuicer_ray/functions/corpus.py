@@ -31,7 +31,8 @@ import pyarrow.compute as pc
 
 from .hashing import md5_u64_str
 
-__all__ = ["vocab_topk", "exact_quantiles", "hash_sample"]
+__all__ = ["vocab_topk", "exact_quantiles", "grouped_quantiles", "hash_sample",
+           "pack_sequences"]
 
 
 def _token_counts(batch: pa.Table, text_col: str) -> pa.Table:
@@ -136,3 +137,120 @@ def hash_sample(ds, *, key_col: str, frac: float | None = None,
         return batch.filter(pa.array(mask, pa.bool_()))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def grouped_quantiles(ds, *, group_cols: list[str], col: str, qs: list[float]):
+    """Per-group exact discrete quantiles (percentile_disc semantics), fully
+    distributed: per-batch (group, value) count partials -> one keyed
+    groupby over unique (group, value) pairs -> per-group quantile pick in
+    ``map_groups`` (each group's work is bounded by its DISTINCT values).
+    Returns one row per group with ``p<q*100>`` columns."""
+    import math
+
+    def _vc(batch: pa.Table) -> pa.Table:
+        cols = group_cols + [col]
+        g = batch.select(cols).group_by(cols).aggregate([([], "count_all")])
+        return g.rename_columns(cols + ["cnt"])
+
+    totals = (
+        ds.map_batches(_vc, batch_format="pyarrow")
+        .groupby(group_cols + [col])
+        .sum("cnt")
+    )
+
+    def _pick(group: pa.Table) -> pa.Table:
+        vals = group.column(col).to_pylist()
+        cnts = group.column("sum(cnt)").to_pylist()
+        rows = sorted(zip(vals, cnts))
+        n = sum(c for _, c in rows)
+        out = {c: [group.column(c)[0].as_py()] for c in group_cols}
+        for q in qs:
+            target = max(1, math.ceil(q * n))
+            acc = 0
+            val = rows[-1][0]
+            for v, c in rows:
+                acc += c
+                if acc >= target:
+                    val = v
+                    break
+            out[f"p{int(round(q * 100))}"] = [val]
+        return pa.table(out)
+
+    return totals.groupby(group_cols).map_groups(_pick, batch_format="pyarrow")
+
+
+def pack_sequences(path: str, *, id_col: str, size_col: str, cap: int,
+                   parallelism_hint: int | None = None):
+    """Sequence packing for training batches: assign each document a ``bin``
+    such that bins fill contiguously to ``cap`` size units —
+    ``bin = exclusive_prefix_sum(size) // cap`` over documents ordered by
+    ``id_col``.
+
+    A global ordered prefix sum is the one primitive Ray Data's Dataset API
+    cannot express (every map is order-oblivious, every aggregate is
+    commutative), so this drops to raw Ray tasks — the documented
+    last-resort case:
+
+      pass 1: one task per (file, row_group) reads ONLY ``size_col`` and
+              returns (sum, min_id, max_id) — tiny column scan;
+      driver: exclusive scan over the per-unit sums (O(row_groups) rows,
+              never row data) + a sortedness check on the id ranges;
+      pass 2: one task per unit reads the unit, adds
+              ``(unit_offset + local_exclusive_cumsum) // cap``.
+
+    PARTITIONING ASSUMPTION (checked in pass 1): the parquet is sorted by
+    ``id_col`` and file/row-group order follows id order — the same
+    canonical layout the flagship pipeline's sorted_input mode relies on.
+    Results return as ``from_arrow_refs`` (blocks stay in the object
+    store; nothing concentrates on the driver)."""
+    import glob as _glob
+    import os as _os
+
+    import numpy as np
+    import pyarrow.parquet as _pq
+    import ray
+    import ray.data as rd
+
+    if _os.path.isdir(path):
+        files = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+    else:
+        files = [path]
+    units = []
+    for f in files:
+        n_rg = _pq.ParquetFile(f).metadata.num_row_groups
+        units.extend((f, i) for i in range(n_rg))
+
+    @ray.remote
+    def _unit_summary(f: str, rg: int):
+        t = _pq.ParquetFile(f).read_row_group(rg, columns=[id_col, size_col])
+        sizes = t.column(size_col).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col)
+        lo = ids[0].as_py() if t.num_rows else None
+        hi = ids[-1].as_py() if t.num_rows else None
+        return int(sizes.sum()), lo, hi, bool(
+            np.all(np.diff(ids.to_numpy(zero_copy_only=False)) >= 0)
+        ) if t.num_rows else True
+
+    summaries = ray.get([_unit_summary.remote(f, rg) for f, rg in units])
+    prev_hi = None
+    offsets = []
+    acc = 0
+    for (s, lo, hi, inner_sorted) in summaries:
+        if not inner_sorted or (prev_hi is not None and lo is not None and lo < prev_hi):
+            raise ValueError(
+                f"pack_sequences requires input sorted by {id_col} "
+                "(file/row-group order must follow id order)"
+            )
+        offsets.append(acc)
+        acc += s
+        prev_hi = hi if hi is not None else prev_hi
+
+    @ray.remote
+    def _assign(f: str, rg: int, offset: int):
+        t = _pq.ParquetFile(f).read_row_group(rg, columns=[id_col, size_col])
+        sizes = t.column(size_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        excl = np.cumsum(sizes) - sizes + offset
+        return t.append_column("bin", pa.array(excl // cap, pa.int64()))
+
+    refs = [_assign.remote(f, rg, off) for (f, rg), off in zip(units, offsets)]
+    return rd.from_arrow_refs(refs)

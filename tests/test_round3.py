@@ -364,3 +364,71 @@ def test_hash_sample_deterministic_and_stratified(ray_session):
         strata_frac={"en": 0.3}, default_frac=0.6,
     ).to_pandas()
     assert sorted(out2["doc_id"]) == want
+
+
+def test_pack_sequences_multi_rowgroup(ray_session, tmp_path):
+    """Prefix-sum correctness across row-group units (the distributed
+    path: one task per row group, offsets from the driver scan)."""
+    import duckdb
+    import pyarrow.parquet as pqt
+
+    from logjuicer_ray.functions.corpus import pack_sequences
+
+    rng = np.random.default_rng(11)
+    n = 1000
+    t = pa.table(
+        {"doc_id": pa.array(range(n), pa.int64()),
+         "n_chars": pa.array(rng.integers(1, 900, n), pa.int64())}
+    )
+    p = str(tmp_path / "docs.parquet")
+    pqt.write_table(t, p, row_group_size=77)
+    out = (
+        pack_sequences(p, id_col="doc_id", size_col="n_chars", cap=2048)
+        .sort("doc_id")
+        .to_pandas()
+    )
+    want = duckdb.sql(
+        "SELECT doc_id, CAST(FLOOR(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) "
+        f"AS bin FROM read_parquet('{p}') ORDER BY doc_id"
+    ).df()
+    assert (out["bin"].to_numpy() == want["bin"].to_numpy()).all()
+
+
+def test_pack_sequences_rejects_unsorted(ray_session, tmp_path):
+    import pyarrow.parquet as pqt
+
+    from logjuicer_ray.functions.corpus import pack_sequences
+
+    t = pa.table({"doc_id": pa.array([3, 1, 2], pa.int64()),
+                  "n_chars": pa.array([10, 10, 10], pa.int64())})
+    p = str(tmp_path / "bad.parquet")
+    pqt.write_table(t, p, row_group_size=2)
+    with pytest.raises(ValueError, match="sorted"):
+        pack_sequences(p, id_col="doc_id", size_col="n_chars", cap=100)
+
+
+def test_grouped_quantiles_random_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logjuicer_ray.functions.corpus import grouped_quantiles
+
+    rng = np.random.default_rng(5)
+    t = pa.table(
+        {"g": pa.array(rng.choice(["a", "b", "c"], 5000)),
+         "v": pa.array(rng.integers(0, 40, 5000), pa.int64())}
+    )
+    out = (
+        grouped_quantiles(rd.from_arrow(t).repartition(9), group_cols=["g"],
+                          col="v", qs=[0.25, 0.5, 0.99])
+        .sort("g")
+        .to_pandas()
+    )
+    duckdb.register("t", t.to_pandas())
+    want = duckdb.sql(
+        "SELECT g, quantile_disc(v, 0.25) AS p25, quantile_disc(v, 0.5) AS p50, "
+        "quantile_disc(v, 0.99) AS p99 FROM t GROUP BY g ORDER BY g"
+    ).df()
+    cols = ["g", "p25", "p50", "p99"]
+    assert out[cols].reset_index(drop=True).equals(want[cols].astype(out[cols].dtypes))
