@@ -613,6 +613,18 @@ def _q_lineitem_quantiles(sf_dir: str):
     ).sort("l_returnflag")
 
 
+def _q_tfidf_docs(sf_dir: str):
+    """Top-3 TF-IDF terms per document — in-batch exploded tf, distributed
+    df, native token join, k-bounded grouped top-k (functions/corpus.py
+    tfidf_topk)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.corpus import tfidf_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tfidf_topk(docs, k=3).sort(["doc_id", "rank"])
+
+
 def _q_customer_orders_join(sf_dir: str):
     """Distributed equi-join via Ray Data's native hash join
     (``Dataset.join``) — the shuffle-join path for two large sides, in
@@ -901,6 +913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_orders_join": _q_customer_orders_join,
         "packed_docs": _q_packed_docs,
         "lineitem_quantiles": _q_lineitem_quantiles,
+        "tfidf_docs": _q_tfidf_docs,
     }
 
 
@@ -1341,5 +1354,23 @@ def oracle_sql() -> dict[str, str]:
             "quantile_disc(l_quantity, 0.9) AS p90, "
             "quantile_disc(l_quantity, 0.99) AS p99 "
             "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "tfidf_docs": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(text, '\\s+')) AS token "
+            "FROM documents WHERE text IS NOT NULL), "
+            "tf AS (SELECT doc_id, token, COUNT(*)::BIGINT AS tf FROM toks "
+            "WHERE token <> '' GROUP BY doc_id, token), "
+            "df AS (SELECT token, COUNT(*)::BIGINT AS df FROM tf GROUP BY token), "
+            "n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents WHERE text IS NOT NULL), "
+            "scored AS (SELECT tf.doc_id, tf.token, "
+            "tf.tf * ln((SELECT n FROM n) / df.df) AS s "
+            "FROM tf JOIN df USING (token)), "
+            "ranked AS (SELECT doc_id, token, s, "
+            "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, token) AS rank "
+            "FROM scored) "
+            "SELECT doc_id, token, rank, "
+            "CAST(FLOOR(s * 1000000 + 0.5) AS BIGINT) AS tfidf_e6 "
+            "FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"
         ),
     }

@@ -254,3 +254,66 @@ def pack_sequences(path: str, *, id_col: str, size_col: str, cap: int,
 
     refs = [_assign.remote(f, rg, off) for (f, rg), off in zip(units, offsets)]
     return rd.from_arrow_refs(refs)
+
+
+def tfidf_topk(ds, *, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
+               num_partitions: int = 8):
+    """Top-``k`` TF-IDF terms per document (tf = in-doc count,
+    idf = ln(N / df), N = docs with non-null text).  Fully distributed:
+
+    - tf: vectorized in-batch explode (``list_parent_indices``) + Arrow
+      group_by — exact because one row IS one document, so a batch always
+      holds whole documents;
+    - df: ``groupby(token).count`` over the distinct (doc, token) tf rows
+      (vocabulary-sized output);
+    - tf ⋈ df: native hash join on token (the scale path — df may be
+      far larger than driver memory at corpus scale);
+    - top-k: ``topk_per_group`` with its map-side k-bounded combiner.
+
+    Scores are emitted as ``tfidf_e6`` (floor(s·10⁶ + 0.5)) so an external
+    SQL engine can reproduce values exactly."""
+    import numpy as np
+
+    from .topk import topk_per_group
+
+    def _tf(batch: pa.Table) -> pa.Table:
+        toks_list = pc.utf8_split_whitespace(batch.column(text_col))
+        flat = pc.list_flatten(toks_list)
+        parent = pc.list_parent_indices(toks_list)
+        ids = batch.column(id_col).take(parent)
+        t = pa.table({id_col: ids, "token": flat}).filter(
+            pc.not_equal(pc.field("token"), "")
+        )
+        g = t.group_by([id_col, "token"]).aggregate([([], "count_all")])
+        return g.rename_columns([id_col, "token", "tf"])
+
+    def _n_docs(batch: pa.Table) -> pa.Table:
+        n = pc.sum(pc.cast(pc.is_valid(batch.column(text_col)), pa.int64())).as_py()
+        return pa.table({"n": pa.array([n or 0], pa.int64())})
+
+    n_docs = sum(r["n"] for r in ds.map_batches(_n_docs, batch_format="pyarrow").take_all())
+    tf = ds.map_batches(_tf, batch_format="pyarrow")
+    df = tf.groupby("token").count().map_batches(
+        lambda b: b.rename_columns(["token", "df"]), batch_format="pyarrow"
+    )
+    joined = tf.join(df, join_type="inner", num_partitions=num_partitions,
+                     on=("token",))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        tfv = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = batch.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = tfv * np.log(float(n_docs) / dfv)
+        return batch.append_column("s", pa.array(s, pa.float64()))
+
+    scored = joined.map_batches(_score, batch_format="pyarrow")
+    top = topk_per_group(
+        scored, group_cols=[id_col], order_col="s", k=k, tie_cols=["token"],
+    )
+
+    def _e6(batch: pa.Table) -> pa.Table:
+        e6 = pc.cast(pc.floor(pc.add(pc.multiply(batch.column("s"), 1e6), 0.5)),
+                     pa.int64())
+        return (batch.select([id_col, "token", "rank"])
+                .append_column("tfidf_e6", e6))
+
+    return top.map_batches(_e6, batch_format="pyarrow")

@@ -432,3 +432,16 @@ def test_grouped_quantiles_random_vs_duckdb(ray_session):
     ).df()
     cols = ["g", "p25", "p50", "p99"]
     assert out[cols].reset_index(drop=True).equals(want[cols].astype(out[cols].dtypes))
+
+
+def test_tfidf_docs_query_vs_duckdb(ray_session):
+    import __ray_entry__ as e
+
+    out = e.queries()["tfidf_docs"]("/root/testdata/sf0.001").to_pandas()
+    want = _docs_con().execute(e.oracle_sql()["tfidf_docs"]).df()
+    assert len(out) == len(want) and len(out) > 0
+    cols = sorted(out.columns)
+    assert cols == sorted(want.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert a.astype({c: b[c].dtype for c in cols}).equals(b)
