@@ -83,6 +83,35 @@ def _q_unknown(sf_dir: str):
     return out["unknown"]
 
 
+def _q_unknown_routed(sf_dir: str):
+    """Unknown-files routing under a hard oracle: train WITHOUT the
+    ('tool', 'browser') baseline group, so every target conversation's
+    browser rows route to the unknown sink (model.rs:665-673).  The
+    counters (non-empty target rows per (conv, group), no job-output cut —
+    unknown groups are never scanned) are exactly SQL-recomputable."""
+    import pyarrow.compute as pc
+
+    from logjuicer_ray.config import PipelineConfig
+    from logjuicer_ray.pipelines.report import run_report
+    from logjuicer_ray.pipelines.train import train
+    from logjuicer_ray.sources.transcripts import baseline_and_target
+
+    path = _turns_path(sf_dir)
+    base, target = baseline_and_target(path)
+
+    def drop_browser(b):
+        return b.filter(
+            pc.not_equal(pc.fill_null(b.column("tool"), ""), "browser")
+        )
+
+    model = train(
+        base.map_batches(drop_browser, batch_format="pyarrow"),
+        PipelineConfig(sorted_input=True),
+    )
+    out = run_report(target, model, PipelineConfig(sorted_input=True))
+    return out["unknown"]
+
+
 def _q_report_counts(sf_dir: str):
     """Per-conversation line/byte counters straight out of the flagship
     report scan's counts rows (LineCounters analog, model.rs:451-470) —
@@ -879,6 +908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "report_anomalies": _q_anomalies,
         "report_reports": _q_reports,
         "report_unknown": _q_unknown,
+        "report_unknown_routed": _q_unknown_routed,
         "report_counts": _q_report_counts,
         "errors_anomalies": _q_errors,
         "tokenize_documents": _q_tokenize,
@@ -1157,6 +1187,21 @@ def oracle_sql() -> dict[str, str]:
         "turn_counts": (
             f"SELECT conv_id, COUNT(*) AS n_turns, MAX(turn_idx) AS max_turn "
             f"FROM {turns} GROUP BY conv_id ORDER BY conv_id"
+        ),
+        "report_unknown_routed": (
+            # unknown routing: per-(conv, group) counters over non-empty
+            # target rows whose (role/tool) group was not trained (the
+            # 'tool/browser' group is withheld from the baseline); unknown
+            # groups are never scanned, so no job-output cut applies
+            f"WITH trained AS ("
+            f"  SELECT DISTINCT role || '/' || tool AS group_key FROM {turns} "
+            f"  WHERE split = 'baseline' AND tool <> 'browser') "
+            f"SELECT conv_id, role, tool, role || '/' || tool AS group_key, "
+            f"  COUNT(*) AS line_count, "
+            f"  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS byte_count "
+            f"FROM {turns} WHERE split = 'target' AND text <> '' "
+            f"  AND role || '/' || tool NOT IN (SELECT group_key FROM trained) "
+            f"GROUP BY conv_id, role, tool ORDER BY group_key, conv_id"
         ),
         "report_counts": (
             # the scan counts non-empty indexed target rows per conversation,

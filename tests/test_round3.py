@@ -445,3 +445,21 @@ def test_tfidf_docs_query_vs_duckdb(ray_session):
     a = out[cols].sort_values(cols).reset_index(drop=True)
     b = want[cols].sort_values(cols).reset_index(drop=True)
     assert a.astype({c: b[c].dtype for c in cols}).equals(b)
+
+
+def test_unknown_routed_query_vs_duckdb(ray_session):
+    """Unknown-files routing under a hard oracle: browser group withheld
+    from training, per-(conv, group) counters recomputed in SQL."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    out = e.queries()["report_unknown_routed"]("/root/testdata/sf0.001").to_pandas()
+    sql = e.oracle_sql()["report_unknown_routed"].replace("sf0.01", "sf0.001")
+    want = duckdb.sql(sql).df()
+    assert len(out) == len(want) and len(out) > 0
+    cols = sorted(out.columns)
+    assert cols == sorted(want.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert a.astype({c: b[c].dtype for c in cols}).equals(b)
