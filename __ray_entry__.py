@@ -534,6 +534,31 @@ def _q_lineitem_topk(sf_dir: str):
     )
 
 
+def _q_events_hopping(sf_dir: str):
+    """Hopping-window aggregate (60-min windows every 15 min): vectorized
+    per-batch window explode + in-batch partial aggregation, one small
+    keyed shuffle (functions/windows.py hopping_window_agg).  Values ride
+    as exact micro-units so the SQL oracle reproduces sums bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logjuicer_ray.functions.windows import hopping_window_agg
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["ts", "event_type", "value"])
+
+    def to_e6(batch: pa.Table) -> pa.Table:
+        e6 = pc.cast(pc.round(pc.multiply(batch.column("value"), 1e6)), pa.int64())
+        return batch.drop_columns(["value"]).append_column("value_e6", e6)
+
+    return hopping_window_agg(
+        events.map_batches(to_e6, batch_format="pyarrow"),
+        ts_col="ts", value_col="value_e6", window_minutes=60, hop_minutes=15,
+        group_cols=["event_type"],
+    ).sort(["event_type", "window_start"])
+
+
 def _q_events_sessions(sf_dir: str):
     """Gap-based sessionization (30-min silence) per user — one keyed
     shuffle + vectorized per-group kernel (functions/windows.py)."""
@@ -928,6 +953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _q_knn,
         "knn_ivf": _q_knn_ivf,
         "events_window": _q_events_window,
+        "events_hopping": _q_events_hopping,
         "events_sessions": _q_events_sessions,
         "lineitem_topk": _q_lineitem_topk,
         "orders_range_lineitem": _q_orders_range_lineitem,
@@ -1399,6 +1425,18 @@ def oracle_sql() -> dict[str, str]:
             "quantile_disc(l_quantity, 0.9) AS p90, "
             "quantile_disc(l_quantity, 0.99) AS p99 "
             "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "events_hopping": (
+            "WITH e AS (SELECT event_type, epoch_us(ts) AS tus, "
+            "CAST(ROUND(value * 1000000) AS BIGINT) AS value_e6 FROM events), "
+            "j AS (SELECT unnest(generate_series(0, 3)) AS j), "
+            "x AS (SELECT event_type, "
+            "make_timestamp((tus // 900000000) * 900000000 - j * 900000000) AS window_start, "
+            "value_e6 FROM e CROSS JOIN j) "
+            "SELECT event_type, window_start, "
+            "CAST(SUM(value_e6) AS BIGINT) AS sum_value_e6, COUNT(*) AS n_events "
+            "FROM x GROUP BY event_type, window_start "
+            "ORDER BY event_type, window_start"
         ),
         "tfidf_docs": (
             "WITH toks AS (SELECT doc_id, "

@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["sessionize"]
+__all__ = ["sessionize", "hopping_window_agg"]
 
 
 def _session_group(
@@ -73,3 +73,62 @@ def sessionize(ds, *, key: str = "user_id", ts_col: str = "ts",
         lambda g: _session_group(g, key=key, ts_col=ts_col, id_col=id_col, gap_us=gap_us),
         batch_format="pyarrow",
     )
+
+
+def hopping_window_agg(ds, *, ts_col: str = "ts", value_col: str,
+                       window_minutes: int, hop_minutes: int,
+                       group_cols: list[str] | None = None):
+    """Hopping (sliding) window aggregate: every event lands in the
+    ``window/hop`` windows whose start lies in ``(ts - window, ts]`` on the
+    hop grid.  Per-batch: vectorized window explode + in-batch partial
+    aggregation (so the keyed shuffle moves (window, group) partial rows,
+    never ``window/hop`` copies of the events), then one small groupby.
+
+    Emits (group_cols..., window_start, n_events, sum_<value_col>) with
+    ``window_start`` as timestamp[us].  ``window_minutes`` must be a
+    multiple of ``hop_minutes``."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if window_minutes % hop_minutes:
+        raise ValueError("window must be a multiple of hop")
+    w_us = window_minutes * 60 * 1_000_000
+    h_us = hop_minutes * 60 * 1_000_000
+    n_hops = window_minutes // hop_minutes
+    group_cols = list(group_cols or [])
+    sum_name = f"sum_{value_col}"
+
+    def explode_partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (ts // h_us) * h_us
+        n = len(ts)
+        # window starts: base - j*h for j in 0..n_hops-1 (all within (ts-w, ts])
+        starts = np.repeat(base, n_hops) - np.tile(
+            np.arange(n_hops, dtype=np.int64) * h_us, n
+        )
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_hops))
+        t = batch.select(group_cols + [value_col]).take(idx)
+        t = t.append_column("window_start", pa.array(starts, pa.int64()))
+        agg = t.group_by(group_cols + ["window_start"]).aggregate(
+            [(value_col, "sum"), ([], "count_all")]
+        )
+        return agg.rename_columns(group_cols + ["window_start", sum_name, "n_events"])
+
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(explode_partial, batch_format="pyarrow")
+    out = partial.groupby(group_cols + ["window_start"]).aggregate(
+        Sum(sum_name, alias_name=sum_name), Sum("n_events", alias_name="n_events")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("window_start")
+        ws = batch.column("window_start").cast(pa.timestamp("us"))
+        batch = batch.set_column(i, "window_start", ws)
+        j = batch.schema.get_field_index("n_events")
+        return batch.set_column(
+            j, "n_events", batch.column("n_events").cast(pa.int64())
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -463,3 +463,45 @@ def test_unknown_routed_query_vs_duckdb(ray_session):
     a = out[cols].sort_values(cols).reset_index(drop=True)
     b = want[cols].sort_values(cols).reset_index(drop=True)
     assert a.astype({c: b[c].dtype for c in cols}).equals(b)
+
+
+def test_events_hopping_query_vs_duckdb(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    out = e.queries()["events_hopping"](sf).to_pandas()
+    want = con.execute(e.oracle_sql()["events_hopping"]).df()
+    assert len(out) == len(want) and len(out) > 0
+    cols = sorted(out.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert a.astype({c: b[c].dtype for c in cols}).equals(b)
+
+
+def test_hopping_window_semantics(ray_session):
+    """Every event lands in exactly window/hop windows; boundary event at an
+    exact hop-grid instant belongs to the window starting there."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.windows import hopping_window_agg
+
+    m = 60 * 1_000_000
+    t = pa.table({
+        "ts": pa.array([0, 15 * m, 59 * m], pa.timestamp("us")),
+        "g": pa.array(["a", "a", "a"]),
+        "v": pa.array([1, 10, 100], pa.int64()),
+    })
+    out = (
+        hopping_window_agg(rd.from_arrow(t), ts_col="ts", value_col="v",
+                           window_minutes=60, hop_minutes=15, group_cols=["g"])
+        .sort("window_start")
+        .to_pandas()
+    )
+    # ts=0 -> windows {-45,-30,-15,0}; ts=15m -> {-30,...,15}; ts=59m -> {0,15,30,45}
+    assert out["n_events"].sum() == 12
+    w0 = out[out["window_start"] == pa.scalar(0, pa.timestamp("us")).as_py()]
+    assert int(w0["sum_v"].iloc[0]) == 111  # all three events overlap window [0, 60m)
