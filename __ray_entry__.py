@@ -112,6 +112,43 @@ def _q_unknown_routed(sf_dir: str):
     return out["unknown"]
 
 
+def _q_errors_triggers(sf_dir: str):
+    """The errors classifier's standalone-error regex surface under a hard
+    oracle: per-conversation count of trigger lines (errors_parser.rs
+    _ERROR_LINE_RE, RE2-compatible, the exact pattern string shared with
+    the SQL).  The multi-line traceback/panic state machine stays
+    pytest-verified; this pins the ~30-alternative regex itself."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logjuicer_ray.errors_parser import _ERROR_LINE_RE
+    from logjuicer_ray.sources.transcripts import read_turns
+
+    target = read_turns(_turns_path(sf_dir), split="target",
+                        columns=["conv_id", "text"])
+    pat = _ERROR_LINE_RE.pattern
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hit = pc.cast(
+            pc.match_substring_regex(pc.fill_null(batch.column("text"), ""), pat),
+            pa.int64(),
+        )
+        t = pa.table({"conv_id": batch.column("conv_id"), "hit": hit})
+        g = t.group_by(["conv_id"]).aggregate([("hit", "sum")])
+        return g.rename_columns(["conv_id", "n_triggers"])
+
+    out = (
+        target.map_batches(partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .sum("n_triggers")
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["conv_id", "n_triggers"]),
+        batch_format="pyarrow",
+    ).sort("conv_id")
+
+
 def _q_report_counts(sf_dir: str):
     """Per-conversation line/byte counters straight out of the flagship
     report scan's counts rows (LineCounters analog, model.rs:451-470) —
@@ -936,6 +973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "report_unknown_routed": _q_unknown_routed,
         "report_counts": _q_report_counts,
         "errors_anomalies": _q_errors,
+        "errors_triggers": _q_errors_triggers,
         "tokenize_documents": _q_tokenize,
         "turn_counts": _q_turn_counts,
         "group_volume": _q_group_volume,
@@ -971,6 +1009,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_quantiles": _q_lineitem_quantiles,
         "tfidf_docs": _q_tfidf_docs,
     }
+
+
+def _errors_triggers_sql(turns: str) -> str:
+    """Per-conversation standalone-error trigger counts — the engine's
+    exact regex (errors_parser._ERROR_LINE_RE) inlined into DuckDB's RE2
+    regexp_matches."""
+    from logjuicer_ray.errors_parser import _ERROR_LINE_RE
+
+    pat = _ERROR_LINE_RE.pattern.replace("'", "''")
+    return (
+        f"SELECT conv_id, "
+        f"CAST(SUM(CASE WHEN regexp_matches(COALESCE(text, ''), '{pat}') "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS n_triggers "
+        f"FROM {turns} WHERE split = 'target' "
+        f"GROUP BY conv_id ORDER BY conv_id"
+    )
 
 
 def _sampled_docs_sql() -> str:
@@ -1214,6 +1268,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT conv_id, COUNT(*) AS n_turns, MAX(turn_idx) AS max_turn "
             f"FROM {turns} GROUP BY conv_id ORDER BY conv_id"
         ),
+        "errors_triggers": _errors_triggers_sql(turns),
         "report_unknown_routed": (
             # unknown routing: per-(conv, group) counters over non-empty
             # target rows whose (role/tool) group was not trained (the

@@ -505,3 +505,18 @@ def test_hopping_window_semantics(ray_session):
     assert out["n_events"].sum() == 12
     w0 = out[out["window_start"] == pa.scalar(0, pa.timestamp("us")).as_py()]
     assert int(w0["sum_v"].iloc[0]) == 111  # all three events overlap window [0, 60m)
+
+
+def test_errors_triggers_query_vs_duckdb(ray_session):
+    """The errors classifier's standalone regex, RE2-recomputed in SQL."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    out = e.queries()["errors_triggers"]("/root/testdata/sf0.001").to_pandas()
+    sql = e.oracle_sql()["errors_triggers"].replace("sf0.01", "sf0.001")
+    want = duckdb.sql(sql).df()
+    assert len(out) == len(want) and out["n_triggers"].sum() > 0
+    a = out.sort_values("conv_id").reset_index(drop=True)
+    b = want.sort_values("conv_id").reset_index(drop=True)
+    assert (a["n_triggers"].to_numpy() == b["n_triggers"].to_numpy()).all()
