@@ -107,34 +107,73 @@ def exact_quantiles(ds, col: str, qs: list[float]):
     return pa.table(out)
 
 
+def _splitmix64_np(x):
+    """Vectorized SplitMix64 finalizer over a uint64 numpy array — the fast
+    (non-SQL-portable) hash for integer keys, mirroring MinHash's dual-mode
+    design (portable md5 for oracles, numpy for the 100-TB path)."""
+    import numpy as np
+
+    z = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        z += np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return z
+
+
 def hash_sample(ds, *, key_col: str, frac: float | None = None,
                 strata_col: str | None = None,
                 strata_frac: dict[str, float] | None = None,
-                default_frac: float = 0.0):
+                default_frac: float = 0.0, portable: bool = True):
     """Deterministic reproducible sampling: keep a row iff
-    ``md5_u64(str(key)) < floor(frac * 2^64)``.  With ``strata_col`` +
+    ``hash(key) < floor(frac * 2^64)``.  With ``strata_col`` +
     ``strata_frac``, the fraction is chosen per stratum (unlisted strata
-    use ``default_frac``).  Thresholds are exact integers so an external
-    SQL engine reproduces the sample bit-for-bit; no RNG state, no
-    shuffle, stable under repartitioning and resume."""
+    use ``default_frac``).  Thresholds are exact integers; no RNG state,
+    no shuffle, stable under repartitioning and resume.
+
+    ``portable=True`` (default): md5-u64 over ``str(key)`` — recomputable
+    by an external SQL engine (the driver oracle re-derives the sample
+    bit-for-bit).  ``portable=False``: vectorized SplitMix64 over integer
+    keys — no per-row Python, the throughput path at corpus scale (same
+    sampling guarantees, different — but equally deterministic — sample)."""
+    import numpy as np
+
     if (frac is None) == (strata_frac is None):
         raise ValueError("pass exactly one of frac / strata_frac")
+    _max = 2**64 - 1  # uint64-comparable; frac >= 1.0 keeps everything but
+    # the single hash value 2^64-1 (probability 2^-64; sampling at 1.0 is a
+    # no-op anyway)
     if frac is not None:
-        thresholds = {None: int(frac * 2**64)}
+        thresholds = {None: min(int(frac * 2**64), _max)}
     else:
-        thresholds = {s: int(f * 2**64) for s, f in strata_frac.items()}
-    default_thr = int(default_frac * 2**64)
+        thresholds = {s: min(int(f * 2**64), _max) for s, f in strata_frac.items()}
+    default_thr = min(int(default_frac * 2**64), _max)
+
+    def _hashes(batch: pa.Table) -> "np.ndarray":
+        col = batch.column(key_col)
+        if not portable:
+            if not pa.types.is_integer(col.type):
+                raise ValueError("portable=False requires an integer key column")
+            keys = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            return _splitmix64_np(keys)
+        return np.fromiter(
+            (md5_u64_str(str(k)) for k in col.to_pylist()),
+            dtype=np.uint64, count=batch.num_rows,
+        )
 
     def _filter(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_col).to_pylist()
-        hs = [md5_u64_str(str(k)) for k in keys]
+        hs = _hashes(batch)
         if frac is not None:
-            thr = thresholds[None]
-            mask = [h < thr for h in hs]
+            mask = hs < np.uint64(thresholds[None])
         else:
             ss = batch.column(strata_col).to_pylist()
-            mask = [h < thresholds.get(s, default_thr) for h, s in zip(hs, ss)]
-        return batch.filter(pa.array(mask, pa.bool_()))
+            thr = np.fromiter(
+                (thresholds.get(s, default_thr) for s in ss),
+                dtype=np.uint64, count=batch.num_rows,
+            )
+            mask = hs < thr
+        return batch.filter(pa.array(mask))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
 

@@ -520,3 +520,25 @@ def test_errors_triggers_query_vs_duckdb(ray_session):
     a = out.sort_values("conv_id").reset_index(drop=True)
     b = want.sort_values("conv_id").reset_index(drop=True)
     assert (a["n_triggers"].to_numpy() == b["n_triggers"].to_numpy()).all()
+
+
+def test_hash_sample_fast_mode(ray_session):
+    """SplitMix64 fast path: vectorized, deterministic, partition-invariant,
+    and statistically close to the requested fraction."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.corpus import hash_sample
+
+    rows = [{"doc_id": i} for i in range(20000)]
+    a = hash_sample(rd.from_items(rows), key_col="doc_id", frac=0.3,
+                    portable=False).to_pandas()
+    b = hash_sample(rd.from_items(rows).repartition(11), key_col="doc_id",
+                    frac=0.3, portable=False).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    assert abs(len(a) / 20000 - 0.3) < 0.02
+    with pytest.raises(Exception, match="integer key"):
+        import pyarrow as _pa
+        import ray.data as _rd
+
+        hash_sample(_rd.from_arrow(_pa.table({"k": ["x"]})), key_col="k",
+                    frac=0.5, portable=False).take_all()
