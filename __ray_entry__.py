@@ -704,6 +704,48 @@ def _q_lineitem_quantiles(sf_dir: str):
     ).sort("l_returnflag")
 
 
+def _q_lineitem_semijoin(sf_dir: str):
+    """Bloom-pruned exact join: a bloom of the filtered orders keys is
+    broadcast to prune lineitem BEFORE the join shuffle (false positives
+    are removed by the exact join, so the result is exact; the bloom only
+    cuts shuffle bytes — functions/joins.py build_bloom/bloom_prune)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from logjuicer_ray.functions.joins import bloom_prune, build_bloom
+
+    cutoff = pa.scalar(
+        __import__("datetime").datetime(1997, 1, 1), pa.timestamp("us")
+    )
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+    recent = orders.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("o_orderdate"), cutoff)),
+        batch_format="pyarrow",
+    )
+    bloom = build_bloom(recent, "o_orderkey", n_bits=1 << 20)
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_returnflag", "l_quantity"])
+    pruned = bloom_prune(li, "l_orderkey", bloom)
+    joined = pruned.join(
+        recent.select_columns(["o_orderkey"]), join_type="inner",
+        num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def qty_e0(batch: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(batch.column("l_quantity")), pa.int64())
+        return batch.drop_columns(["l_quantity"]).append_column("qty", q)
+
+    return (
+        joined.map_batches(qty_e0, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Count(alias_name="n_rows"), Sum("qty", alias_name="sum_qty"))
+        .sort("l_returnflag")
+    )
+
+
 def _q_tfidf_docs(sf_dir: str):
     """Top-3 TF-IDF terms per document — in-batch exploded tf, distributed
     df, native token join, k-bounded grouped top-k (functions/corpus.py
@@ -1008,6 +1050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packed_docs": _q_packed_docs,
         "lineitem_quantiles": _q_lineitem_quantiles,
         "tfidf_docs": _q_tfidf_docs,
+        "lineitem_semijoin": _q_lineitem_semijoin,
     }
 
 
@@ -1492,6 +1535,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(value_e6) AS BIGINT) AS sum_value_e6, COUNT(*) AS n_events "
             "FROM x GROUP BY event_type, window_start "
             "ORDER BY event_type, window_start"
+        ),
+        "lineitem_semijoin": (
+            "SELECT l_returnflag, COUNT(*) AS n_rows, "
+            "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         "tfidf_docs": (
             "WITH toks AS (SELECT doc_id, "

@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["asof_join", "range_join_agg"]
+__all__ = ["asof_join", "range_join_agg", "build_bloom", "bloom_prune"]
 
 
 def _asof_group(group: pa.Table, *, left_ts: str, right_ts: str,
@@ -184,3 +184,71 @@ def asof_join(left_ds, right_ds, *, key: str, right_key: str,
         ),
         batch_format="pyarrow",
     )
+
+
+def _bloom_hashes(keys, n_bits: int, n_hashes: int):
+    """k vectorized SplitMix64 hash positions per key (uint64 numpy in)."""
+    import numpy as np
+
+    from ..functions.corpus import _splitmix64_np
+
+    pos = np.empty((n_hashes, len(keys)), dtype=np.uint64)
+    for i in range(n_hashes):
+        with np.errstate(over="ignore"):
+            salted = keys ^ np.uint64(0xA076_1D64_78BD_642F * (i + 1) & (2**64 - 1))
+        pos[i] = _splitmix64_np(salted) % np.uint64(n_bits)
+    return pos
+
+
+def build_bloom(ds, key_col: str, *, n_bits: int = 1 << 23, n_hashes: int = 4):
+    """Bloom filter of an integer key column as a packed uint8 bitmap.
+
+    Per-block partial bitmaps are OR-merged on the driver — driver traffic
+    is O(blocks × n_bits/8), never key rows (n_bits=2^23 → 1 MiB per
+    block; at larger key cardinalities raise n_bits and tree-reduce)."""
+    import numpy as np
+    import pyarrow as pa
+
+    nbytes = n_bits // 8
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        if len(keys):
+            pos = _bloom_hashes(keys, n_bits, n_hashes).ravel()
+            np.bitwise_or.at(bm, (pos // 8).astype(np.int64),
+                             np.left_shift(np.uint8(1), (pos % 8).astype(np.uint8)))
+        return pa.table({"bloom": pa.array([bm.tobytes()], pa.binary())})
+
+    out = np.zeros(nbytes, dtype=np.uint8)
+    for row in ds.map_batches(_partial, batch_format="pyarrow").take_all():
+        out |= np.frombuffer(row["bloom"], dtype=np.uint8)
+    return out
+
+
+def bloom_prune(ds, key_col: str, bloom, *, n_hashes: int = 4):
+    """Drop rows whose key is definitely NOT in the bloom (exact rows always
+    survive — the filter is a superset, so a downstream exact join stays
+    exact while the shuffle moves only candidate rows).  ``bloom`` is
+    broadcast once via ``ray.put`` and read zero-copy per task."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    n_bits = len(bloom) * 8
+    bloom_ref = ray.put(bloom)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        bm = ray.get(bloom_ref)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        if not len(keys):
+            return batch
+        pos = _bloom_hashes(keys, n_bits, n_hashes)
+        hit = np.ones(len(keys), dtype=bool)
+        for i in range(pos.shape[0]):
+            p = pos[i]
+            hit &= (bm[(p // 8).astype(np.int64)]
+                    & np.left_shift(np.uint8(1), (p % 8).astype(np.uint8))) != 0
+        return batch.filter(pa.array(hit))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

@@ -288,7 +288,7 @@ def _docs_con(sf="/root/testdata/sf0.001"):
     import duckdb
 
     con = duckdb.connect()
-    for t in ("documents", "orders", "customer"):
+    for t in ("documents", "orders", "customer", "lineitem"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
@@ -542,3 +542,32 @@ def test_hash_sample_fast_mode(ray_session):
 
         hash_sample(_rd.from_arrow(_pa.table({"k": ["x"]})), key_col="k",
                     frac=0.5, portable=False).take_all()
+
+
+def test_bloom_prune_superset_and_pruning(ray_session):
+    """Bloom pruning keeps every true key (exactness) and actually prunes
+    non-member rows at realistic sizes."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.joins import bloom_prune, build_bloom
+
+    keys = rd.from_items([{"k": i * 3} for i in range(2000)])  # multiples of 3
+    bloom = build_bloom(keys, "k", n_bits=1 << 18)
+    big = rd.from_items([{"k": i, "v": i} for i in range(12000)])
+    kept = bloom_prune(big, "k", bloom).to_pandas()
+    member = {i * 3 for i in range(2000)}
+    kept_set = set(kept["k"])
+    assert member <= kept_set  # no false negatives, ever
+    # false-positive rate at these sizes is tiny; pruning must be substantial
+    assert len(kept_set) < 12000 * 0.45
+
+
+def test_lineitem_semijoin_query_vs_duckdb(ray_session):
+    import __ray_entry__ as e
+
+    out = e.queries()["lineitem_semijoin"]("/root/testdata/sf0.001").to_pandas()
+    want = _docs_con().execute(e.oracle_sql()["lineitem_semijoin"]).df()
+    cols = sorted(out.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert a.astype({c: b[c].dtype for c in cols}).equals(b)
