@@ -704,6 +704,90 @@ def _q_lineitem_quantiles(sf_dir: str):
     ).sort("l_returnflag")
 
 
+def _q_curated_docs(sf_dir: str):
+    """Composed curation pipeline — the end-to-end shape a training-data
+    run chains: exact dedup → quality scoring + language-ID → threshold
+    filter.  Every stage streams; the only shuffle is the dedup's
+    content-hash groupby."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logjuicer_ray.functions.dedup import exact_dedup
+    from logjuicer_ray.functions.text import add_lang_id, add_quality
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    winners = exact_dedup(docs).select_columns(["doc_id", "text"])
+    feats = add_lang_id(add_quality(winners))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        q_e6 = pc.cast(
+            pc.floor(pc.multiply(batch.column("quality"), 1_000_000.0)), pa.int64()
+        )
+        t = pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": batch.column("n_chars_q"),
+            "quality_e6": q_e6,
+            "lang_id": batch.column("lang_id"),
+        })
+        keep = pc.and_(
+            pc.greater_equal(t.column("quality_e6"), pa.scalar(350_000, pa.int64())),
+            pc.equal(t.column("lang_id"), "en"),
+        )
+        return t.filter(keep).drop_columns(["lang_id"])
+
+    return feats.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def _curated_docs_sql() -> str:
+    """Dedup-winner restriction injected into the text-features CTE chain,
+    then the same quality/lang thresholds."""
+    winners = (
+        "(SELECT d.doc_id, d.text FROM documents d "
+        "JOIN (SELECT text, MIN(doc_id) AS m FROM documents GROUP BY text) g "
+        "ON d.doc_id = g.m)"
+    )
+    inner = _TEXT_FEATURES_SQL.replace("FROM documents", f"FROM {winners} documents")
+    return (
+        f"WITH tf AS ({inner}) "
+        "SELECT doc_id, n_chars, quality_e6 FROM tf "
+        "WHERE quality_e6 >= 350000 AND lang_id = 'en' ORDER BY doc_id"
+    )
+
+
+# fixed benchmark probes for the contamination query (exact substrings;
+# chosen to hit a nontrivial subset of the synthetic corpus)
+_CONTAM_PROBES = ["batch batch batch", "slow small filter", "window window dup"]
+
+
+def _q_contaminated_docs(sf_dir: str):
+    """Benchmark-contamination scan: docs containing any probe as an exact
+    substring (functions/corpus.py contamination_scan; vectorized
+    match_substring per probe, probes broadcast in the closure)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.corpus import contamination_scan
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return contamination_scan(docs, _CONTAM_PROBES).sort("doc_id")
+
+
+def _contaminated_sql() -> str:
+    like = [p.replace("'", "''") for p in _CONTAM_PROBES]
+    hit_terms = " + ".join(
+        f"(CASE WHEN text LIKE '%{p}%' THEN 1 ELSE 0 END)" for p in like
+    )
+    first_case = " ".join(
+        f"WHEN text LIKE '%{p}%' THEN '{p}'" for p in like
+    )
+    any_hit = " OR ".join(f"text LIKE '%{p}%'" for p in like)
+    return (
+        f"SELECT doc_id, CAST({hit_terms} AS BIGINT) AS n_probes_hit, "
+        f"CASE {first_case} END AS first_probe "
+        f"FROM documents WHERE {any_hit} ORDER BY doc_id"
+    )
+
+
 def _q_lineitem_semijoin(sf_dir: str):
     """Bloom-pruned exact join: a bloom of the filtered orders keys is
     broadcast to prune lineitem BEFORE the join shuffle (false positives
@@ -1051,6 +1135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_quantiles": _q_lineitem_quantiles,
         "tfidf_docs": _q_tfidf_docs,
         "lineitem_semijoin": _q_lineitem_semijoin,
+        "contaminated_docs": _q_contaminated_docs,
+        "curated_docs": _q_curated_docs,
     }
 
 
@@ -1536,6 +1622,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM x GROUP BY event_type, window_start "
             "ORDER BY event_type, window_start"
         ),
+        "contaminated_docs": _contaminated_sql(),
+        "curated_docs": _curated_docs_sql(),
         "lineitem_semijoin": (
             "SELECT l_returnflag, COUNT(*) AS n_rows, "
             "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty "

@@ -295,6 +295,35 @@ def pack_sequences(path: str, *, id_col: str, size_col: str, cap: int,
     return rd.from_arrow_refs(refs)
 
 
+def contamination_scan(ds, probes: list[str], *, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Benchmark-contamination detection: flag documents containing any of
+    the probe strings as exact substrings.  The probe set is closed over by
+    the task closure (broadcast once per worker, not per batch); matching
+    is one vectorized Arrow ``match_substring`` pass per probe — use an
+    Aho-Corasick actor stage if the probe set grows beyond O(100).
+    Emits (id, n_probes_hit, first_probe) for contaminated docs only."""
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column(text_col), "")
+        hits = [pc.match_substring(text, p) for p in probes]
+        import numpy as np
+
+        m = np.vstack([h.to_numpy(zero_copy_only=False) for h in hits])
+        n_hit = m.sum(axis=0).astype(np.int64)
+        any_hit = n_hit > 0
+        first_idx = np.argmax(m, axis=0)  # first probe (list order) that hit
+        first = np.array(probes, dtype=object)[first_idx]
+        out = pa.table({
+            id_col: batch.column(id_col),
+            "n_probes_hit": pa.array(n_hit, pa.int64()),
+            "first_probe": pa.array(first, pa.string()),
+        })
+        return out.filter(pa.array(any_hit))
+
+    return ds.map_batches(_scan, batch_format="pyarrow")
+
+
 def tfidf_topk(ds, *, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
                num_partitions: int = 8):
     """Top-``k`` TF-IDF terms per document (tf = in-doc count,

@@ -571,3 +571,29 @@ def test_lineitem_semijoin_query_vs_duckdb(ray_session):
     a = out[cols].sort_values(cols).reset_index(drop=True)
     b = want[cols].sort_values(cols).reset_index(drop=True)
     assert a.astype({c: b[c].dtype for c in cols}).equals(b)
+
+
+def test_contaminated_docs_query_vs_duckdb(ray_session):
+    import __ray_entry__ as e
+
+    out = e.queries()["contaminated_docs"]("/root/testdata/sf0.001").to_pandas()
+    want = _docs_con().execute(e.oracle_sql()["contaminated_docs"]).df()
+    assert len(out) == len(want) and len(out) > 0
+    cols = sorted(out.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert a.astype({c: b[c].dtype for c in cols}).equals(b)
+
+
+def test_curated_docs_query_vs_duckdb(ray_session):
+    """Composed curation chain (dedup → quality → lang filter) end-to-end
+    vs SQL recomputation."""
+    import __ray_entry__ as e
+
+    out = e.queries()["curated_docs"]("/root/testdata/sf0.001").to_pandas()
+    want = _docs_con().execute(e.oracle_sql()["curated_docs"]).df()
+    assert len(out) == len(want) and len(out) > 0
+    cols = sorted(out.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert a.astype({c: b[c].dtype for c in cols}).equals(b)
