@@ -541,14 +541,33 @@ def _q_orders_range_lineitem(sf_dir: str):
     lineitem = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate", "l_extendedprice"]
     )
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        # exact integer cents: the prefix-sum window merge then subtracts
+        # exactly-representable integers (< 2^53), so the float path in the
+        # generic operator is bit-exact vs the SQL integer SUM
+        e2 = pc.cast(pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)),
+                     pa.int64())
+        return batch.drop_columns(["l_extendedprice"]).append_column("price_e2", e2)
+
     day_us = 86_400 * 1_000_000
-    return range_join_agg(
-        orders, lineitem,
+    out = range_join_agg(
+        orders, lineitem.map_batches(to_cents, batch_format="pyarrow"),
         key="o_orderkey", right_key="l_orderkey",
         left_ts="o_orderdate", right_ts="l_shipdate",
         left_cols=["o_orderkey", "o_orderdate"],
-        value_col="l_extendedprice", lo_us=0, hi_us=90 * day_us,
-    ).sort("o_orderkey")
+        value_col="price_e2", lo_us=0, hi_us=90 * day_us,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("sum_value")
+        return batch.set_column(
+            i, "sum_value_e2", pc.cast(batch.column("sum_value"), pa.int64())
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("o_orderkey")
 
 
 def _q_lineitem_topk(sf_dir: str):
@@ -1516,7 +1535,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_range_lineitem": (
             "SELECT o.o_orderkey, o.o_orderdate, "
             "CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_matches, "
-            "CAST(COALESCE(SUM(l.l_extendedprice), 0) AS DOUBLE) AS sum_value "
+            "CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)), 0) "
+            "AS BIGINT) AS sum_value_e2 "
             "FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
             "AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY "
             "GROUP BY o.o_orderkey, o.o_orderdate ORDER BY o.o_orderkey"
