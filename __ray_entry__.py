@@ -723,6 +723,18 @@ def _q_lineitem_quantiles(sf_dir: str):
     ).sort("l_returnflag")
 
 
+def _q_heavy_tokens(sf_dir: str):
+    """Heavy hitters (tokens with freq > n/32) via a Misra-Gries candidate
+    sketch + exact recount — approximate sketch, exactly-verifiable answer
+    (functions/sketch.py heavy_hitters)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.sketch import heavy_hitters
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return heavy_hitters(docs, k=32)
+
+
 def _q_curated_docs(sf_dir: str):
     """Composed curation pipeline — the end-to-end shape a training-data
     run chains: exact dedup → quality scoring + language-ID → threshold
@@ -1156,6 +1168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_semijoin": _q_lineitem_semijoin,
         "contaminated_docs": _q_contaminated_docs,
         "curated_docs": _q_curated_docs,
+        "heavy_tokens_docs": _q_heavy_tokens,
     }
 
 
@@ -1644,6 +1657,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "contaminated_docs": _contaminated_sql(),
         "curated_docs": _curated_docs_sql(),
+        "heavy_tokens_docs": (
+            "WITH toks AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token "
+            "FROM documents WHERE text IS NOT NULL), "
+            "cnts AS (SELECT token, COUNT(*)::BIGINT AS cnt FROM toks "
+            "WHERE token <> '' GROUP BY token), "
+            "tot AS (SELECT SUM(cnt) AS n FROM cnts) "
+            "SELECT token, cnt FROM cnts, tot WHERE cnt * 32 > n ORDER BY token"
+        ),
         "lineitem_semijoin": (
             "SELECT l_returnflag, COUNT(*) AS n_rows, "
             "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty "

@@ -26,7 +26,7 @@ import pyarrow as pa
 from ..arrow_util import dict_codes
 from .hashing import md5_u64_str
 
-__all__ = ["HllSketch", "hll_count_distinct"]
+__all__ = ["HllSketch", "hll_count_distinct", "heavy_hitters"]
 
 
 class HllSketch:
@@ -103,3 +103,84 @@ def hll_count_distinct(ds, column: str, *, p: int = 14) -> float:
     for row in parts:
         total = total.merge(HllSketch.from_bytes(bytes(row["registers"]), p))
     return total.estimate()
+
+
+def _mg_trim(counts: dict, k: int) -> dict:
+    """Misra-Gries trim: keep at most k-1 entries by subtracting the k-th
+    largest weight from all (the mergeable-summaries reduction — every item
+    with true frequency > n/k survives any sequence of sum+trim merges)."""
+    if len(counts) < k:
+        return counts
+    cut = sorted(counts.values(), reverse=True)[k - 1]
+    return {t: c - cut for t, c in counts.items() if c > cut}
+
+
+def heavy_hitters(ds, *, text_col: str = "text", k: int = 32):
+    """Exact heavy hitters (tokens with frequency > n/k) via a Misra-Gries
+    candidate sketch + one exact recount pass:
+
+    1. per-block MG sketches (≤ k-1 weighted rows each) — mergeable monoid,
+       like the HLL above; the shuffle moves O(blocks × k) rows;
+    2. groupby-sum + driver trim → candidate set (guaranteed ⊇ every token
+       with freq > n/k, by the mergeable-summaries bound);
+    3. one vectorized ``is_in`` recount pass → EXACT counts for candidates,
+       filtered at the n/k threshold — so the approximate sketch yields an
+       exactly-verifiable answer.
+
+    Returns a pyarrow Table (token, cnt) sorted by token."""
+    import pyarrow.compute as pc
+
+    def _block_sketch(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.utf8_split_whitespace(pc.drop_null(batch.column(text_col)))
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        counts = dict(zip(vc.field("values").to_pylist(),
+                          vc.field("counts").to_pylist()))
+        total = sum(counts.values())
+        sk = _mg_trim(counts, k)
+        # "" is never a token (filtered above) — safe total-count sentinel
+        return pa.table({
+            "token": pa.array(list(sk.keys()) + [""], pa.string()),
+            "weight": pa.array(list(sk.values()) + [total], pa.int64()),
+        })
+
+    rows = (
+        ds.map_batches(_block_sketch, batch_format="pyarrow")
+        .groupby("token")
+        .sum("weight")
+        .take_all()
+    )  # ≤ vocabulary ∩ (k-1 per block) unique tokens + the "" total row
+    total = 0
+    merged: dict = {}
+    for r in rows:
+        if r["token"] == "":
+            total = r["sum(weight)"]
+        else:
+            merged[r["token"]] = r["sum(weight)"]
+    candidates = list(_mg_trim(merged, k).keys())
+    if not candidates:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    cand_arr = pa.array(candidates, pa.string())
+
+    def _recount(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.utf8_split_whitespace(pc.drop_null(batch.column(text_col)))
+        )
+        toks = toks.filter(pc.is_in(toks, value_set=cand_arr))
+        vc = toks.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"token": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    exact = ds.map_batches(_recount, batch_format="pyarrow").groupby("token").sum("cnt")
+    out = [(r["token"], r["sum(cnt)"]) for r in exact.take_all()
+           if r["sum(cnt)"] * k > total]
+    out.sort()
+    return pa.table({"token": pa.array([t for t, _ in out], pa.string()),
+                     "cnt": pa.array([c for _, c in out], pa.int64())})

@@ -597,3 +597,37 @@ def test_curated_docs_query_vs_duckdb(ray_session):
     a = out[cols].sort_values(cols).reset_index(drop=True)
     b = want[cols].sort_values(cols).reset_index(drop=True)
     assert a.astype({c: b[c].dtype for c in cols}).equals(b)
+
+
+def test_heavy_hitters_query_vs_duckdb(ray_session):
+    import __ray_entry__ as e
+
+    out = e.queries()["heavy_tokens_docs"]("/root/testdata/sf0.001")
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    want = _docs_con().execute(e.oracle_sql()["heavy_tokens_docs"]).df()
+    assert len(out) == len(want) and len(out) > 0
+    assert list(out["token"]) == list(want["token"])
+    assert (out["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
+
+
+def test_heavy_hitters_survives_eviction(ray_session):
+    """Skewed stream forcing MG evictions across many small blocks: the
+    heavy token must survive merge trims and the exact recount must match
+    the true count."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.sketch import heavy_hitters
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(4000):
+        toks = ["hot"] if i % 3 == 0 else []  # ~33% of docs contain 'hot'
+        toks += [f"cold{rng.integers(0, 2000)}" for _ in range(3)]
+        rows.append({"text": " ".join(toks)})
+    out = heavy_hitters(rd.from_items(rows).repartition(23), k=16).to_pylist()
+    toks = {r["token"]: r["cnt"] for r in out}
+    true_hot = sum(1 for i in range(4000) if i % 3 == 0)
+    assert toks.get("hot") == true_hot  # exact count after recount
+    n = true_hot + 3 * 4000
+    for t, c in toks.items():
+        assert c * 16 > n  # every emitted token really exceeds n/k
