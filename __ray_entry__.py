@@ -548,7 +548,7 @@ def _q_orders_range_lineitem(sf_dir: str):
         # exact integer cents: the prefix-sum window merge then subtracts
         # exactly-representable integers (< 2^53), so the float path in the
         # generic operator is bit-exact vs the SQL integer SUM
-        e2 = pc.cast(pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)),
+        e2 = pc.cast(pc.floor(pc.add(pc.multiply(batch.column("l_extendedprice"), 100.0), 0.5)),
                      pa.int64())
         return batch.drop_columns(["l_extendedprice"]).append_column("price_e2", e2)
 
@@ -605,7 +605,7 @@ def _q_events_hopping(sf_dir: str):
                              columns=["ts", "event_type", "value"])
 
     def to_e6(batch: pa.Table) -> pa.Table:
-        e6 = pc.cast(pc.round(pc.multiply(batch.column("value"), 1e6)), pa.int64())
+        e6 = pc.cast(pc.floor(pc.add(pc.multiply(batch.column("value"), 1e6), 0.5)), pa.int64())
         return batch.drop_columns(["value"]).append_column("value_e6", e6)
 
     return hopping_window_agg(
@@ -850,7 +850,7 @@ def _q_lineitem_semijoin(sf_dir: str):
     )
 
     def qty_e0(batch: pa.Table) -> pa.Table:
-        q = pc.cast(pc.round(batch.column("l_quantity")), pa.int64())
+        q = pc.cast(pc.floor(pc.add(batch.column("l_quantity"), 0.5)), pa.int64())
         return batch.drop_columns(["l_quantity"]).append_column("qty", q)
 
     return (
@@ -1548,7 +1548,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_range_lineitem": (
             "SELECT o.o_orderkey, o.o_orderdate, "
             "CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_matches, "
-            "CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)), 0) "
+            "CAST(COALESCE(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)), 0) "
             "AS BIGINT) AS sum_value_e2 "
             "FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
             "AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY "
@@ -1645,7 +1645,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_hopping": (
             "WITH e AS (SELECT event_type, epoch_us(ts) AS tus, "
-            "CAST(ROUND(value * 1000000) AS BIGINT) AS value_e6 FROM events), "
+            "CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS value_e6 FROM events), "
             "j AS (SELECT unnest(generate_series(0, 3)) AS j), "
             "x AS (SELECT event_type, "
             "make_timestamp((tus // 900000000) * 900000000 - j * 900000000) AS window_start, "
@@ -1667,7 +1667,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lineitem_semijoin": (
             "SELECT l_returnflag, COUNT(*) AS n_rows, "
-            "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty "
+            "CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
             "GROUP BY l_returnflag ORDER BY l_returnflag"

@@ -117,7 +117,7 @@ def cmd_report(args) -> int:
     _init_ray(args.num_cpus)
     from .pipelines.report import run_report
     from .pipelines.train import train
-    from .sources.transcripts import read_turns
+    from .sources.transcripts import ENGINE_COLUMNS, read_turns
     from .state.model import Model
 
     from .metrics import Metrics
@@ -129,13 +129,13 @@ def cmd_report(args) -> int:
         model = Model.load(args.model)
     else:
         baseline = _apply_source_filter(
-            read_turns(args.baseline or args.input, split=args.baseline_split), args
+            read_turns(args.baseline or args.input, split=args.baseline_split, columns=ENGINE_COLUMNS), args
         )
         model = train(baseline, cfg, metrics=metrics)
         if args.model:
             model.save(args.model)
     target = _apply_source_filter(
-        read_turns(args.target or args.input, split=args.target_split), args
+        read_turns(args.target or args.input, split=args.target_split, columns=ENGINE_COLUMNS), args
     )
     out = run_report(target, model, cfg, metrics=metrics)
     os.makedirs(args.out, exist_ok=True)
@@ -159,7 +159,7 @@ def cmd_errors(args) -> int:
     _init_ray(args.num_cpus)
     from .pipelines.report import run_errors_report
     from .pipelines.train import train
-    from .sources.transcripts import read_turns
+    from .sources.transcripts import ENGINE_COLUMNS, read_turns
     from .state.model import Model
 
     cfg = _config_from_args(args)
@@ -168,14 +168,14 @@ def cmd_errors(args) -> int:
         model = Model.load(args.model)
     elif args.baseline or args.baseline_split:
         baseline = _apply_source_filter(
-            read_turns(args.baseline or args.input, split=args.baseline_split), args
+            read_turns(args.baseline or args.input, split=args.baseline_split, columns=ENGINE_COLUMNS), args
         )
         model = train(baseline, cfg)
     from .sources.transcripts import ERRORS_BLOCK_MIB
 
     target = _apply_source_filter(
         read_turns(args.target or args.input, split=args.target_split,
-                   block_mib=ERRORS_BLOCK_MIB), args
+                   columns=ENGINE_COLUMNS, block_mib=ERRORS_BLOCK_MIB), args
     )
     from .metrics import Metrics
 
@@ -193,10 +193,10 @@ def cmd_errors(args) -> int:
 def cmd_train(args) -> int:
     _init_ray(args.num_cpus)
     from .pipelines.train import train
-    from .sources.transcripts import read_turns
+    from .sources.transcripts import ENGINE_COLUMNS, read_turns
 
     cfg = _config_from_args(args)
-    baseline = read_turns(args.input, split=args.baseline_split)
+    baseline = read_turns(args.input, split=args.baseline_split, columns=ENGINE_COLUMNS)
     model = train(baseline, cfg)
     model.save(args.model)
     if not args.quiet:
@@ -214,7 +214,7 @@ def cmd_similarity(args) -> int:
     from .pipelines.similarity import create_similarity
     from .pipelines.train import train
     from .sinks import write_sink
-    from .sources.transcripts import read_turns
+    from .sources.transcripts import ENGINE_COLUMNS, read_turns
 
     cfg = _config_from_args(args)
     if getattr(args, "from_reports", None):
@@ -226,11 +226,11 @@ def cmd_similarity(args) -> int:
     else:
         # reference flow (cli/src/main.rs:463-513): train on the first
         # target's baselines, one report per target, then the merge
-        baseline = read_turns(args.inputs[0], split="baseline")
+        baseline = read_turns(args.inputs[0], split="baseline", columns=ENGINE_COLUMNS)
         model = train(baseline, cfg)
         anomalies = []
         for path in args.inputs:
-            target = read_turns(path, split="target")
+            target = read_turns(path, split="target", columns=ENGINE_COLUMNS)
             anomalies.append(run_report(target, model, cfg)["anomalies"])
     sim = create_similarity(anomalies)
     os.makedirs(args.out, exist_ok=True)

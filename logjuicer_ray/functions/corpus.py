@@ -72,6 +72,27 @@ def vocab_topk(ds, *, text_col: str = "text", k: int = 100):
     return top.repartition(1).map_batches(_rank, batch_format="pyarrow")
 
 
+def _quantile_pick(rows, qs: list[float]) -> dict:
+    """percentile_disc pick over sorted (value, count) rows: for each q the
+    smallest value whose cumulative count reaches ceil(q*n).  Shared by
+    exact_quantiles (driver pick) and grouped_quantiles (per-group pick)."""
+    import math
+
+    n = sum(c for _, c in rows)
+    out: dict[str, list] = {}
+    for q in qs:
+        target = max(1, math.ceil(q * n))
+        acc = 0
+        val = rows[-1][0] if rows else None
+        for v, c in rows:
+            acc += c
+            if acc >= target:
+                val = v
+                break
+        out[f"p{int(round(q * 100))}"] = [val]
+    return out
+
+
 def exact_quantiles(ds, col: str, qs: list[float]):
     """Exact discrete quantiles (percentile_disc semantics: the smallest
     value whose cumulative count reaches ceil(q*n)) of an integer column,
@@ -87,39 +108,18 @@ def exact_quantiles(ds, col: str, qs: list[float]):
             {col: vc.field("values"), "cnt": pc.cast(vc.field("counts"), pa.int64())}
         )
 
-    import math
-
     totals = ds.map_batches(_vc, batch_format="pyarrow").groupby(col).sum("cnt")
     # distinct-value table: bounded driver materialization (documented above)
     rows = sorted((r[col], r["sum(cnt)"]) for r in totals.take_all())
-    n = sum(c for _, c in rows)
-    out: dict[str, list] = {}
-    for q in qs:
-        target = max(1, math.ceil(q * n))
-        acc = 0
-        val = rows[-1][0] if rows else None
-        for v, c in rows:
-            acc += c
-            if acc >= target:
-                val = v
-                break
-        out[f"p{int(round(q * 100))}"] = [val]
-    return pa.table(out)
+    return pa.table(_quantile_pick(rows, qs))
 
 
 def _splitmix64_np(x):
-    """Vectorized SplitMix64 finalizer over a uint64 numpy array — the fast
-    (non-SQL-portable) hash for integer keys, mirroring MinHash's dual-mode
-    design (portable md5 for oracles, numpy for the 100-TB path)."""
-    import numpy as np
+    """Fast (non-SQL-portable) hash for integer keys, mirroring MinHash's
+    dual-mode design — canonical implementation in functions/hashing.py."""
+    from .hashing import splitmix64
 
-    z = x.astype(np.uint64, copy=True)
-    with np.errstate(over="ignore"):
-        z += np.uint64(0x9E3779B97F4A7C15)
-        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        z = z ^ (z >> np.uint64(31))
-    return z
+    return splitmix64(x)
 
 
 def hash_sample(ds, *, key_col: str, frac: float | None = None,
@@ -184,7 +184,6 @@ def grouped_quantiles(ds, *, group_cols: list[str], col: str, qs: list[float]):
     groupby over unique (group, value) pairs -> per-group quantile pick in
     ``map_groups`` (each group's work is bounded by its DISTINCT values).
     Returns one row per group with ``p<q*100>`` columns."""
-    import math
 
     def _vc(batch: pa.Table) -> pa.Table:
         cols = group_cols + [col]
@@ -198,21 +197,10 @@ def grouped_quantiles(ds, *, group_cols: list[str], col: str, qs: list[float]):
     )
 
     def _pick(group: pa.Table) -> pa.Table:
-        vals = group.column(col).to_pylist()
-        cnts = group.column("sum(cnt)").to_pylist()
-        rows = sorted(zip(vals, cnts))
-        n = sum(c for _, c in rows)
+        rows = sorted(zip(group.column(col).to_pylist(),
+                          group.column("sum(cnt)").to_pylist()))
         out = {c: [group.column(c)[0].as_py()] for c in group_cols}
-        for q in qs:
-            target = max(1, math.ceil(q * n))
-            acc = 0
-            val = rows[-1][0]
-            for v, c in rows:
-                acc += c
-                if acc >= target:
-                    val = v
-                    break
-            out[f"p{int(round(q * 100))}"] = [val]
+        out.update(_quantile_pick(rows, qs))
         return pa.table(out)
 
     return totals.groupby(group_cols).map_groups(_pick, batch_format="pyarrow")
@@ -271,14 +259,22 @@ def pack_sequences(path: str, *, id_col: str, size_col: str, cap: int,
         ) if t.num_rows else True
 
     summaries = ray.get([_unit_summary.remote(f, rg) for f, rg in units])
+    # order units by their actual id ranges (glob order is lexicographic —
+    # part-10 sorts before part-2 — so file naming must not matter); the
+    # sortedness requirement is then: ranges disjoint + each unit sorted
+    paired = sorted(
+        zip(units, summaries),
+        key=lambda us: (us[1][1] is None, us[1][1]),
+    )
+    units = [u for u, _ in paired]
     prev_hi = None
     offsets = []
     acc = 0
-    for (s, lo, hi, inner_sorted) in summaries:
+    for _, (s, lo, hi, inner_sorted) in paired:
         if not inner_sorted or (prev_hi is not None and lo is not None and lo < prev_hi):
             raise ValueError(
                 f"pack_sequences requires input sorted by {id_col} "
-                "(file/row-group order must follow id order)"
+                "(row-group id ranges must be disjoint)"
             )
         offsets.append(acc)
         acc += s
@@ -303,6 +299,8 @@ def contamination_scan(ds, probes: list[str], *, id_col: str = "doc_id",
     is one vectorized Arrow ``match_substring`` pass per probe — use an
     Aho-Corasick actor stage if the probe set grows beyond O(100).
     Emits (id, n_probes_hit, first_probe) for contaminated docs only."""
+    if not probes:
+        raise ValueError("contamination_scan needs at least one probe string")
 
     def _scan(batch: pa.Table) -> pa.Table:
         text = pc.fill_null(batch.column(text_col), "")
@@ -360,7 +358,12 @@ def tfidf_topk(ds, *, id_col: str = "doc_id", text_col: str = "text", k: int = 3
         return pa.table({"n": pa.array([n or 0], pa.int64())})
 
     n_docs = sum(r["n"] for r in ds.map_batches(_n_docs, batch_format="pyarrow").take_all())
-    tf = ds.map_batches(_tf, batch_format="pyarrow")
+    # materialize: tf feeds BOTH the df groupby and the join side — without
+    # it Ray re-executes the tokenize-explode lineage once per consumer,
+    # doubling the dominant cost.  The tf table (unique (doc, token) counts)
+    # is smaller than the raw text it summarizes, so this is the cheap side
+    # to pin in the object store.
+    tf = ds.map_batches(_tf, batch_format="pyarrow").materialize()
     df = tf.groupby("token").count().map_batches(
         lambda b: b.rename_columns(["token", "df"]), batch_format="pyarrow"
     )

@@ -75,13 +75,12 @@ _POLY_BASE = np.uint64(1099511628211)  # FNV-1a prime as the rolling base
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """SplitMix64 finalizer (public domain, Steele et al. 2014): diffuses
-    the low-entropy polynomial hash into uniform 64-bit values, which the
+    """Canonical SplitMix64 (functions/hashing.py): diffuses the
+    low-entropy polynomial hash into uniform 64-bit values, which the
     MinHash permutation family requires."""
-    x = x + np.uint64(0x9E3779B97F4A7C15)
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return x ^ (x >> np.uint64(31))
+    from .hashing import splitmix64
+
+    return splitmix64(x)
 
 
 def _fast_shingle_hashes(data: bytes, k: int) -> np.ndarray:
@@ -91,15 +90,16 @@ def _fast_shingle_hashes(data: bytes, k: int) -> np.ndarray:
     faster than the md5 path; NOT SQL-recomputable (use portable=True for
     oracle-parity runs)."""
     b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-    if len(b) <= k:
-        h = np.uint64(0)
-        for v in b:
-            h = h * _POLY_BASE + v
-        return _splitmix64(np.array([h], dtype=np.uint64))
-    n = len(b) - k + 1
-    h = np.zeros(n, dtype=np.uint64)
-    for j in range(k):
-        h = h * _POLY_BASE + b[j : j + n]
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the hash
+        if len(b) <= k:
+            h = np.zeros(1, dtype=np.uint64)
+            for v in b:
+                h = h * _POLY_BASE + v
+            return _splitmix64(h)
+        n = len(b) - k + 1
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(k):
+            h = h * _POLY_BASE + b[j : j + n]
     return np.unique(_splitmix64(h))
 
 

@@ -44,3 +44,18 @@ class TokenHasher:
                 self._cache.clear()
             self._cache[token] = h
         return h
+
+
+def splitmix64(x):
+    """Vectorized SplitMix64 finalizer (public domain, Steele et al. 2014)
+    over a uint64 numpy array — the one canonical copy (MinHash shingles,
+    fast hash sampling, and bloom hashing all share it)."""
+    import numpy as np
+
+    z = np.asarray(x, dtype=np.uint64).copy()
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the function
+        z += np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return z

@@ -190,7 +190,7 @@ def _bloom_hashes(keys, n_bits: int, n_hashes: int):
     """k vectorized SplitMix64 hash positions per key (uint64 numpy in)."""
     import numpy as np
 
-    from ..functions.corpus import _splitmix64_np
+    from .hashing import splitmix64 as _splitmix64_np
 
     pos = np.empty((n_hashes, len(keys)), dtype=np.uint64)
     for i in range(n_hashes):

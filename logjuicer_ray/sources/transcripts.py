@@ -48,8 +48,13 @@ def _default_num_blocks(path: str, block_mib: int | None = None) -> int | None:
             return None
         if size > 4 << 30:
             return None
-        if block_mib is None:
-            block_mib = int(os.environ.get("GRAFT_BLOCK_MIB", "2"))
+        env = os.environ.get("GRAFT_BLOCK_MIB")
+        if env is not None:
+            # explicit user override beats per-phase defaults (callers pass
+            # block_mib=ERRORS_BLOCK_MIB etc.; the env knob must still work)
+            block_mib = int(env)
+        elif block_mib is None:
+            block_mib = 2
         return max(16, size // (block_mib << 20))
     except Exception:
         return None

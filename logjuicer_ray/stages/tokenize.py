@@ -133,6 +133,16 @@ def _tokenize_array(text: pa.Array) -> tuple[pa.Array, pa.Array]:
         pc.invert(pc.match_substring_regex(_stripped, r"\s")),
         pc.match_substring_regex(_stripped, _GL_FILTER_PATTERN),
     ).to_pylist()
+    # RE2 \s / utf8_trim_whitespace are ASCII/Unicode-WSpace, but Python's
+    # str \s (== str.isspace()) also covers \x1c-\x1f, \x85, \xa0 and the
+    # Unicode space block — lines containing any divergent char take the
+    # exact per-line Python path so vectorization never changes semantics
+    # \x0b (\v) included: RE2's \s is [\t\n\f\r ] and misses it too
+    _suspect = pc.match_substring_regex(
+        enc.dictionary,
+        "[\\x0b\\x1c-\\x1f\\x85\\xa0\\x{1680}\\x{2000}-\\x{200a}"
+        "\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]",
+    ).to_pylist()
     _stripped_l = _stripped.to_pylist()
     cache = _token_cache
     toks_u: list[str] = []
@@ -142,6 +152,9 @@ def _tokenize_array(text: pa.Array) -> tuple[pa.Array, pa.Array]:
         if hit is None:
             if not fkey:
                 hit = ("", "")
+            elif _suspect[i]:
+                t = process(fkey)  # full Python path: strip + filter + words
+                hit = _GL_FILTER_HIT if t == GL_FILTER else (t, unordered_key(t))
             elif _filtered[i]:
                 hit = _GL_FILTER_HIT
             else:

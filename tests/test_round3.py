@@ -631,3 +631,27 @@ def test_heavy_hitters_survives_eviction(ray_session):
     n = true_hot + 3 * 4000
     for t, c in toks.items():
         assert c * 16 > n  # every emitted token really exceeds n/k
+
+
+def test_tokenize_unicode_whitespace_parity():
+    """Every Python-\\s whitespace char (incl. \\x0b, \\x1c-\\x1f, \\x85,
+    \\xa0, the Unicode space block — the chars RE2's ASCII \\s and
+    utf8_trim_whitespace treat differently) must tokenize identically to the
+    per-line Python path: such lines route through the exact path via the
+    suspect-char mask."""
+    import re
+
+    import pyarrow as pa
+
+    from logjuicer_ray.stages.tokenize import _tokenize_array
+    from logjuicer_ray.tokenizer import process
+
+    divergent = [c for c in (chr(x) for x in range(0x3100)) if re.search(r"\s", c)]
+    lines = []
+    for ws in divergent:
+        lines += [f"foo{ws}bar", f"{ws}edge{ws}", f"one{ws}", f"{ws}x y{ws}z"]
+    lines += ["", " ", "\x1c", "a\x0b", "plain words here"]
+    toks, _ = _tokenize_array(pa.array(lines, pa.string()))
+    got = toks.to_pylist()
+    want = [process(l) if l else "" for l in lines]
+    assert got == want
