@@ -735,6 +735,53 @@ def _q_heavy_tokens(sf_dir: str):
     return heavy_hitters(docs, k=32)
 
 
+def _q_distinct_users_exact(sf_dir: str):
+    """Exact distinct count — the verifiable twin of ``distinct_users_hll``:
+    per-batch unique partials, one keyed groupby over unique ids, count."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.unique(batch.column("user_id"))})
+
+    n = events.map_batches(uniq, batch_format="pyarrow").groupby("user_id").count().count()
+    return pa.table({"distinct_users": pa.array([n], pa.int64())})
+
+
+def _q_customers_without_orders(sf_dir: str):
+    """Anti-join: customers with no order since 1997-06-01 (native
+    left_anti hash join — the NOT-EXISTS shape at scale; the right side is
+    filter-pruned before the shuffle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    cutoff = pa.scalar(
+        __import__("datetime").datetime(1997, 6, 1), pa.timestamp("us")
+    )
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+    recent = orders.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("o_orderdate"), cutoff))
+        .select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    out = cust.join(
+        recent, join_type="left_anti", num_partitions=8,
+        on=("c_custkey",), right_on=("o_custkey",),
+    ).materialize()
+    if out.count() == 0:
+        # Ray's hash join drops the schema on an all-empty result; pin it
+        return pa.table({"c_custkey": pa.array([], pa.int64()),
+                         "c_mktsegment": pa.array([], pa.string())})
+    return out.sort("c_custkey")
+
+
 def _q_curated_docs(sf_dir: str):
     """Composed curation pipeline — the end-to-end shape a training-data
     run chains: exact dedup → quality scoring + language-ID → threshold
@@ -1169,6 +1216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contaminated_docs": _q_contaminated_docs,
         "curated_docs": _q_curated_docs,
         "heavy_tokens_docs": _q_heavy_tokens,
+        "distinct_users_exact": _q_distinct_users_exact,
+        "customers_without_orders": _q_customers_without_orders,
     }
 
 
@@ -1657,6 +1706,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "contaminated_docs": _contaminated_sql(),
         "curated_docs": _curated_docs_sql(),
+        "distinct_users_exact": (
+            "SELECT COUNT(DISTINCT user_id) AS distinct_users FROM events"
+        ),
+        "customers_without_orders": (
+            "SELECT c_custkey, c_mktsegment FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1997-06-01') "
+            "ORDER BY c_custkey"
+        ),
         "heavy_tokens_docs": (
             "WITH toks AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token "
             "FROM documents WHERE text IS NOT NULL), "

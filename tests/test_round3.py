@@ -655,3 +655,24 @@ def test_tokenize_unicode_whitespace_parity():
     got = toks.to_pylist()
     want = [process(l) if l else "" for l in lines]
     assert got == want
+
+
+def test_distinct_and_antijoin_queries_vs_duckdb(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in ("events", "customer", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    for name in ("distinct_users_exact", "customers_without_orders"):
+        out = e.queries()[name](sf)
+        out = out.to_pandas() if hasattr(out, "to_pandas") else out
+        want = con.execute(e.oracle_sql()[name]).df()
+        assert len(out) == len(want)
+        cols = sorted(out.columns)
+        assert cols == sorted(want.columns)
+        a = out[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True)
+        assert a.astype({c: b[c].dtype for c in cols}).equals(b), name
