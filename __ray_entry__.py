@@ -474,6 +474,31 @@ def _q_knn_ivf(sf_dir: str):
     )
 
 
+def _q_kmeans_docs(sf_dir: str):
+    """Distributed spherical k-means over the embeddings table (iterative
+    Lloyd's: broadcast centroids, per-block partial sums, no shuffle) —
+    returns the per-cluster membership counts.  Iterative algorithm, not
+    SQL-expressible: rows-only driver check; quality + partition invariance
+    are asserted by ``tests/test_round3.py``."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from logjuicer_ray.functions.knn import kmeans_distributed
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    _, assign_fn = kmeans_distributed(emb, n_clusters=8, iters=3, seed=42)
+    labeled = emb.map_batches(assign_fn, batch_format="pyarrow")
+    out = labeled.groupby("cluster").aggregate(Count(alias_name="n_members")).to_pandas()
+    out = out.sort_values("cluster").reset_index(drop=True)
+    return pa.table(
+        {
+            "cluster": pa.array(out["cluster"], pa.int64()),
+            "n_members": pa.array(out["n_members"], pa.int64()),
+        }
+    )
+
+
 def _q_events_window(sf_dir: str):
     """Tumbling 1-hour window count per event_type (pre-aggregated inside
     map_batches, then a small groupby — the windowed-aggregate pattern)."""
@@ -1194,6 +1219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": _q_embedding_dedup,
         "knn_bruteforce": _q_knn,
         "knn_ivf": _q_knn_ivf,
+        "kmeans_docs": _q_kmeans_docs,
         "events_window": _q_events_window,
         "events_hopping": _q_events_hopping,
         "events_sessions": _q_events_sessions,

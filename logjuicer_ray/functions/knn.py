@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["knn_brute_force", "knn_ivf", "kmeans_fit"]
+__all__ = ["knn_brute_force", "knn_ivf", "kmeans_fit", "kmeans_distributed"]
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -168,3 +168,75 @@ def knn_ivf(ds, queries: np.ndarray, *, k: int = 10, n_clusters: int = 16,
         lambda g: _merge_topk(g, k=k, id_col=id_col), batch_format="pyarrow"
     )
     return merged.sort(["query_id", "cosine", id_col], descending=[False, True, False])
+
+
+def kmeans_distributed(ds, *, n_clusters: int = 16, iters: int = 5,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       sample_size: int = 4096, seed: int = 42):
+    """Distributed Lloyd's iterations over the full dataset (spherical
+    k-means, cosine like ``kmeans_fit``) — the brief's iterative-algorithm
+    class done Ray-Data-first:
+
+    - init: seeded whole-dataset sample (no first-file bias), driver fit;
+    - each iteration: centroids broadcast via ``ray.put``; one streaming
+      ``map_batches`` emits PER-BLOCK partials (k rows of cluster vector
+      sums + counts) — driver merge is O(blocks × k × dim), never rows;
+    - no shuffle at any point; wall per iteration = one pass over the data.
+
+    Returns (centroids float32 (k × dim), assign_fn) where ``assign_fn``
+    is a batch mapper adding a ``cluster`` column — compose with
+    ``ds.map_batches(assign_fn)`` for the final labeling pass."""
+    import ray
+
+    n = ds.count()
+    frac = min(1.0, (sample_size * 1.25) / max(1, n))
+    sample_rows = ds.random_sample(frac, seed=seed).limit(sample_size).to_pandas()
+    if len(sample_rows) < n_clusters:
+        sample_rows = ds.limit(max(n_clusters, sample_size)).to_pandas()
+    centroids = kmeans_fit(
+        np.asarray(list(sample_rows[vec_col]), dtype=np.float32),
+        n_clusters=n_clusters, iters=3, seed=seed,
+    )
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            vecs = _normalize(
+                np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float32)
+            )
+            assign = np.argmax(vecs @ c.T, axis=1)
+            k, dim = c.shape
+            sums = np.zeros((k, dim), dtype=np.float64)
+            np.add.at(sums, assign, vecs)
+            counts = np.bincount(assign, minlength=k).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                "vsum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+                "cnt": pa.array(counts),
+            })
+
+        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        k, dim = centroids.shape
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums[r["cluster"]] += np.asarray(r["vsum"])
+            counts[r["cluster"]] += r["cnt"]
+        nonzero = counts > 0
+        centroids = centroids.astype(np.float64)
+        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+        centroids = _normalize(centroids.astype(np.float32))
+
+    final = ray.put(centroids)
+
+    def assign_fn(batch: pa.Table) -> pa.Table:
+        c = ray.get(final)
+        vecs = _normalize(
+            np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float32)
+        )
+        assign = np.argmax(vecs @ c.T, axis=1)
+        return batch.append_column("cluster", pa.array(assign.astype(np.int64)))
+
+    return centroids, assign_fn

