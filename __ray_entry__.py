@@ -652,6 +652,155 @@ def _q_events_sessions(sf_dir: str):
                       gap_minutes=30).sort(["user_id", "session_idx"])
 
 
+def _q_events_rolling(sf_dir: str):
+    """Per-user rolling 4-row sum/count of ``value`` over (ts, event_id)
+    order — the moving-average primitive: one keyed shuffle + vectorized
+    cumsum-difference kernel (functions/windows.py rolling_agg).  Values
+    ride as exact micro-units so prefix-sum differences hash-match the SQL
+    window frame's term-by-term integer sum."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logjuicer_ray.functions.windows import rolling_agg
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def to_e6(batch: pa.Table) -> pa.Table:
+        e6 = pc.cast(pc.floor(pc.add(pc.multiply(batch.column("value"), 1e6), 0.5)), pa.int64())
+        return batch.drop_columns(["value"]).append_column("value_e6", e6)
+
+    out = rolling_agg(
+        events.map_batches(to_e6, batch_format="pyarrow"),
+        key="user_id", ts_col="ts", id_col="event_id", val_col="value_e6", window=4,
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["user_id", "event_id", "roll_sum_e6", "roll_n"]),
+        batch_format="pyarrow",
+    ).sort(["user_id", "event_id"])
+
+
+# redaction chain for the synthetic corpus (word-soup text: no real
+# emails/IPs, so the query scrubs vocabulary words — same machinery as the
+# DEFAULT_REDACTIONS PII chain, and the order is load-bearing: pattern 2
+# runs over pattern 1's output)
+_REDACT_PATTERNS = [
+    ("name", r"\bcustomer\b", "<NAME>"),
+    ("org", r"\bspark\b", "<ORG>"),
+]
+
+
+def _q_redacted_docs(sf_dir: str):
+    """Regex redaction (PII-scrub machinery) over the documents table:
+    sequential (count, replace) chain of Arrow RE2 kernels, fully
+    vectorized (functions/text.py redact_batch).  The full redacted strings
+    are value-hashed against the nested SQL regexp_replace chain."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.text import add_redaction
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = add_redaction(docs, patterns=_REDACT_PATTERNS)
+    return out.select_columns(["doc_id", "n_name", "n_org", "redacted"]).sort("doc_id")
+
+
+def _q_events_props(sf_dir: str):
+    """Typed field extraction from the JSON ``props`` column (vectorized
+    RE2 fast path + row-targeted json.loads fallback,
+    functions/semistruct.py), then a per-type aggregate.  The oracle
+    recomputes through DuckDB's native JSON functions — two independent
+    parsers must agree on every value."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from logjuicer_ray.functions.semistruct import add_json_int
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    ext = add_json_int(events, col="props", field="k", out_col="k")
+    out = ext.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Sum("k", alias_name="sum_k"),
+        Min("k", alias_name="min_k"),
+        Max("k", alias_name="max_k"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        for name in ["n_events", "sum_k", "min_k", "max_k"]:
+            i = batch.schema.get_field_index(name)
+            batch = batch.set_column(i, name, batch.column(name).cast(pa.int64()))
+        return batch
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("event_type")
+
+
+def _q_lineitem_rollup(sf_dir: str):
+    """Grouping-sets rollup (returnflag, linestatus) → (returnflag) → () in
+    ONE pass: per-batch Arrow partial aggregation at the finest level, one
+    tiny keyed combine, then the coarser levels are derived driver-side
+    from the ~6 finest rows (integer cents, so sums-of-sums are exact).
+    'ALL' is the rollup sentinel on both sides."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty_c = pc.cast(pc.floor(pc.add(pc.multiply(batch.column("l_quantity"), 100.0), 0.5)),
+                        pa.int64())
+        price_c = pc.cast(pc.floor(pc.add(pc.multiply(batch.column("l_extendedprice"), 100.0), 0.5)),
+                          pa.int64())
+        t = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty_c": qty_c,
+            "price_c": price_c,
+        })
+        agg = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("price_c", "sum"), ([], "count_all")]
+        )
+        return agg.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty_c", "sum_price_c", "n_rows"]
+        )
+
+    finest = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_c", alias_name="sum_qty_c"),
+            Sum("sum_price_c", alias_name="sum_price_c"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+        .to_pandas()
+    )
+    mids = (
+        finest.groupby("l_returnflag", as_index=False)[["sum_qty_c", "sum_price_c", "n_rows"]]
+        .sum()
+    )
+    mids["l_linestatus"] = "ALL"
+    total = finest[["sum_qty_c", "sum_price_c", "n_rows"]].sum().to_frame().T
+    total["l_returnflag"] = "ALL"
+    total["l_linestatus"] = "ALL"
+    import pandas as pd
+
+    out = pd.concat([finest, mids, total], ignore_index=True)
+    out = out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    return pa.table({
+        "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+        "l_linestatus": pa.array(out["l_linestatus"], pa.string()),
+        "sum_qty_c": pa.array(out["sum_qty_c"].astype("int64"), pa.int64()),
+        "sum_price_c": pa.array(out["sum_price_c"].astype("int64"), pa.int64()),
+        "n_rows": pa.array(out["n_rows"].astype("int64"), pa.int64()),
+    })
+
+
 def _q_events_asof_orders(sf_dir: str):
     """As-of join: each event picks the user's latest order at-or-before the
     event timestamp (tagged-union keyed shuffle + searchsorted merge,
@@ -1223,6 +1372,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "events_hopping": _q_events_hopping,
         "events_sessions": _q_events_sessions,
+        "events_rolling": _q_events_rolling,
+        "events_props": _q_events_props,
+        "redacted_docs": _q_redacted_docs,
+        "lineitem_rollup": _q_lineitem_rollup,
         "lineitem_topk": _q_lineitem_topk,
         "orders_range_lineitem": _q_orders_range_lineitem,
         "distinct_users_hll": _q_distinct_users_hll,
@@ -1260,6 +1413,25 @@ def _errors_triggers_sql(turns: str) -> str:
         f"THEN 1 ELSE 0 END) AS BIGINT) AS n_triggers "
         f"FROM {turns} WHERE split = 'target' "
         f"GROUP BY conv_id ORDER BY conv_id"
+    )
+
+
+def _redacted_docs_sql() -> str:
+    """Nested regexp_replace chain built from the SAME pattern list the
+    engine applies (_REDACT_PATTERNS) — each count runs over the previous
+    replacement's output, RE2 on both sides."""
+    expr = "text"
+    counts = []
+    for label, pat, repl in _REDACT_PATTERNS:
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''")
+        counts.append(
+            f"CAST(len(regexp_extract_all({expr}, '{p}')) AS BIGINT) AS n_{label}"
+        )
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return (
+        "SELECT doc_id, " + ", ".join(counts) + f", {expr} AS redacted "
+        "FROM documents ORDER BY doc_id"
     )
 
 
@@ -1552,6 +1724,34 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT role, tool, split, COUNT(*) AS n_lines, "
             f"CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS n_bytes "
             f"FROM {turns} GROUP BY role, tool, split ORDER BY role, tool, split"
+        ),
+        "events_rolling": (
+            "SELECT user_id, event_id, "
+            "CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) "
+            "AS roll_sum_e6, "
+            "CAST(COUNT(*) OVER w AS BIGINT) AS roll_n "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) "
+            "ORDER BY user_id, event_id"
+        ),
+        "events_props": (
+            "SELECT event_type, COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
+            "CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k, "
+            "CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "redacted_docs": _redacted_docs_sql(),
+        "lineitem_rollup": (
+            "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+            "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+            "CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS sum_price_c, "
+            "COUNT(*) AS n_rows "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) "
+            "ORDER BY 1, 2"
         ),
         "exact_dedup_docs": (
             "SELECT d.doc_id, d.text FROM documents d "

@@ -17,10 +17,21 @@ __all__ = [
     "quality_batch",
     "lang_id_batch",
     "fingerprint_batch",
+    "redact_batch",
     "add_token_counts",
     "add_quality",
     "add_lang_id",
     "add_fingerprints",
+    "add_redaction",
+]
+
+# default PII scrub chain (training-data hygiene): applied IN ORDER, each
+# pattern sees the previous pattern's output — identical semantics to a
+# nested SQL regexp_replace(..., 'g') chain (RE2 on both sides)
+DEFAULT_REDACTIONS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
 ]
 
 _WS_RE = re.compile(r"\s+")
@@ -126,6 +137,31 @@ def fingerprint_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(fp, pa.int64())).append_column(
         "winnow_fp", pa.array(winnow, pa.int64())
     )
+
+
+def redact_batch(batch: pa.Table, *, patterns: list[tuple[str, str, str]] | None = None,
+                 text_col: str = "text", out_col: str = "redacted") -> pa.Table:
+    """Sequential regex redaction (PII scrub): for each (label, pattern,
+    replacement) in order, count the non-overlapping RE2 matches in the
+    CURRENT text (as ``n_<label>``) then replace them all — so later
+    patterns never re-match inside earlier replacements, exactly like a
+    nested SQL ``regexp_replace(..., 'g')`` chain.
+
+    Fully vectorized: ``pc.count_substring_regex`` +
+    ``pc.replace_substring_regex`` (Arrow RE2 kernels); no Python per row."""
+    import pyarrow.compute as pc
+
+    cur = batch.column(text_col)
+    for label, pat, repl in (patterns if patterns is not None else DEFAULT_REDACTIONS):
+        batch = batch.append_column(
+            f"n_{label}", pc.cast(pc.count_substring_regex(cur, pat), pa.int64())
+        )
+        cur = pc.replace_substring_regex(cur, pat, repl)
+    return batch.append_column(out_col, cur)
+
+
+def add_redaction(ds, **kw):
+    return ds.map_batches(redact_batch, batch_format="pyarrow", fn_kwargs=kw)
 
 
 def add_token_counts(ds, **kw):

@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["sessionize", "hopping_window_agg"]
+__all__ = ["sessionize", "hopping_window_agg", "rolling_agg"]
 
 
 def _session_group(
@@ -71,6 +71,58 @@ def sessionize(ds, *, key: str = "user_id", ts_col: str = "ts",
     ds = ds.select_columns([key, ts_col, id_col])
     return ds.groupby(key).map_groups(
         lambda g: _session_group(g, key=key, ts_col=ts_col, id_col=id_col, gap_us=gap_us),
+        batch_format="pyarrow",
+    )
+
+
+def _rolling_group(group: pa.Table, *, key: str, ts_col: str, id_col: str,
+                   val_col: str, window: int) -> pa.Table:
+    ts = group.column(ts_col)
+    ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
+    t = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ids_arr = group.column(id_col)
+    ids = (ids_arr.combine_chunks() if isinstance(ids_arr, pa.ChunkedArray) else ids_arr
+           ).to_numpy(zero_copy_only=False)
+    vals = group.column(val_col)
+    v = (vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
+         ).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, t))
+    id_s, v_s = ids[order], v[order]
+    n = len(v_s)
+    cs = np.cumsum(v_s, dtype=np.int64)
+    roll = cs.copy()
+    if n > window:
+        roll[window:] = cs[window:] - cs[:-window]
+    cnt = np.minimum(np.arange(1, n + 1, dtype=np.int64), window)
+    key_val = group.column(key)[0].as_py()
+    return pa.table(
+        {
+            key: pa.array([key_val] * n, group.schema.field(key).type),
+            id_col: pa.array(id_s, pa.int64()),
+            "roll_sum": pa.array(roll, pa.int64()),
+            "roll_n": pa.array(cnt, pa.int64()),
+        }
+    )
+
+
+def rolling_agg(ds, *, key: str = "user_id", ts_col: str = "ts",
+                id_col: str = "event_id", val_col: str, window: int = 4):
+    """Per-key rolling sum/count over the last ``window`` rows (the SQL
+    ``ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW`` frame), ordered by
+    (ts, id) within each key — the standard moving-average primitive.
+
+    ``val_col`` must already be an exact integer column (e.g. micro-units):
+    prefix-sum differences are then bit-exact regardless of partitioning and
+    match the SQL window frame's term-by-term sum.
+
+    Distribution shape: ONE keyed shuffle (``groupby(key)``), then a fully
+    vectorized per-group kernel (lexsort + cumsum + shifted difference,
+    O(n) per key).  Hot keys are bounded by per-key row counts."""
+    ds = ds.select_columns([key, ts_col, id_col, val_col])
+    return ds.groupby(key).map_groups(
+        lambda g: _rolling_group(
+            g, key=key, ts_col=ts_col, id_col=id_col, val_col=val_col, window=window
+        ),
         batch_format="pyarrow",
     )
 

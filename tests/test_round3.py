@@ -711,3 +711,114 @@ def test_kmeans_distributed_quality_and_partition_invariance(ray_session):
     out2 = ds.repartition(13).map_batches(assign_fn, batch_format="pyarrow").to_pandas()
     lab2 = out2.sort_values("vec_id")["cluster"].to_numpy()
     assert (lab == lab2).all()
+
+
+def test_rolling_agg_matches_bruteforce_and_partitioning(ray_session):
+    """rolling_agg == brute-force window frame on random input; identical
+    output under a different block layout (the kernel sees whole groups)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.windows import rolling_agg
+
+    rng = np.random.default_rng(11)
+    n = 800
+    rows = [
+        {
+            "user_id": int(rng.integers(0, 12)),
+            "event_id": i,
+            "ts": int(rng.integers(0, 50)),  # heavy ts ties -> id tie-break
+            "v": int(rng.integers(-1000, 1000)),
+        }
+        for i in range(n)
+    ]
+    ds = rd.from_items(rows)
+    out = rolling_agg(ds, key="user_id", ts_col="ts", id_col="event_id",
+                      val_col="v", window=4).to_pandas()
+    out = out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    # brute force
+    import pandas as pd
+
+    df = pd.DataFrame(rows).sort_values(["user_id", "ts", "event_id"])
+    want = []
+    for uid, g in df.groupby("user_id"):
+        vs = g["v"].to_numpy()
+        for j in range(len(vs)):
+            lo = max(0, j - 3)
+            want.append({"user_id": uid, "event_id": int(g["event_id"].iloc[j]),
+                         "roll_sum": int(vs[lo:j + 1].sum()), "roll_n": j - lo + 1})
+    want = pd.DataFrame(want).sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    assert (out["roll_sum"].to_numpy() == want["roll_sum"].to_numpy()).all()
+    assert (out["roll_n"].to_numpy() == want["roll_n"].to_numpy()).all()
+    out2 = rolling_agg(ds.repartition(13), key="user_id", ts_col="ts",
+                       id_col="event_id", val_col="v", window=4).to_pandas()
+    out2 = out2.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    assert out.equals(out2)
+
+
+def test_redact_batch_sequencing_and_counts():
+    """Later patterns run over earlier replacements (no re-matching inside
+    placeholders); counts are per-pattern non-overlapping match counts."""
+    from logjuicer_ray.functions.text import redact_batch
+
+    t = pa.table({"doc_id": [0, 1, 2],
+                  "text": ["mail a@b.co and c@d.io here", "ip 10.0.0.1 x", "none"]})
+    out = redact_batch(t)  # DEFAULT_REDACTIONS: email, ipv4, phone
+    got = out.to_pydict()
+    assert got["n_email"] == [2, 0, 0]
+    assert got["n_ipv4"] == [0, 1, 0]
+    assert got["redacted"][0] == "mail <EMAIL> and <EMAIL> here"
+    assert got["redacted"][1] == "ip <IP> x"
+    assert got["redacted"][2] == "none"
+    # sequencing: pattern 2 would match inside pattern 1's input but not
+    # its replacement output
+    t2 = pa.table({"text": ["aa bb aa"]})
+    out2 = redact_batch(t2, patterns=[("a", "aa", "bb"), ("b", "bb", "cc")])
+    d2 = out2.to_pydict()
+    assert d2["n_a"] == [2]
+    assert d2["n_b"] == [3]  # original bb + two replacements
+    assert d2["redacted"] == ["cc cc cc"]
+
+
+def test_extract_json_int_fast_and_fallback_paths():
+    """The RE2 fast path and the row-targeted json.loads fallback agree;
+    malformed/absent/non-int rows yield null."""
+    from logjuicer_ray.functions.semistruct import extract_json_int_batch
+
+    texts = [
+        '{"k": 69}',                      # fast path
+        '{"k":-3}',                       # fast path, negative
+        '{"other": 1, "k": 7}',           # fast path (mid-object)
+        '{"k": 1.5}',                     # float -> null
+        '{"k": "9"}',                     # string -> null (typed extraction)
+        '{"nested": {"k": 5}}',           # fallback -> absent at top level
+        '{"k"  :  12  }',                 # whitespace -> fast or fallback, = 12
+        "not json",                       # malformed -> null
+        None,                             # null in -> null out
+        '{"k": true}',                    # bool is not int -> null
+    ]
+    t = pa.table({"props": pa.array(texts, pa.string())})
+    out = extract_json_int_batch(t, col="props", field="k", out_col="k")
+    assert out.column("k").to_pylist() == [69, -3, 7, None, None, None, 12, None, None, None]
+
+
+def test_round3b_queries_vs_duckdb(ray_session):
+    """events_rolling / events_props / redacted_docs / lineitem_rollup
+    hash-match their oracles at sf0.001."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("events", "documents", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    for name in ("events_rolling", "events_props", "redacted_docs", "lineitem_rollup"):
+        out = e.queries()[name](sf)
+        out = out.to_pandas() if hasattr(out, "to_pandas") else out
+        want = con.execute(e.oracle_sql()[name]).df()
+        assert len(out) == len(want), name
+        cols = sorted(out.columns)
+        assert cols == sorted(want.columns), name
+        a = out[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True)
+        assert a.astype({c: b[c].dtype for c in cols}).equals(b), name
