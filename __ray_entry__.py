@@ -801,6 +801,161 @@ def _q_lineitem_rollup(sf_dir: str):
     })
 
 
+def _q_orders_window(sf_dir: str):
+    """SQL window-function trio (ROW_NUMBER / LAG / running SUM) per
+    customer over order history ordered by (o_orderdate, o_orderkey) —
+    one keyed shuffle + vectorized per-group kernel
+    (functions/windows.py window_funcs).  Totals ride as exact cents."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logjuicer_ray.functions.windows import window_funcs
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch.column("o_totalprice"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return batch.drop_columns(["o_totalprice"]).append_column("total_c", c)
+
+    out = window_funcs(
+        orders.map_batches(to_cents, batch_format="pyarrow"),
+        key="o_custkey", order_cols=["o_orderdate", "o_orderkey"],
+        val_col="total_c", lag_default=-1,
+    )
+    return out.select_columns(
+        ["o_custkey", "o_orderkey", "rn", "lag_total_c", "run_total_c"]
+    ).sort(["o_custkey", "o_orderkey"])
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_events_pivot(sf_dir: str):
+    """Long->wide pivot: per-user event-type counts as fixed columns
+    (functions/pivot.py pivot_counts — in-batch partial pivot, one keyed
+    Sum combine; the shuffle moves wide integer partials, not events)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.pivot import pivot_counts
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    out = pivot_counts(
+        events, key_col="user_id", pivot_col="event_type",
+        categories=_PIVOT_TYPES,
+    )
+    return out.sort("user_id")
+
+
+def _q_events_distinct_by_type(sf_dir: str):
+    """Exact per-group COUNT(DISTINCT): two-stage distributed distinct with
+    in-batch pair pre-dedup (functions/corpus.py grouped_distinct) — the
+    shuffle moves unique (event_type, user_id) pairs, never events."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.corpus import grouped_distinct
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return grouped_distinct(
+        events, group_col="event_type", value_col="user_id"
+    ).sort("event_type")
+
+
+def _q_repetition_docs(sf_dir: str):
+    """Gopher-style repetition signals (duplicate-word / top-word /
+    duplicate-bigram counts) per document, fully vectorized
+    (functions/text.py repetition_batch: Arrow split + dictionary-encode +
+    numpy bincount).  Exact integers, SQL-recomputable."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.text import add_repetition
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return add_repetition(docs).sort("doc_id")
+
+
+def _q_turns_line_dedup(sf_dir: str):
+    """CCNet-style corpus-wide line-level exact dedup over target turns:
+    explode lines, keep each distinct line only at its first (conv, turn,
+    line_idx) location, rebuild per-turn text from survivors
+    (functions/dedup.py line_level_dedup — the winner location is encoded
+    in the groupby min-key, so there is no winners-table join).
+
+    The driver-compared surface is conversation-level (bounded rows at any
+    scale): kept-turn / kept-line counts plus an order-insensitive XOR of
+    md5-u64(turn_idx || 0x01 || clean_text) — every reconstructed byte and
+    its turn placement feed the checksum, recomputed verbatim in SQL."""
+    import numpy as np
+    import pyarrow as pa
+
+    from logjuicer_ray.functions.dedup import line_level_dedup
+    from logjuicer_ray.functions.hashing import md5_u64_str
+    from logjuicer_ray.sources.transcripts import explode_lines, read_turns
+
+    target = read_turns(
+        _turns_path(sf_dir), split="target",
+        columns=["conv_id", "turn_idx", "text"],
+    )
+    turns = line_level_dedup(explode_lines(target))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        # md5 per KEPT TURN (verification checksum surface, same tradeoff
+        # as the portable MinHash mode), XOR-combined per conv in-batch
+        conv = batch.column("conv_id").to_pylist()
+        ti = batch.column("turn_idx").to_pylist()
+        ct = batch.column("clean_text").to_pylist()
+        nk = batch.column("n_kept").to_numpy(zero_copy_only=False)
+        hs = np.fromiter(
+            (md5_u64_str(f"{t}\x01{c}") for t, c in zip(ti, ct)),
+            dtype=np.uint64, count=len(batch),
+        )
+        cv = np.asarray(conv, dtype=object)
+        order = np.argsort(cv, kind="stable")
+        cv_s, hs_s, nk_s = cv[order], hs[order], np.asarray(nk)[order]
+        uniq, starts = np.unique(cv_s, return_index=True)
+        xor = np.bitwise_xor.reduceat(hs_s, starts)
+        n_lines = np.add.reduceat(nk_s.astype(np.int64), starts)
+        n_turns = np.diff(np.append(starts, len(cv_s)))
+        return pa.table({
+            "conv_id": pa.array(list(uniq), pa.string()),
+            "n_turns": pa.array(n_turns, pa.int64()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "xor_p": pa.array(xor, pa.uint64()),
+        })
+
+    def _final(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        xs = group.column("xor_p").to_numpy(zero_copy_only=False)
+        x = int(np.bitwise_xor.reduce(xs.astype(np.uint64)))
+        x_i64 = x - (1 << 64) if x >= (1 << 63) else x
+        return pa.table({
+            "conv_id": group.column("conv_id").slice(0, 1),
+            "n_turns": pa.array(
+                [int(pc.sum(group.column("n_turns")).as_py())], pa.int64()),
+            "n_lines": pa.array(
+                [int(pc.sum(group.column("n_lines")).as_py())], pa.int64()),
+            "check_xor": pa.array([x_i64], pa.int64()),
+        })
+
+    return (
+        turns.map_batches(_partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .map_groups(_final, batch_format="pyarrow")
+        .sort("conv_id")
+    )
+
+
 def _q_events_asof_orders(sf_dir: str):
     """As-of join: each event picks the user's latest order at-or-before the
     event timestamp (tagged-union keyed shuffle + searchsorted merge,
@@ -1374,6 +1529,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "events_rolling": _q_events_rolling,
         "events_props": _q_events_props,
+        "events_pivot": _q_events_pivot,
+        "events_distinct_by_type": _q_events_distinct_by_type,
+        "orders_window": _q_orders_window,
+        "repetition_docs": _q_repetition_docs,
+        "turns_line_dedup": _q_turns_line_dedup,
         "redacted_docs": _q_redacted_docs,
         "lineitem_rollup": _q_lineitem_rollup,
         "lineitem_topk": _q_lineitem_topk,
@@ -1743,6 +1903,79 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "redacted_docs": _redacted_docs_sql(),
+        "orders_window": (
+            "WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate, "
+            "CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS total_c FROM orders) "
+            "SELECT o_custkey, o_orderkey, "
+            "CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn, "
+            "CAST(COALESCE(LAG(total_c) OVER w, -1) AS BIGINT) AS lag_total_c, "
+            "CAST(SUM(total_c) OVER w AS BIGINT) AS run_total_c "
+            "FROM o WINDOW w AS (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "ORDER BY o_custkey, o_orderkey"
+        ),
+        "events_pivot": (
+            "SELECT user_id, "
+            + ", ".join(
+                f"CAST(SUM(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS n_{c}"
+                for c in _PIVOT_TYPES
+            )
+            + ", COUNT(*) AS n_total FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "events_distinct_by_type": (
+            "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "repetition_docs": (
+            "WITH x AS (SELECT doc_id, "
+            "string_split_regex(COALESCE(text, ''), '\\s+') AS parts FROM documents), "
+            "e AS (SELECT doc_id, parts, "
+            "unnest(generate_series(1, len(parts))) AS pos FROM x), "
+            "w AS (SELECT doc_id, pos, parts[pos] AS word FROM e "
+            "WHERE parts[pos] <> ''), "
+            "wc AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word), "
+            "ws AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, "
+            "CAST(COUNT(*) AS BIGINT) AS n_distinct_words, "
+            "CAST(MAX(c) AS BIGINT) AS top_word_cnt FROM wc GROUP BY doc_id), "
+            "r AS (SELECT doc_id, word, pos, "
+            "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn FROM w), "
+            "bg AS (SELECT a.doc_id, a.word || ' ' || b.word AS bigram "
+            "FROM r a JOIN r b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1), "
+            "bs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+            "CAST(COUNT(DISTINCT bigram) AS BIGINT) AS n_distinct_bigrams "
+            "FROM bg GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(ws.n_words, 0) AS n_words, "
+            "COALESCE(ws.n_distinct_words, 0) AS n_distinct_words, "
+            "COALESCE(ws.top_word_cnt, 0) AS top_word_cnt, "
+            "COALESCE(bs.n_bigrams, 0) AS n_bigrams, "
+            "COALESCE(bs.n_distinct_bigrams, 0) AS n_distinct_bigrams "
+            "FROM documents d LEFT JOIN ws ON d.doc_id = ws.doc_id "
+            "LEFT JOIN bs ON d.doc_id = bs.doc_id ORDER BY d.doc_id"
+        ),
+        "turns_line_dedup": (
+            f"WITH x AS (SELECT conv_id, turn_idx, "
+            f"string_split(COALESCE(text, ''), chr(10)) AS parts FROM {turns} "
+            f"WHERE split = 'target'), "
+            "e AS (SELECT conv_id, turn_idx, parts, "
+            "unnest(generate_series(1, len(parts))) AS i FROM x), "
+            "l AS (SELECT conv_id, turn_idx, i - 1 AS line_idx, parts[i] AS line "
+            "FROM e), "
+            "k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY line "
+            "ORDER BY conv_id, turn_idx, line_idx) AS rn FROM l), "
+            "t AS (SELECT conv_id, turn_idx, CAST(COUNT(*) AS BIGINT) AS n_kept, "
+            "string_agg(line, chr(10) ORDER BY line_idx) AS clean_text "
+            "FROM k WHERE rn = 1 GROUP BY conv_id, turn_idx) "
+            "SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns, "
+            "CAST(SUM(n_kept) AS BIGINT) AS n_lines, "
+            + _signed_sql(
+                "bit_xor("
+                + _md5_u64_sql("CAST(turn_idx AS VARCHAR) || chr(1) || clean_text")
+                + ")"
+            )
+            + " AS check_xor FROM t GROUP BY conv_id ORDER BY conv_id"
+        ),
         "lineitem_rollup": (
             "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
             "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "

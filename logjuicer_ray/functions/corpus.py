@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 from .hashing import md5_u64_str
 
 __all__ = ["vocab_topk", "exact_quantiles", "grouped_quantiles", "hash_sample",
-           "pack_sequences"]
+           "pack_sequences", "grouped_distinct"]
 
 
 def _token_counts(batch: pa.Table, text_col: str) -> pa.Table:
@@ -388,3 +388,39 @@ def tfidf_topk(ds, *, id_col: str = "doc_id", text_col: str = "text", k: int = 3
                 .append_column("tfidf_e6", e6))
 
     return top.map_batches(_e6, batch_format="pyarrow")
+
+
+def grouped_distinct(ds, *, group_col: str, value_col: str):
+    """Exact per-group COUNT(DISTINCT value): the two-stage distributed
+    distinct.  Stage 1 pre-dedups (group, value) pairs INSIDE each batch
+    (Arrow ``group_by`` with no aggregates — no Python per row) so the wide
+    shuffle moves unique pairs, not rows; stage 2 dedups pairs globally
+    (``groupby([group, value]).count()``); stage 3 reduces the pair rows to
+    per-group counts with another in-batch partial + a tiny keyed Sum.
+
+    Shuffle bytes are bounded by distinct-pair cardinality x tasks — at
+    100 TB the events never move, only their distinct (group, value) keys.
+    """
+    from ray.data.aggregate import Sum
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table({group_col: batch.column(group_col),
+                      value_col: batch.column(value_col)})
+        return t.group_by([group_col, value_col]).aggregate([])
+
+    pairs = ds.select_columns([group_col, value_col]).map_batches(
+        _pairs, batch_format="pyarrow"
+    )
+    uniq = pairs.groupby([group_col, value_col]).count()
+
+    def _cnt(batch: pa.Table) -> pa.Table:
+        t = pa.table({group_col: batch.column(group_col),
+                      "one": pa.array([1] * len(batch), pa.int64())})
+        g = pa.TableGroupBy(t, group_col).aggregate([("one", "sum")])
+        return g.rename_columns([group_col, "n_distinct"])
+
+    return (
+        uniq.map_batches(_cnt, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("n_distinct", alias_name="n_distinct"))
+    )

@@ -30,6 +30,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_cosine_dedup",
     "connected_components",
+    "line_level_dedup",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -850,3 +851,79 @@ def embedding_cosine_dedup(ds, *, threshold: float = 0.45, id_col: str = "vec_id
         return group.slice(int(np.argmin(dups)), 1)
 
     return pairs.groupby(id_col).map_groups(min_dup, batch_format="pyarrow")
+
+
+def line_level_dedup(lines_ds, *, conv_col: str = "conv_id",
+                     turn_col: str = "turn_idx", idx_col: str = "line_idx",
+                     text_col: str = "text", sep: str = "\n"):
+    """CCNet-style global line/paragraph-level exact dedup over an exploded
+    lines table: each distinct line survives exactly ONCE corpus-wide, at
+    its lexicographically-first location (ORDER BY conv, turn, line_idx —
+    the SQL ``ROW_NUMBER() OVER (PARTITION BY line ...) = 1`` rule), and
+    each turn's text is reconstructed from its surviving lines.  Turns
+    whose every line loses disappear (same as the SQL GROUP BY over kept
+    rows).
+
+    Distribution shape — the winner's location is ENCODED in the group
+    min-key, so one ``groupby(text).aggregate(Min)`` replaces the usual
+    winners-table join: no second pass over the corpus, no text-keyed
+    join.  The NUL-separated composite (conv || NUL || zero-padded turn ||
+    zero-padded idx) compares exactly like SQL's column-wise ORDER BY for
+    NUL-free keys and non-negative indices.  Reconstruction is a second
+    keyed shuffle on (conv, turn) with a tiny per-turn sort kernel.
+    """
+    from ray.data.aggregate import Min
+
+    def _with_key(batch: pa.Table) -> pa.Table:
+        t_pad = pc.utf8_lpad(
+            pc.cast(batch.column(turn_col), pa.string()), 12, padding="0"
+        )
+        i_pad = pc.utf8_lpad(
+            pc.cast(batch.column(idx_col), pa.string()), 12, padding="0"
+        )
+        key = pc.binary_join_element_wise(
+            pc.cast(batch.column(conv_col), pa.string()), t_pad, i_pad, "\x00"
+        )
+        return pa.table({
+            text_col: pc.fill_null(batch.column(text_col), ""),
+            "sort_key": key,
+        })
+
+    winners = (
+        lines_ds.map_batches(_with_key, batch_format="pyarrow")
+        .groupby(text_col)
+        .aggregate(Min("sort_key", alias_name="win_key"))
+    )
+
+    def _decode(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch.column("win_key"), pattern="\x00")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = pc.list_flatten(parts)
+        n = len(batch)
+        conv = flat.take(pa.array(range(0, 3 * n, 3), pa.int64()))
+        turn = pc.cast(flat.take(pa.array(range(1, 3 * n, 3), pa.int64())), pa.int64())
+        idx = pc.cast(flat.take(pa.array(range(2, 3 * n, 3), pa.int64())), pa.int64())
+        return pa.table({
+            conv_col: conv, turn_col: turn, idx_col: idx,
+            text_col: batch.column(text_col),
+        })
+
+    kept = winners.map_batches(_decode, batch_format="pyarrow")
+
+    def _rebuild(group: pa.Table) -> pa.Table:
+        idx = group.column(idx_col)
+        idx = idx.combine_chunks() if isinstance(idx, pa.ChunkedArray) else idx
+        order = pc.sort_indices(idx)
+        texts = group.column(text_col).take(order)
+        joined = sep.join(texts.to_pylist())
+        return pa.table({
+            conv_col: group.column(conv_col).slice(0, 1),
+            turn_col: pc.cast(group.column(turn_col).slice(0, 1), pa.int64()),
+            "n_kept": pa.array([len(group)], pa.int64()),
+            "clean_text": pa.array([joined], pa.string()),
+        })
+
+    return kept.groupby([conv_col, turn_col]).map_groups(
+        _rebuild, batch_format="pyarrow"
+    )

@@ -18,11 +18,13 @@ __all__ = [
     "lang_id_batch",
     "fingerprint_batch",
     "redact_batch",
+    "repetition_batch",
     "add_token_counts",
     "add_quality",
     "add_lang_id",
     "add_fingerprints",
     "add_redaction",
+    "add_repetition",
 ]
 
 # default PII scrub chain (training-data hygiene): applied IN ORDER, each
@@ -162,6 +164,72 @@ def redact_batch(batch: pa.Table, *, patterns: list[tuple[str, str, str]] | None
 
 def add_redaction(ds, **kw):
     return ds.map_batches(redact_batch, batch_format="pyarrow", fn_kwargs=kw)
+
+
+def repetition_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                     text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals per document, as EXACT integer
+    counts (consumers derive the published fractions; integers hash-match
+    SQL bit-for-bit):
+
+    - ``n_words`` / ``n_distinct_words``: whitespace tokens and their
+      per-doc distinct count (duplicate-word fraction = 1 - distinct/n)
+    - ``top_word_cnt``: occurrences of the most frequent word (top-1-gram
+      fraction = top_word_cnt / n_words)
+    - ``n_bigrams`` / ``n_distinct_bigrams``: adjacent word pairs
+      (duplicate-2-gram fraction = 1 - distinct/n)
+
+    Fully vectorized: one Arrow whitespace split + dictionary-encode, then
+    numpy ``bincount`` / ``unique`` / ``maximum.at`` over integer codes —
+    no Python per row or per word.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n_rows = len(batch)
+    texts = pc.fill_null(batch.column(text_col), "")
+    lists = pc.utf8_split_whitespace(texts)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    mask = pc.not_equal(flat, "")
+    flat = flat.filter(mask)
+    par = parents.filter(mask).to_numpy(zero_copy_only=False).astype(np.int64)
+    de = flat.dictionary_encode()
+    if isinstance(de, pa.ChunkedArray):
+        de = de.combine_chunks()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    v = max(int(len(de.dictionary)), 1)
+
+    n_words = np.bincount(par, minlength=n_rows)
+    uk, cnts = np.unique(par * v + codes, return_counts=True)
+    upar = uk // v
+    n_distinct = np.bincount(upar, minlength=n_rows)
+    top_cnt = np.zeros(n_rows, dtype=np.int64)
+    np.maximum.at(top_cnt, upar, cnts)
+
+    adj = par[1:] == par[:-1]
+    big_par = par[1:][adj]
+    bigkey = codes[:-1][adj] * v + codes[1:][adj]
+    n_bigrams = np.bincount(big_par, minlength=n_rows)
+    ubk = np.unique(big_par * (v * v) + bigkey)
+    n_distinct_bigrams = np.bincount(ubk // (v * v), minlength=n_rows)
+
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_distinct_words": pa.array(n_distinct, pa.int64()),
+            "top_word_cnt": pa.array(top_cnt, pa.int64()),
+            "n_bigrams": pa.array(n_bigrams, pa.int64()),
+            "n_distinct_bigrams": pa.array(n_distinct_bigrams, pa.int64()),
+        }
+    )
+
+
+def add_repetition(ds, **kw):
+    return ds.map_batches(repetition_batch, batch_format="pyarrow", fn_kwargs=kw)
 
 
 def add_token_counts(ds, **kw):

@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["sessionize", "hopping_window_agg", "rolling_agg"]
+__all__ = ["sessionize", "hopping_window_agg", "rolling_agg", "window_funcs"]
 
 
 def _session_group(
@@ -122,6 +122,63 @@ def rolling_agg(ds, *, key: str = "user_id", ts_col: str = "ts",
     return ds.groupby(key).map_groups(
         lambda g: _rolling_group(
             g, key=key, ts_col=ts_col, id_col=id_col, val_col=val_col, window=window
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _window_funcs_group(group: pa.Table, *, key: str, order_cols: list[str],
+                        val_col: str, lag_default: int) -> pa.Table:
+    cols = []
+    for c in reversed(order_cols):
+        arr = group.column(c)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        cols.append(arr.cast(pa.int64()).to_numpy(zero_copy_only=False))
+    order = np.lexsort(tuple(cols))
+    vals = group.column(val_col)
+    v = (vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
+         ).to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    n = len(v)
+    rn = np.arange(1, n + 1, dtype=np.int64)
+    lag = np.empty(n, dtype=np.int64)
+    lag[0] = lag_default
+    lag[1:] = v[:-1]
+    run = np.cumsum(v, dtype=np.int64)
+    key_val = group.column(key)[0].as_py()
+    out = {key: pa.array([key_val] * n, group.schema.field(key).type)}
+    for c in order_cols:
+        arr = group.column(c)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        out[c] = arr.take(pa.array(order, pa.int64()))
+    out["rn"] = pa.array(rn, pa.int64())
+    out[f"lag_{val_col}"] = pa.array(lag, pa.int64())
+    out[f"run_{val_col}"] = pa.array(run, pa.int64())
+    return pa.table(out)
+
+
+def window_funcs(ds, *, key: str, order_cols: list[str], val_col: str,
+                 lag_default: int = -1):
+    """The classic SQL window-function trio per key, ordered by
+    ``order_cols`` (all integer-castable, e.g. timestamp + id tie-break):
+
+    - ``rn``              = ROW_NUMBER() OVER w            (1-based)
+    - ``lag_<val_col>``   = LAG(val) OVER w                (``lag_default``
+      on the first row — an explicit sentinel instead of SQL NULL so the
+      column stays non-null int64 end to end)
+    - ``run_<val_col>``   = SUM(val) OVER w ROWS UNBOUNDED PRECEDING
+
+    ``val_col`` must be an exact integer column (cents / micro-units) so
+    running sums are bit-exact under any partitioning.
+
+    Distribution shape: ONE keyed shuffle (``groupby(key)``) then a fully
+    vectorized per-group kernel (lexsort + cumsum + shift, O(n log n) per
+    key).  Hot keys are bounded by per-key row counts — the same bound the
+    SQL window frame itself requires."""
+    ds = ds.select_columns([key, *order_cols, val_col])
+    return ds.groupby(key).map_groups(
+        lambda g: _window_funcs_group(
+            g, key=key, order_cols=order_cols, val_col=val_col,
+            lag_default=lag_default,
         ),
         batch_format="pyarrow",
     )

@@ -822,3 +822,176 @@ def test_round3b_queries_vs_duckdb(ray_session):
         a = out[cols].sort_values(cols).reset_index(drop=True)
         b = want[cols].sort_values(cols).reset_index(drop=True)
         assert a.astype({c: b[c].dtype for c in cols}).equals(b), name
+
+
+def test_window_funcs_matches_bruteforce_and_partitioning(ray_session):
+    """window_funcs (rn / lag / running sum) == pandas brute force on
+    random input with heavy order-key ties; identical under repartition."""
+    import pandas as pd
+    import ray.data as rd
+
+    from logjuicer_ray.functions.windows import window_funcs
+
+    rng = np.random.default_rng(7)
+    rows = [
+        {"k": int(rng.integers(0, 9)), "ts": int(rng.integers(0, 20)),
+         "id": i, "v": int(rng.integers(-500, 500))}
+        for i in range(600)
+    ]
+    ds = rd.from_items(rows)
+    out = window_funcs(ds, key="k", order_cols=["ts", "id"], val_col="v",
+                       lag_default=-1).to_pandas()
+    out = out.sort_values(["k", "ts", "id"]).reset_index(drop=True)
+
+    df = pd.DataFrame(rows).sort_values(["k", "ts", "id"])
+    g = df.groupby("k")["v"]
+    df["rn"] = g.cumcount() + 1
+    df["lag_v"] = g.shift(1).fillna(-1).astype(int)
+    df["run_v"] = g.cumsum()
+    df = df.reset_index(drop=True)
+    assert (out["rn"].to_numpy() == df["rn"].to_numpy()).all()
+    assert (out["lag_v"].to_numpy() == df["lag_v"].to_numpy()).all()
+    assert (out["run_v"].to_numpy() == df["run_v"].to_numpy()).all()
+
+    out2 = window_funcs(ds.repartition(11), key="k", order_cols=["ts", "id"],
+                        val_col="v", lag_default=-1).to_pandas()
+    out2 = out2.sort_values(["k", "ts", "id"]).reset_index(drop=True)
+    assert out.equals(out2)
+
+
+def test_pivot_counts_and_melt_roundtrip(ray_session):
+    """pivot_counts == per-category conditional counts; unlisted categories
+    hit n_total only; melt explodes the wide table back to long rows."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.pivot import melt, pivot_counts
+
+    rows = (
+        [{"u": 1, "t": "a"}] * 3
+        + [{"u": 1, "t": "b"}] * 2
+        + [{"u": 2, "t": "b"}] * 5
+        + [{"u": 2, "t": "zz"}]          # unlisted category
+        + [{"u": 3, "t": None}]          # null category
+    )
+    ds = rd.from_items(rows)
+    wide = pivot_counts(ds, key_col="u", pivot_col="t", categories=["a", "b"])
+    got = {r["u"]: r for r in wide.take_all()}
+    assert got[1] == {"u": 1, "n_a": 3, "n_b": 2, "n_total": 5}
+    assert got[2] == {"u": 2, "n_a": 0, "n_b": 5, "n_total": 6}
+    assert got[3] == {"u": 3, "n_a": 0, "n_b": 0, "n_total": 1}
+
+    long = melt(wide, id_cols=["u"], value_cols=["n_a", "n_b"],
+                var_name="cat", value_name="n").to_pandas()
+    assert len(long) == 6
+    assert int(long[(long["u"] == 2) & (long["cat"] == "n_b")]["n"].iloc[0]) == 5
+
+    # partition invariance
+    wide2 = pivot_counts(ds.repartition(7), key_col="u", pivot_col="t",
+                         categories=["a", "b"])
+    assert sorted(wide2.take_all(), key=lambda r: r["u"]) == sorted(
+        wide.take_all(), key=lambda r: r["u"])
+
+
+def test_grouped_distinct_exact(ray_session):
+    """grouped_distinct == pandas nunique on random data; stable under
+    repartitioning (the two-stage distinct is partition-agnostic)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from logjuicer_ray.functions.corpus import grouped_distinct
+
+    rng = np.random.default_rng(3)
+    rows = [{"g": str(rng.integers(0, 6)), "v": int(rng.integers(0, 40))}
+            for _ in range(2000)]
+    ds = rd.from_items(rows)
+    out = {r["g"]: r["n_distinct"] for r in
+           grouped_distinct(ds, group_col="g", value_col="v").take_all()}
+    want = pd.DataFrame(rows).groupby("g")["v"].nunique().to_dict()
+    assert out == want
+    out2 = {r["g"]: r["n_distinct"] for r in
+            grouped_distinct(ds.repartition(13), group_col="g",
+                             value_col="v").take_all()}
+    assert out2 == want
+
+
+def test_repetition_batch_known_values():
+    """Handcrafted docs with known word/bigram repetition counts; empty and
+    multi-space docs behave."""
+    from logjuicer_ray.functions.text import repetition_batch
+
+    t = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "a b a b a",          # words: a×3 b×2; bigrams: ab,ba,ab,ba
+            "x  x   x",           # runs of spaces, one distinct word
+            "",                   # empty
+            "one two three",      # all unique
+        ],
+    })
+    out = repetition_batch(t).to_pydict()
+    assert out["n_words"] == [5, 3, 0, 3]
+    assert out["n_distinct_words"] == [2, 1, 0, 3]
+    assert out["top_word_cnt"] == [3, 3, 0, 1]
+    assert out["n_bigrams"] == [4, 2, 0, 2]
+    assert out["n_distinct_bigrams"] == [2, 1, 0, 2]
+
+
+def test_line_level_dedup_semantics(ray_session):
+    """Multi-line turns: a line survives only at its lexicographically
+    first (conv, turn, idx) location; fully-duplicated turns disappear;
+    surviving lines rejoin in line order."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.dedup import line_level_dedup
+    from logjuicer_ray.sources.transcripts import explode_lines
+
+    turns = [
+        {"conv_id": "c1", "turn_idx": 0, "text": "alpha\nbeta\ngamma"},
+        {"conv_id": "c1", "turn_idx": 1, "text": "beta\ndelta"},     # beta dups
+        {"conv_id": "c2", "turn_idx": 0, "text": "alpha\nbeta"},     # all dup
+        {"conv_id": "c2", "turn_idx": 1, "text": "epsilon"},
+    ]
+    lines = explode_lines(rd.from_items(turns))
+    out = {(r["conv_id"], r["turn_idx"]): r
+           for r in line_level_dedup(lines).take_all()}
+    assert out[("c1", 0)]["clean_text"] == "alpha\nbeta\ngamma"
+    assert out[("c1", 0)]["n_kept"] == 3
+    assert out[("c1", 1)]["clean_text"] == "delta"
+    assert out[("c1", 1)]["n_kept"] == 1
+    assert ("c2", 0) not in out          # every line lost
+    assert out[("c2", 1)]["clean_text"] == "epsilon"
+    assert len(out) == 3
+
+    # partition invariance of the winner rule
+    out2 = {(r["conv_id"], r["turn_idx"]): r
+            for r in line_level_dedup(lines.repartition(5)).take_all()}
+    assert out2.keys() == out.keys()
+    assert all(out2[k]["clean_text"] == out[k]["clean_text"] for k in out)
+
+
+def test_round3c_queries_vs_duckdb(ray_session):
+    """orders_window / events_pivot / events_distinct_by_type /
+    repetition_docs / turns_line_dedup hash-match their oracles at
+    sf0.001."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("events", "documents", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    tp = e._turns_path(sf)
+    for name in ("orders_window", "events_pivot", "events_distinct_by_type",
+                 "repetition_docs", "turns_line_dedup"):
+        out = e.queries()[name](sf)
+        out = out.to_pandas() if hasattr(out, "to_pandas") else out
+        sql = e.oracle_sql()[name].replace(
+            "/tmp/logjuicer_synth/sf0.01/turns.parquet", tp)
+        want = con.execute(sql).df()
+        assert len(out) == len(want), name
+        cols = sorted(out.columns)
+        assert cols == sorted(want.columns), name
+        a = out[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True)
+        assert a.astype({c: b[c].dtype for c in cols}).equals(b), name
