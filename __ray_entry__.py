@@ -956,6 +956,143 @@ def _q_turns_line_dedup(sf_dir: str):
     )
 
 
+def _q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid as exact integer micro-unit sums in
+    long format (functions/knn.py grouped_centroids): per-batch vectorized
+    partials, one keyed shuffle of (label, dim) integer rows — the vectors
+    never move, and integer sums are order-independent so the result is
+    bit-identical at any partitioning AND in SQL."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.knn import grouped_centroids
+
+    vecs = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def fix_types(batch):
+        import pyarrow as pa
+
+        i = batch.schema.get_field_index("label")
+        return batch.set_column(i, "label", batch.column("label").cast(pa.int64()))
+
+    vecs = vecs.map_batches(fix_types, batch_format="pyarrow")
+    return grouped_centroids(vecs, group_col="label").sort(["label", "dim"])
+
+
+def _q_best_per_cluster(sf_dir: str):
+    """Duplicate-cluster curation: simhash connected components pick the
+    cluster members, per-doc quality scores pick the KEEPER (max quality,
+    doc_id tie-break) — the standard 'keep the best copy' dedup policy.
+    Composition: candidate pairs -> distributed CC -> doc_id join with the
+    quality features -> grouped top-1 with the k-bounded combiner."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logjuicer_ray.functions.dedup import (
+        connected_components,
+        simhash_candidate_pairs,
+    )
+    from logjuicer_ray.functions.text import add_quality
+    from logjuicer_ray.functions.topk import topk_per_group
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cc = connected_components(simhash_candidate_pairs(docs))
+
+    def project_q(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "quality_e6": pc.cast(
+                pc.floor(pc.multiply(batch.column("quality"), 1_000_000.0)),
+                pa.int64(),
+            ),
+        })
+
+    q = add_quality(docs).map_batches(project_q, batch_format="pyarrow")
+    joined = cc.join(q, join_type="inner", num_partitions=8, on=("doc_id",))
+    best = topk_per_group(
+        joined, group_cols=["component"], order_col="quality_e6", k=1,
+        tie_cols=["doc_id"], descending=True,
+    )
+    return best.select_columns(["component", "doc_id", "quality_e6"]).sort("component")
+
+
+def _q_source_quota(sf_dir: str):
+    """Per-source quota cap (curation: at most k docs per source, first by
+    doc_id): grouped top-k with ascending order — the map-side combiner
+    bounds every task's output at k rows per source before the shuffle."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.topk import topk_per_group
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    out = topk_per_group(
+        docs, group_cols=["source"], order_col="doc_id", k=3,
+        tie_cols=["doc_id"], descending=False,
+    )
+    return out.select_columns(["source", "doc_id", "rank"]).sort(["source", "doc_id"])
+
+
+def _q_events_heatmap(sf_dir: str):
+    """Temporal heatmap: ISO day-of-week x hour event counts + exact
+    micro-unit value sums — vectorized Arrow temporal kernels
+    (``pc.day_of_week`` / ``pc.hour``) with in-batch partial aggregation;
+    the shuffle moves at most 7x24 rows per task."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        dow = pc.cast(
+            pc.day_of_week(
+                ts, options=pc.DayOfWeekOptions(count_from_zero=False, week_start=1)
+            ),
+            pa.int64(),
+        )
+        hour = pc.cast(pc.hour(ts), pa.int64())
+        v_e6 = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch.column("value"), 1e6), 0.5)), pa.int64()
+        )
+        t = pa.table({"dow": dow, "hour": hour, "v_e6": v_e6})
+        g = pa.TableGroupBy(t, ["dow", "hour"]).aggregate(
+            [("v_e6", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["dow", "hour", "sum_value_e6", "n_events"])
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby(["dow", "hour"])
+        .aggregate(
+            Sum("sum_value_e6", alias_name="sum_value_e6"),
+            Sum("n_events", alias_name="n_events"),
+        )
+        .sort(["dow", "hour"])
+    )
+
+
+def _q_distinct_by_type_hll(sf_dir: str):
+    """Per-group approximate COUNT(DISTINCT): the grouped HLL twin of the
+    exact two-stage distinct (events_distinct_by_type) — sketches shuffle,
+    values never do.  Approximate by construction (no SQL oracle); pytest
+    asserts the error bound against the exact twin and partition
+    invariance."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.sketch import grouped_hll_distinct
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return grouped_hll_distinct(
+        events, group_col="event_type", column="user_id", p=12
+    ).sort("event_type")
+
+
 def _q_events_asof_orders(sf_dir: str):
     """As-of join: each event picks the user's latest order at-or-before the
     event timestamp (tagged-union keyed shuffle + searchsorted merge,
@@ -1531,6 +1668,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props": _q_events_props,
         "events_pivot": _q_events_pivot,
         "events_distinct_by_type": _q_events_distinct_by_type,
+        "distinct_by_type_hll": _q_distinct_by_type_hll,
+        "events_heatmap": _q_events_heatmap,
+        "label_centroids": _q_label_centroids,
+        "best_per_cluster_docs": _q_best_per_cluster,
+        "source_quota_docs": _q_source_quota,
         "orders_window": _q_orders_window,
         "repetition_docs": _q_repetition_docs,
         "turns_line_dedup": _q_turns_line_dedup,
@@ -1927,6 +2069,35 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_by_type": (
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "events_heatmap": (
+            "SELECT CAST(isodow(ts) AS BIGINT) AS dow, "
+            "CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, "
+            "CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_e6, COUNT(*) AS n_events "
+            "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "label_centroids": (
+            "WITH e AS (SELECT CAST(label AS BIGINT) AS label, embedding FROM embeddings), "
+            "x AS (SELECT label, unnest(embedding) AS v, "
+            "unnest(generate_series(1, len(embedding))) AS d FROM e) "
+            "SELECT label, CAST(d - 1 AS BIGINT) AS dim, "
+            "CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS sum_e6, COUNT(*) AS n_vecs "
+            "FROM x GROUP BY label, d ORDER BY label, dim"
+        ),
+        "best_per_cluster_docs": (
+            f"WITH tf AS ({_TEXT_FEATURES_SQL}), cc AS ({_SIMHASH_CC_SQL}) "
+            "SELECT cc.component, cc.doc_id, tf.quality_e6 "
+            "FROM cc JOIN tf ON cc.doc_id = tf.doc_id "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY cc.component "
+            "ORDER BY tf.quality_e6 DESC, cc.doc_id ASC) = 1 "
+            "ORDER BY cc.component"
+        ),
+        "source_quota_docs": (
+            "SELECT source, doc_id, CAST(ROW_NUMBER() OVER "
+            "(PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rank "
+            "FROM documents QUALIFY rank <= 3 ORDER BY source, doc_id"
         ),
         "repetition_docs": (
             "WITH x AS (SELECT doc_id, "

@@ -15,7 +15,60 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["knn_brute_force", "knn_ivf", "kmeans_fit", "kmeans_distributed"]
+__all__ = ["knn_brute_force", "knn_ivf", "kmeans_fit", "kmeans_distributed",
+           "grouped_centroids"]
+
+
+def grouped_centroids(ds, *, group_col: str, vec_col: str = "embedding"):
+    """Per-group vector centroid in EXACT integer micro-units: each vector
+    component rounds half-up to ``e6`` int64 FIRST, so partial sums are
+    associative and the result is bit-identical at any partitioning (and
+    SQL-recomputable — float mean would depend on reduction order).
+
+    Output is long-format (group, dim, sum_e6, n_vecs): consumers divide
+    ``sum_e6 / n_vecs`` for the centroid component; the driver compare
+    hashes bounded rows (groups x dims), never vectors.
+
+    Distribution shape: per-batch partial (one zero-copy flatten + reshape,
+    one ``np.add.at`` per batch), then ONE keyed shuffle of
+    O(groups x dims x tasks) integer rows.  The corpus embeddings never
+    move."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(vec_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        n = len(batch)
+        if n == 0 or len(flat) == 0:
+            return pa.table({group_col: pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "sum_e6": pa.array([], pa.int64()),
+                             "n_vecs": pa.array([], pa.int64())})
+        dim = len(flat) // n
+        e6 = np.floor(flat.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+        m = e6.reshape(n, dim)
+        g = batch.column(group_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(g, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        k = len(uniq)
+        return pa.table({
+            group_col: pa.array(np.repeat(uniq, dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), k), pa.int64()),
+            "sum_e6": pa.array(sums.reshape(-1), pa.int64()),
+            "n_vecs": pa.array(np.repeat(counts, dim), pa.int64()),
+        })
+
+    return (
+        ds.select_columns([group_col, vec_col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby([group_col, "dim"])
+        .aggregate(Sum("sum_e6", alias_name="sum_e6"),
+                   Sum("n_vecs", alias_name="n_vecs"))
+    )
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:

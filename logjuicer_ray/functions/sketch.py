@@ -26,7 +26,8 @@ import pyarrow as pa
 from ..arrow_util import dict_codes
 from .hashing import md5_u64_str
 
-__all__ = ["HllSketch", "hll_count_distinct", "heavy_hitters"]
+__all__ = ["HllSketch", "hll_count_distinct", "grouped_hll_distinct",
+           "heavy_hitters"]
 
 
 class HllSketch:
@@ -184,3 +185,72 @@ def heavy_hitters(ds, *, text_col: str = "text", k: int = 32):
     out.sort()
     return pa.table({"token": pa.array([t for t, _ in out], pa.string()),
                      "cnt": pa.array([c for _, c in out], pa.int64())})
+
+
+def _grouped_batch_sketch(batch: pa.Table, *, group_col: str, column: str,
+                          p: int) -> pa.Table:
+    """One (group, registers) partial per group present in the batch.
+    Vectorized: dictionary-encode both columns, md5 once per UNIQUE value
+    (never per row), numpy pair-dedup, then one register fold per group."""
+    garr = batch.column(group_col)
+    garr = garr.combine_chunks() if isinstance(garr, pa.ChunkedArray) else garr
+    varr = batch.column(column)
+    varr = varr.combine_chunks() if isinstance(varr, pa.ChunkedArray) else varr
+    if garr.null_count or varr.null_count:
+        # SQL COUNT(DISTINCT) semantics: null values don't count; null
+        # groups are dropped
+        import pyarrow.compute as pc
+
+        m = pc.and_(pc.is_valid(garr), pc.is_valid(varr))
+        garr, varr = garr.filter(m), varr.filter(m)
+    if len(garr) == 0:
+        return pa.table({group_col: pa.array([], batch.schema.field(group_col).type),
+                         "registers": pa.array([], pa.binary())})
+    gd, vd = garr.dictionary_encode(), varr.dictionary_encode()
+    gc = gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vc = vd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    nv = max(len(vd.dictionary), 1)
+    hashes_u = np.fromiter(
+        (md5_u64_str(str(v)) for v in vd.dictionary.to_pylist()),
+        dtype=np.uint64, count=len(vd.dictionary),
+    )
+    upair = np.unique(gc * nv + vc)
+    ug, uv = upair // nv, upair % nv
+    out_g, out_r = [], []
+    for code in np.unique(ug):
+        sk = HllSketch(p)
+        sk.update_hashes(hashes_u[uv[ug == code]])
+        out_g.append(int(code))
+        out_r.append(sk.to_bytes())
+    return pa.table({
+        group_col: gd.dictionary.take(pa.array(out_g, pa.int64())),
+        "registers": pa.array(out_r, pa.binary()),
+    })
+
+
+def grouped_hll_distinct(ds, *, group_col: str, column: str, p: int = 12):
+    """Approximate per-group COUNT(DISTINCT): the grouped twin of
+    :func:`hll_count_distinct` and the scale path next to the exact
+    two-stage distinct (functions/corpus.py grouped_distinct) — per-batch
+    per-group register partials (2^p bytes each), ONE keyed shuffle of
+    sketches (never values), element-wise-max merge per group.
+
+    Returns (group, approx_distinct int64) rows; standard error
+    ~1.04/sqrt(2^p) (~1.6% at p=12).  Same registers at any partitioning —
+    the merge is a commutative idempotent monoid."""
+
+    def _merge(group: pa.Table) -> pa.Table:
+        total = HllSketch(p)
+        for r in group.column("registers").to_pylist():
+            total = total.merge(HllSketch.from_bytes(bytes(r), p))
+        return pa.table({
+            group_col: group.column(group_col).slice(0, 1),
+            "approx_distinct": pa.array(
+                [int(round(total.estimate()))], pa.int64()),
+        })
+
+    parts = ds.select_columns([group_col, column]).map_batches(
+        _grouped_batch_sketch, batch_format="pyarrow",
+        fn_kwargs={"group_col": group_col, "column": column, "p": p},
+    )
+    return parts.groupby(group_col).map_groups(_merge, batch_format="pyarrow")

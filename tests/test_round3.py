@@ -995,3 +995,94 @@ def test_round3c_queries_vs_duckdb(ray_session):
         a = out[cols].sort_values(cols).reset_index(drop=True)
         b = want[cols].sort_values(cols).reset_index(drop=True)
         assert a.astype({c: b[c].dtype for c in cols}).equals(b), name
+
+
+def test_grouped_centroids_exact_and_partition_invariance(ray_session):
+    """grouped_centroids == numpy brute force on random float32 vectors;
+    identical integer sums at any partitioning (associative int math)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.knn import grouped_centroids
+
+    rng = np.random.default_rng(5)
+    n, dim = 300, 8
+    labels = rng.integers(0, 4, size=n)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    rows = [{"label": int(labels[i]), "embedding": vecs[i].tolist()}
+            for i in range(n)]
+    ds = rd.from_items(rows)
+    out = grouped_centroids(ds, group_col="label").to_pandas()
+    out = out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+    e6 = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    for lab in range(4):
+        m = labels == lab
+        want = e6[m].sum(axis=0)
+        got = out[out["label"] == lab].sort_values("dim")["sum_e6"].to_numpy()
+        assert (got == want).all()
+        assert (out[out["label"] == lab]["n_vecs"] == m.sum()).all()
+
+    out2 = grouped_centroids(ds.repartition(9), group_col="label").to_pandas()
+    out2 = out2.sort_values(["label", "dim"]).reset_index(drop=True)
+    assert out.equals(out2)
+
+
+def test_grouped_hll_error_bound_and_partition_invariance(ray_session):
+    """Per-group HLL estimates land within 5% of exact distinct counts at
+    p=12 (3 sigma ~ 4.9%) and the merged registers are partition-invariant
+    (identical estimates under a different block layout)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.sketch import grouped_hll_distinct
+
+    rng = np.random.default_rng(17)
+    rows = []
+    true = {"a": 100, "b": 1500, "c": 4000}
+    for g, n_distinct in true.items():
+        vals = rng.choice(n_distinct * 10, size=n_distinct, replace=False)
+        for v in vals:
+            reps = int(rng.integers(1, 4))
+            rows.extend({"g": g, "v": int(v)} for _ in range(reps))
+    rng.shuffle(rows)
+    ds = rd.from_items(rows)
+    est = {r["g"]: r["approx_distinct"] for r in
+           grouped_hll_distinct(ds, group_col="g", column="v", p=12).take_all()}
+    for g, n in true.items():
+        assert abs(est[g] - n) / n < 0.05, (g, est[g], n)
+    est2 = {r["g"]: r["approx_distinct"] for r in
+            grouped_hll_distinct(ds.repartition(11), group_col="g",
+                                 column="v", p=12).take_all()}
+    assert est == est2
+
+
+def test_round3d_queries_vs_duckdb(ray_session):
+    """events_heatmap / label_centroids / best_per_cluster_docs /
+    source_quota_docs hash-match their oracles at sf0.001; the grouped-HLL
+    twin tracks the exact per-group distinct within 5%."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    for name in ("events_heatmap", "label_centroids", "best_per_cluster_docs",
+                 "source_quota_docs"):
+        out = e.queries()[name](sf)
+        out = out.to_pandas() if hasattr(out, "to_pandas") else out
+        want = con.execute(e.oracle_sql()[name]).df()
+        assert len(out) == len(want), name
+        cols = sorted(out.columns)
+        assert cols == sorted(want.columns), name
+        a = out[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True)
+        assert a.astype({c: b[c].dtype for c in cols}).equals(b), name
+
+    hll = {r["event_type"]: r["approx_distinct"]
+           for r in e.queries()["distinct_by_type_hll"](sf).take_all()}
+    exact = dict(con.execute(
+        "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY 1"
+    ).fetchall())
+    for k, n in exact.items():
+        assert abs(hll[k] - n) / max(n, 1) < 0.05, (k, hll[k], n)
