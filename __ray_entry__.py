@@ -1093,6 +1093,163 @@ def _q_distinct_by_type_hll(sf_dir: str):
     ).sort("event_type")
 
 
+def _q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shape (shipping-priority top-10): segment-filtered
+    customers BROADCAST as a semi-join set (small side never shuffles),
+    lineitem x orders through ONE native hash join on orderkey, exact
+    integer revenue (cents x discount-percent units) via in-batch partials,
+    global top-10 by (revenue desc, orderkey asc).  The only all-to-alls
+    are the orderkey join and the tiny post-aggregate sort."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    seg, cutoff = "BUILDING", "1998-01-01"
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = pa.concat_tables(
+        [b for b in cust.map_batches(
+            lambda t: t.filter(pc.equal(t.column("c_mktsegment"), seg))
+            .select(["c_custkey"]),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")]
+    ).column("c_custkey").combine_chunks()
+    keys_ref = ray.put(keys)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def filter_orders(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        m = pc.and_(
+            pc.is_in(batch.column("o_custkey"), value_set=ks),
+            pc.less(batch.column("o_orderdate"), pa.scalar(
+                __import__("datetime").datetime(1998, 1, 1))),
+        )
+        return batch.filter(m).select(["o_orderkey", "o_orderdate"])
+
+    o_f = orders.map_batches(filter_orders, batch_format="pyarrow")
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        m = pc.greater(batch.column("l_shipdate"), pa.scalar(
+            __import__("datetime").datetime(1998, 1, 1)))
+        t = batch.filter(m)
+        price_c = pc.cast(
+            pc.floor(pc.add(pc.multiply(t.column("l_extendedprice"), 100.0), 0.5)),
+            pa.int64())
+        disc_pct = pc.cast(
+            pc.floor(pc.add(pc.multiply(t.column("l_discount"), 100.0), 0.5)),
+            pa.int64())
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        g = pa.TableGroupBy(
+            pa.table({"l_orderkey": t.column("l_orderkey"), "rev": rev}),
+            "l_orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "revenue_c2"])
+
+    li_agg = (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_c2", alias_name="revenue_c2"))
+    )
+    joined = li_agg.join(
+        o_f, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    top = joined.sort(["revenue_c2", "l_orderkey"],
+                      descending=[True, False]).limit(10)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "o_orderdate": pc.strftime(batch.column("o_orderdate"), format="%Y-%m-%d"),
+            "revenue_c2": batch.column("revenue_c2"),
+        })
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_multimodal_features(sf_dir: str):
+    """Multimodal plumbing end-to-end (no SQL oracle — binary payloads):
+    synthetic media rows (opaque binary + typed metadata), actor-pool
+    decode stages with small batch sizes, per-kind aggregate over the
+    deterministic fake features.  Exercises the real Ray plumbing — schema,
+    actor signature, batch sizing — around the honestly-stubbed codecs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from logjuicer_ray.functions.multimodal import (
+        decode_images,
+        extract_audio_features,
+        synth_media_batch,
+    )
+
+    def with_bytes(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_bytes", pc.cast(pc.binary_length(batch.column("payload")), pa.int64())
+        )
+
+    def kind_filter(kind):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch.column("kind"), kind))
+
+        return f
+
+    media = rd.from_arrow(synth_media_batch(list(range(256)))).map_batches(
+        with_bytes, batch_format="pyarrow"
+    )
+    imgs = decode_images(
+        media.map_batches(kind_filter("image"), batch_format="pyarrow"),
+        concurrency=2, batch_size=32,
+    )
+    auds = extract_audio_features(
+        media.map_batches(kind_filter("audio"), batch_format="pyarrow"),
+        concurrency=2, batch_size=32,
+    )
+
+    def partial(feat_col):
+        def f(batch: pa.Table) -> pa.Table:
+            emb = batch.column(feat_col)
+            emb = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
+            first = pc.list_element(emb, 0)
+            f_e6 = pc.cast(pc.floor(pc.add(pc.multiply(first, 1e6), 0.5)), pa.int64())
+            t = pa.table({
+                "kind": batch.column("kind"),
+                "n_bytes": batch.column("n_bytes"),
+                "f_e6": f_e6,
+                "one": pa.array([1] * len(batch), pa.int64()),
+            })
+            g = pa.TableGroupBy(t, "kind").aggregate(
+                [("one", "sum"), ("n_bytes", "sum"), ("f_e6", "sum")]
+            )
+            return g.rename_columns(["kind", "n_items", "sum_bytes", "sum_f_e6"])
+
+        return f
+
+    out = (
+        imgs.map_batches(partial("image_embedding"), batch_format="pyarrow")
+        .union(auds.map_batches(partial("audio_features"), batch_format="pyarrow"))
+        .groupby("kind")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("sum_bytes", alias_name="sum_bytes"),
+            Sum("sum_f_e6", alias_name="sum_f_e6"),
+        )
+    )
+    return out.sort("kind")
+
+
 def _q_events_asof_orders(sf_dir: str):
     """As-of join: each event picks the user's latest order at-or-before the
     event timestamp (tagged-union keyed shuffle + searchsorted merge,
@@ -1669,6 +1826,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _q_events_pivot,
         "events_distinct_by_type": _q_events_distinct_by_type,
         "distinct_by_type_hll": _q_distinct_by_type_hll,
+        "tpch_q3": _q_tpch_q3,
+        "multimodal_features": _q_multimodal_features,
         "events_heatmap": _q_events_heatmap,
         "label_centroids": _q_label_centroids,
         "best_per_cluster_docs": _q_best_per_cluster,
@@ -2098,6 +2257,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, doc_id, CAST(ROW_NUMBER() OVER "
             "(PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rank "
             "FROM documents QUALIFY rank <= 3 ORDER BY source, doc_id"
+        ),
+        "tpch_q3": (
+            "SELECT l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+            "CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT) * "
+            "(100 - CAST(FLOOR(l.l_discount * 100.0 + 0.5) AS BIGINT))) AS BIGINT) "
+            "AS revenue_c2 "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "WHERE c.c_mktsegment = 'BUILDING' "
+            "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND l.l_shipdate > TIMESTAMP '1998-01-01' "
+            "GROUP BY l.l_orderkey, o.o_orderdate "
+            "ORDER BY revenue_c2 DESC, l.l_orderkey LIMIT 10"
         ),
         "repetition_docs": (
             "WITH x AS (SELECT doc_id, "

@@ -1086,3 +1086,33 @@ def test_round3d_queries_vs_duckdb(ray_session):
     ).fetchall())
     for k, n in exact.items():
         assert abs(hll[k] - n) / max(n, 1) < 0.05, (k, hll[k], n)
+
+
+def test_round3e_tpch_q3_and_multimodal(ray_session):
+    """tpch_q3 hash-matches its three-table oracle at sf0.001; the
+    multimodal actor-pool pipeline is deterministic run-to-run and covers
+    both kinds."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    out = e.queries()["tpch_q3"](sf).to_pandas()
+    want = con.execute(e.oracle_sql()["tpch_q3"]).df()
+    assert len(out) == len(want) == 10
+    cols = sorted(out.columns)
+    assert cols == sorted(want.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert a.astype({c: b[c].dtype for c in cols}).equals(b)
+
+    mm = e.queries()["multimodal_features"](sf).take_all()
+    mm2 = e.queries()["multimodal_features"](sf).take_all()
+    assert mm == mm2
+    kinds = {r["kind"]: r for r in mm}
+    assert set(kinds) == {"image", "audio"}
+    assert kinds["image"]["n_items"] == 128 and kinds["audio"]["n_items"] == 128
+    assert all(r["sum_bytes"] > 0 for r in mm)
