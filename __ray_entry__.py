@@ -1093,6 +1093,79 @@ def _q_distinct_by_type_hll(sf_dir: str):
     ).sort("event_type")
 
 
+def _q_users_orders_outer(sf_dir: str):
+    """FULL OUTER join coverage: per-user event counts x per-customer order
+    counts through Ray's native full_outer hash join; unmatched sides
+    surface as zero counts after a vectorized coalesce.  Both inputs are
+    pre-aggregated (in-batch partials + keyed Sum) so the join moves one
+    row per key, never the fact tables."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def counted(path, key, cols, alias):
+        ds = rd.read_parquet(path, columns=cols)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            t = pa.table({key: batch.column(key),
+                          "one": pa.array([1] * len(batch), pa.int64())})
+            g = pa.TableGroupBy(t, key).aggregate([("one", "sum")])
+            return g.rename_columns([key, alias])
+
+        return ds.map_batches(partial, batch_format="pyarrow").groupby(key).aggregate(
+            Sum(alias, alias_name=alias)
+        )
+
+    # repartition the key-bounded aggregates so no schema-less empty block
+    # reaches the join shuffle (map_batches never sees empty blocks, so a
+    # schema pin can't run there; rows here are bounded by distinct keys)
+    ev = counted(f"{sf_dir}/events.parquet", "user_id", ["user_id"],
+                 "n_events").repartition(4)
+    od = counted(f"{sf_dir}/orders.parquet", "o_custkey", ["o_custkey"],
+                 "n_orders").repartition(4)
+    j = ev.join(od, join_type="full_outer", num_partitions=8,
+                on=("user_id",), right_on=("o_custkey",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # Ray's full_outer coalesces both keys into the LEFT key column
+        return pa.table({
+            "uid": pc.cast(batch.column("user_id"), pa.int64()),
+            "n_events": pc.fill_null(
+                pc.cast(batch.column("n_events"), pa.int64()), 0),
+            "n_orders": pc.fill_null(
+                pc.cast(batch.column("n_orders"), pa.int64()), 0),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow").sort("uid")
+
+
+def _q_customers_with_events(sf_dir: str):
+    """Native LEFT SEMI join coverage (the exact-join twin of the bloom
+    semi-join pruning query): customers that have at least one event,
+    deduped build side so the join moves one row per user."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["user_id"]).aggregate([])
+
+    ev_u = ev.map_batches(uniq, batch_format="pyarrow").groupby("user_id").count()
+
+    def drop_cnt(batch: pa.Table) -> pa.Table:
+        return batch.select(["user_id"])
+
+    ev_u = ev_u.map_batches(drop_cnt, batch_format="pyarrow").repartition(4)
+    j = cust.join(ev_u, join_type="left_semi", num_partitions=8,
+                  on=("c_custkey",), right_on=("user_id",))
+    return j.sort("c_custkey")
+
+
 def _q_tpch_q3(sf_dir: str):
     """TPC-H Q3 shape (shipping-priority top-10): segment-filtered
     customers BROADCAST as a semi-join set (small side never shuffles),
@@ -1827,6 +1900,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_by_type": _q_events_distinct_by_type,
         "distinct_by_type_hll": _q_distinct_by_type_hll,
         "tpch_q3": _q_tpch_q3,
+        "users_orders_outer": _q_users_orders_outer,
+        "customers_with_events": _q_customers_with_events,
         "multimodal_features": _q_multimodal_features,
         "events_heatmap": _q_events_heatmap,
         "label_centroids": _q_label_centroids,
@@ -2257,6 +2332,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, doc_id, CAST(ROW_NUMBER() OVER "
             "(PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rank "
             "FROM documents QUALIFY rank <= 3 ORDER BY source, doc_id"
+        ),
+        "users_orders_outer": (
+            "WITH e AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY 1), "
+            "o AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM orders GROUP BY 1) "
+            "SELECT COALESCE(e.user_id, o.o_custkey) AS uid, "
+            "COALESCE(e.n_events, 0) AS n_events, "
+            "COALESCE(o.n_orders, 0) AS n_orders "
+            "FROM e FULL OUTER JOIN o ON e.user_id = o.o_custkey ORDER BY uid"
+        ),
+        "customers_with_events": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_custkey IN (SELECT user_id FROM events) ORDER BY c_custkey"
         ),
         "tpch_q3": (
             "SELECT l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate, "

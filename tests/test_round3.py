@@ -1116,3 +1116,27 @@ def test_round3e_tpch_q3_and_multimodal(ray_session):
     assert set(kinds) == {"image", "audio"}
     assert kinds["image"]["n_items"] == 128 and kinds["audio"]["n_items"] == 128
     assert all(r["sum_bytes"] > 0 for r in mm)
+
+
+def test_round3f_outer_and_semi_joins_vs_duckdb(ray_session):
+    """users_orders_outer (native full_outer with key coalesce) and
+    customers_with_events (native left_semi) hash-match their oracles at
+    sf0.001 — including the empty-aggregate-block layouts that small
+    scales produce."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("events", "orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    for name in ("users_orders_outer", "customers_with_events"):
+        out = e.queries()[name](sf).to_pandas()
+        want = con.execute(e.oracle_sql()[name]).df()
+        assert len(out) == len(want), name
+        cols = sorted(out.columns)
+        assert cols == sorted(want.columns), name
+        a = out[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True)
+        assert a.astype({c: b[c].dtype for c in cols}).equals(b), name
