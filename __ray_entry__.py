@@ -1093,6 +1093,35 @@ def _q_distinct_by_type_hll(sf_dir: str):
     ).sort("event_type")
 
 
+def _q_lineitem_quantiles_hist(sf_dir: str):
+    """Approximate price quantiles via the mergeable equi-width histogram
+    sketch (functions/sketch.py histogram_quantiles) — the fixed-size
+    companion to the exact distributed quantiles for unbounded-cardinality
+    columns: every partial is 4096 int64 counters regardless of distinct
+    values, no shuffle.  Approximate by construction (no SQL oracle);
+    pytest bounds the error by one bin width against DuckDB's exact
+    percentile_disc."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logjuicer_ray.functions.sketch import histogram_quantiles
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch.column("l_extendedprice"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table({"price_c": c})
+
+    return histogram_quantiles(
+        li.map_batches(cents, batch_format="pyarrow"),
+        "price_c", [0.5, 0.9, 0.99], bins=4096,
+    )
+
+
 def _q_users_orders_outer(sf_dir: str):
     """FULL OUTER join coverage: per-user event counts x per-customer order
     counts through Ray's native full_outer hash join; unmatched sides
@@ -1901,6 +1930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_by_type_hll": _q_distinct_by_type_hll,
         "tpch_q3": _q_tpch_q3,
         "users_orders_outer": _q_users_orders_outer,
+        "lineitem_quantiles_hist": _q_lineitem_quantiles_hist,
         "customers_with_events": _q_customers_with_events,
         "multimodal_features": _q_multimodal_features,
         "events_heatmap": _q_events_heatmap,

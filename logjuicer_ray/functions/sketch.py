@@ -27,7 +27,7 @@ from ..arrow_util import dict_codes
 from .hashing import md5_u64_str
 
 __all__ = ["HllSketch", "hll_count_distinct", "grouped_hll_distinct",
-           "heavy_hitters"]
+           "heavy_hitters", "histogram_quantiles"]
 
 
 class HllSketch:
@@ -254,3 +254,54 @@ def grouped_hll_distinct(ds, *, group_col: str, column: str, p: int = 12):
         fn_kwargs={"group_col": group_col, "column": column, "p": p},
     )
     return parts.groupby(group_col).map_groups(_merge, batch_format="pyarrow")
+
+
+def histogram_quantiles(ds, col: str, qs: list[float], *, bins: int = 4096,
+                        lo: int | None = None, hi: int | None = None):
+    """Approximate quantiles of an integer column via a MERGEABLE
+    equi-width histogram — the fixed-size companion to the exact
+    distributed quantiles (functions/corpus.py exact_quantiles) for
+    columns whose distinct-value count is NOT bounded (raw ids, prices at
+    corpus scale): the shuffle-free partial is always ``bins`` int64
+    counters regardless of cardinality.
+
+    Bounds default to a first cheap min/max aggregate pass (two streaming
+    passes total; pass explicit ``lo``/``hi`` to skip it).  Rank error is
+    bounded by the heaviest bin; the returned value is the UPPER EDGE of
+    the bin where the cumulative count reaches ceil(q*n) — within one bin
+    width of the exact percentile_disc answer.
+
+    Returns a one-row pyarrow Table with int64 columns ``p<q*100>``
+    (matching exact_quantiles' schema for side-by-side comparison).
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    if lo is None or hi is None:
+        from ray.data.aggregate import Max, Min
+
+        mm = ds.aggregate(Min(col), Max(col))
+        lo = int(mm[f"min({col})"]) if lo is None else lo
+        hi = int(mm[f"max({col})"]) if hi is None else hi
+    width = max((hi - lo + 1) / bins, 1e-12)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        v = pc.drop_null(batch.column(col)).to_numpy(zero_copy_only=False)
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+        counts = np.bincount(idx, minlength=bins).astype(np.int64)
+        return pa.table({"counts": pa.array([counts.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    total = np.zeros(bins, dtype=np.int64)
+    for row in parts:
+        total += np.frombuffer(bytes(row["counts"]), dtype=np.int64)
+    n = int(total.sum())
+    cum = np.cumsum(total)
+    out: dict[str, list] = {}
+    for q in qs:
+        target = max(1, math.ceil(q * n))
+        b = int(np.searchsorted(cum, target))
+        edge = int(math.floor(lo + (b + 1) * width)) if n else None
+        out[f"p{int(round(q * 100))}"] = [min(edge, hi) if n else None]
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})

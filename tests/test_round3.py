@@ -1140,3 +1140,58 @@ def test_round3f_outer_and_semi_joins_vs_duckdb(ray_session):
         a = out[cols].sort_values(cols).reset_index(drop=True)
         b = want[cols].sort_values(cols).reset_index(drop=True)
         assert a.astype({c: b[c].dtype for c in cols}).equals(b), name
+
+
+def test_histogram_quantiles_error_bound_and_merge(ray_session):
+    """The mergeable histogram sketch lands within one bin width of exact
+    percentile_disc on skewed data, is partition-invariant, and respects
+    explicit bounds."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.sketch import histogram_quantiles
+
+    rng = np.random.default_rng(23)
+    vals = np.concatenate([
+        rng.integers(0, 1000, 5000),          # bulk
+        rng.integers(90_000, 100_000, 500),   # heavy tail
+    ]).astype(np.int64)
+    ds = rd.from_items([{"v": int(v)} for v in vals])
+    qs = [0.5, 0.9, 0.99]
+    out = histogram_quantiles(ds, "v", qs, bins=2048).to_pydict()
+    lo, hi = int(vals.min()), int(vals.max())
+    width = (hi - lo + 1) / 2048
+    svals = np.sort(vals)
+    for q in qs:
+        exact = int(svals[max(0, int(np.ceil(q * len(svals))) - 1)])
+        got = out[f"p{int(q * 100)}"][0]
+        assert abs(got - exact) <= width + 1, (q, got, exact, width)
+    out2 = histogram_quantiles(ds.repartition(13), "v", qs, bins=2048).to_pydict()
+    assert out == out2
+    out3 = histogram_quantiles(ds, "v", qs, bins=2048, lo=lo, hi=hi).to_pydict()
+    assert out == out3
+
+
+def test_lineitem_quantiles_hist_vs_exact(ray_session):
+    """The histogram-sketch query tracks DuckDB's exact percentile_disc on
+    price cents within one bin width at sf0.001."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    out = e.queries()["lineitem_quantiles_hist"](sf).to_pydict()
+    con = duckdb.connect()
+    exact = con.execute(
+        "SELECT quantile_disc(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT), "
+        "[0.5, 0.9, 0.99]) FROM "
+        f"read_parquet('{sf}/lineitem.parquet')"
+    ).fetchone()[0]
+    lohi = con.execute(
+        "SELECT MIN(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)), "
+        "MAX(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) FROM "
+        f"read_parquet('{sf}/lineitem.parquet')"
+    ).fetchone()
+    width = (lohi[1] - lohi[0] + 1) / 4096
+    for q, want in zip([50, 90, 99], exact):
+        got = out[f"p{q}"][0]
+        assert abs(got - want) <= width + 1, (q, got, want, width)
