@@ -1093,6 +1093,72 @@ def _q_distinct_by_type_hll(sf_dir: str):
     ).sort("event_type")
 
 
+_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _q_split_docs(sf_dir: str):
+    """Deterministic 3-way train/val/test assignment (functions/corpus.py
+    split_assign — md5-u64 range labeling, no RNG, repartition/resume
+    stable), then per-(split, lang) counts.  The oracle re-derives every
+    label from the same integer hash bounds."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from logjuicer_ray.functions.corpus import split_assign
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    labeled = split_assign(docs, key_col="doc_id", fracs=_SPLIT_FRACS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "split": batch.column("split"), "lang": batch.column("lang"),
+            "one": pa.array([1] * len(batch), pa.int64()),
+        })
+        g = pa.TableGroupBy(t, ["split", "lang"]).aggregate([("one", "sum")])
+        return g.rename_columns(["split", "lang", "n_docs"])
+
+    return (
+        labeled.map_batches(partial, batch_format="pyarrow")
+        .groupby(["split", "lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .sort(["split", "lang"])
+    )
+
+
+def _split_docs_sql() -> str:
+    import numpy as np
+
+    labels = list(_SPLIT_FRACS)
+    edges = np.cumsum([_SPLIT_FRACS[l] for l in labels])[:-1]
+    bounds = [min(int(e * 2**64), 2**64 - 1) for e in edges]
+    h = _md5_u64_sql("CAST(doc_id AS VARCHAR)")
+    case = "CASE "
+    for label, b in zip(labels, bounds):
+        case += f"WHEN {h} < {b}::UBIGINT THEN '{label}' "
+    case += f"ELSE '{labels[-1]}' END"
+    return (
+        f"SELECT {case} AS split, lang, COUNT(*) AS n_docs FROM documents "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
+def _q_chunked_docs(sf_dir: str):
+    """Fixed-size overlapping document chunking (functions/corpus.py
+    chunk_documents: chunk i = chars [i*80, i*80+100)) — the standard
+    pre-training window split; shuffle-free, vectorized per chunk ordinal.
+    Every emitted chunk string is value-hashed against the SQL substr
+    recomputation."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.corpus import chunk_documents
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_documents(docs, chunk_chars=100, stride=80).sort(
+        ["doc_id", "chunk_idx"]
+    )
+
+
 def _q_lineitem_quantiles_hist(sf_dir: str):
     """Approximate price quantiles via the mergeable equi-width histogram
     sketch (functions/sketch.py histogram_quantiles) — the fixed-size
@@ -1931,6 +1997,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": _q_tpch_q3,
         "users_orders_outer": _q_users_orders_outer,
         "lineitem_quantiles_hist": _q_lineitem_quantiles_hist,
+        "split_docs": _q_split_docs,
+        "chunked_docs": _q_chunked_docs,
         "customers_with_events": _q_customers_with_events,
         "multimodal_features": _q_multimodal_features,
         "events_heatmap": _q_events_heatmap,
@@ -2362,6 +2430,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, doc_id, CAST(ROW_NUMBER() OVER "
             "(PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rank "
             "FROM documents QUALIFY rank <= 3 ORDER BY source, doc_id"
+        ),
+        "split_docs": _split_docs_sql(),
+        "chunked_docs": (
+            "WITH x AS (SELECT doc_id, COALESCE(text, '') AS t, "
+            "length(COALESCE(text, '')) AS n FROM documents), "
+            "c AS (SELECT doc_id, t, CASE WHEN n <= 100 THEN 1 "
+            "ELSE CAST(CEIL((n - 100) / 80.0) AS BIGINT) + 1 END AS nc FROM x), "
+            "e AS (SELECT doc_id, t, unnest(generate_series(0, nc - 1)) AS i FROM c) "
+            "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+            "substr(t, CAST(i * 80 + 1 AS BIGINT), 100) AS chunk "
+            "FROM e ORDER BY doc_id, chunk_idx"
         ),
         "users_orders_outer": (
             "WITH e AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events "

@@ -32,7 +32,8 @@ import pyarrow.compute as pc
 from .hashing import md5_u64_str
 
 __all__ = ["vocab_topk", "exact_quantiles", "grouped_quantiles", "hash_sample",
-           "pack_sequences", "grouped_distinct"]
+           "pack_sequences", "grouped_distinct", "chunk_documents",
+           "split_assign"]
 
 
 def _token_counts(batch: pa.Table, text_col: str) -> pa.Table:
@@ -424,3 +425,93 @@ def grouped_distinct(ds, *, group_col: str, value_col: str):
         .groupby(group_col)
         .aggregate(Sum("n_distinct", alias_name="n_distinct"))
     )
+
+
+def chunk_documents(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    chunk_chars: int = 100, stride: int = 80):
+    """Fixed-size document chunking with overlap (the standard LLM
+    pre-training window split): chunk ``i`` covers characters
+    ``[i*stride, i*stride + chunk_chars)``; a document emits
+    ``1 + ceil((len - chunk_chars) / stride)`` chunks (one if it fits),
+    so every character is covered and consecutive chunks overlap by
+    ``chunk_chars - stride``.
+
+    Stateless flat-map — no shuffle; the inner loop is over CHUNK ORDINALS
+    (bounded by max_doc_len/stride), each iteration one vectorized Arrow
+    ``utf8_slice_codeunits`` over the documents still long enough, never a
+    Python loop over rows."""
+    import math
+
+    if stride <= 0 or chunk_chars <= 0 or stride > chunk_chars:
+        raise ValueError("need 0 < stride <= chunk_chars")
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        texts = pc.fill_null(batch.column(text_col), "")
+        lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chunks = np.where(
+            lens <= chunk_chars, 1,
+            np.ceil((lens - chunk_chars) / stride).astype(np.int64) + 1,
+        )
+        pieces = []
+        i = 0
+        remaining = np.arange(len(batch), dtype=np.int64)
+        while True:
+            keep = remaining[n_chunks[remaining] > i]
+            if not len(keep):
+                break
+            idx = pa.array(keep, pa.int64())
+            sub = pc.utf8_slice_codeunits(
+                texts.take(idx) if not isinstance(texts, pa.ChunkedArray)
+                else texts.combine_chunks().take(idx),
+                start=i * stride, stop=i * stride + chunk_chars,
+            )
+            pieces.append(pa.table({
+                id_col: batch.column(id_col).take(idx),
+                "chunk_idx": pa.array(
+                    np.full(len(keep), i, dtype=np.int64), pa.int64()),
+                "chunk": sub,
+            }))
+            remaining = keep
+            i += 1
+        if not pieces:
+            return pa.table({id_col: batch.column(id_col).slice(0, 0),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "chunk": pa.array([], pa.string())})
+        return pa.concat_tables(pieces)
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _chunks, batch_format="pyarrow"
+    )
+
+
+def split_assign(ds, *, key_col: str, fracs: dict[str, float],
+                 label_col: str = "split"):
+    """Deterministic train/val/test split assignment: the md5-u64 hash of
+    the key falls into consecutive ranges sized by ``fracs`` (insertion
+    order).  No RNG state, stable under repartitioning and resume, and
+    SQL-recomputable — the same guarantees as :func:`hash_sample`, as a
+    LABELING op instead of a filter.  ``fracs`` must sum to 1.0."""
+    import numpy as np
+
+    if abs(sum(fracs.values()) - 1.0) > 1e-9:
+        raise ValueError("fracs must sum to 1.0")
+    labels = list(fracs)
+    edges = np.cumsum([fracs[l] for l in labels])[:-1]  # internal edges only
+    bounds = np.array([min(int(e * 2**64), 2**64 - 1) for e in edges],
+                      dtype=np.uint64)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        col = batch.column(key_col)
+        hs = np.fromiter(
+            (md5_u64_str(str(k)) for k in col.to_pylist()),
+            dtype=np.uint64, count=batch.num_rows,
+        )
+        # label i covers bounds[i-1] <= h < bounds[i]; SQL mirror is the
+        # CASE WHEN h < b0 ... chain with the same strict comparisons
+        idx = np.searchsorted(bounds, hs, side="right")
+        lab = np.array(labels, dtype=object)[idx]
+        return batch.append_column(label_col, pa.array(list(lab), pa.string()))
+
+    return ds.map_batches(_assign, batch_format="pyarrow")

@@ -1195,3 +1195,73 @@ def test_lineitem_quantiles_hist_vs_exact(ray_session):
     for q, want in zip([50, 90, 99], exact):
         got = out[f"p{q}"][0]
         assert abs(got - want) <= width + 1, (q, got, want, width)
+
+
+def test_chunk_documents_semantics(ray_session):
+    """Chunk windows cover every character with the declared overlap; short
+    and empty docs emit exactly one chunk; invalid strides reject."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.corpus import chunk_documents
+
+    text = "".join(chr(ord("a") + i % 26) for i in range(250))
+    ds = rd.from_items([
+        {"doc_id": 0, "text": text},        # 250 chars -> chunks at 0/80/160
+        {"doc_id": 1, "text": "short"},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": "x" * 100},   # exactly one window
+        {"doc_id": 4, "text": "y" * 101},   # one char over -> 2 chunks
+    ])
+    out = chunk_documents(ds, chunk_chars=100, stride=80).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    g0 = out[out["doc_id"] == 0]["chunk"].tolist()
+    assert g0 == [text[0:100], text[80:180], text[160:250]]
+    assert out[out["doc_id"] == 1]["chunk"].tolist() == ["short"]
+    assert out[out["doc_id"] == 2]["chunk"].tolist() == [""]
+    assert out[out["doc_id"] == 3]["chunk"].tolist() == ["x" * 100]
+    assert out[out["doc_id"] == 4]["chunk"].tolist() == ["y" * 100, "y" * 21]
+    with pytest.raises(ValueError):
+        chunk_documents(ds, chunk_chars=10, stride=20)
+
+
+def test_split_assign_properties(ray_session):
+    """Labels are deterministic, partition-invariant, cover every row, and
+    land near the requested fractions; fracs must sum to 1."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.corpus import split_assign
+
+    rows = [{"k": i} for i in range(5000)]
+    ds = rd.from_items(rows)
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_assign(ds, key_col="k", fracs=fr).to_pandas()
+    assert len(out) == 5000 and out["split"].notna().all()
+    counts = out["split"].value_counts().to_dict()
+    for label, f in fr.items():
+        assert abs(counts.get(label, 0) / 5000 - f) < 0.03, (label, counts)
+    out2 = split_assign(ds.repartition(13), key_col="k", fracs=fr).to_pandas()
+    m = out.sort_values("k")["split"].to_numpy()
+    m2 = out2.sort_values("k")["split"].to_numpy()
+    assert (m == m2).all()
+    with pytest.raises(ValueError):
+        split_assign(ds, key_col="k", fracs={"a": 0.5, "b": 0.4})
+
+
+def test_round3g_split_and_chunk_vs_duckdb(ray_session):
+    """split_docs / chunked_docs hash-match their oracles at sf0.001."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    for name in ("split_docs", "chunked_docs"):
+        out = e.queries()[name](sf).to_pandas()
+        want = con.execute(e.oracle_sql()[name]).df()
+        assert len(out) == len(want), name
+        cols = sorted(out.columns)
+        assert cols == sorted(want.columns), name
+        a = out[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True)
+        assert a.astype({c: b[c].dtype for c in cols}).equals(b), name
