@@ -1959,6 +1959,91 @@ def _q_simhash_cc(sf_dir: str):
     return connected_components(pairs).sort("doc_id")
 
 
+def _q_turns_export(sf_dir: str):
+    """Ordered per-conversation reassembly (turns → documents): sorted
+    contiguous-run fragments joined with one Arrow binary_join per batch,
+    tiny fragment-merge groupby (functions/corpus.py export_conversations —
+    the inverse of the reference's BytesLines splitter,
+    crates/iterator/src/iterator.rs:115-346)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.corpus import export_conversations
+
+    turns = rd.read_parquet(
+        _turns_path(sf_dir), columns=["conv_id", "turn_idx", "text"]
+    )
+    return export_conversations(
+        turns, key_col="conv_id", order_col="turn_idx", text_col="text",
+        sep="\n",
+    ).sort("conv_id")
+
+
+def _q_bigram_topk(sf_dir: str):
+    """Corpus bigram frequencies, top-100 by (count desc, bigram asc):
+    adjacency from list_parent_indices, one binary_join_element_wise per
+    batch, unique-bigram shuffle only (functions/corpus.py bigram_topk)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.corpus import bigram_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bigram_topk(docs, k=100)
+
+
+# decontamination probe selection: every 97th doc plays the "benchmark"
+# whose 5-grams must not leak into the training corpus
+_DECONTAM_MOD = 97
+_DECONTAM_N = 5
+
+
+def _q_decontaminated_docs(sf_dir: str):
+    """Benchmark decontamination by word 5-gram overlap: probe grams
+    (docs with doc_id % 97 == 0) broadcast once via ray.put, one
+    vectorized is_in per batch over flat shingles — no shuffle
+    (functions/corpus.py ngram_decontaminate)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.corpus import (
+        ngram_decontaminate,
+        probe_grams_of,
+    )
+
+    import numpy as np
+    import pyarrow as pa
+
+    def _mod_filter(want_zero: bool):
+        def _f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % _DECONTAM_MOD == 0) if want_zero else (ids % _DECONTAM_MOD != 0)
+            return b.filter(pa.array(m))
+        return _f
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    probes = docs.map_batches(_mod_filter(True), batch_format="pyarrow")
+    grams = probe_grams_of(probes, text_col="text", n=_DECONTAM_N)
+    corpus = docs.map_batches(_mod_filter(False), batch_format="pyarrow")
+    return ngram_decontaminate(
+        corpus, grams, id_col="doc_id", text_col="text", n=_DECONTAM_N
+    ).sort("doc_id")
+
+
+def _q_orders_ranked(sf_dir: str):
+    """Exact global row_number + ntile(8) over (o_totalprice desc,
+    o_orderkey) via range partition + histogram offsets + per-range local
+    sort (functions/rank.py global_rank — driver state O(n_buckets))."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.rank import global_rank
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return global_rank(
+        orders, value_col="o_totalprice", tie_col="o_orderkey",
+        descending=True, ntile=8,
+    ).sort("rnk")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipelines (SURVEY.md §2 / §3)
@@ -2019,6 +2104,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": _q_lineitem_agg,
         "similarity_report": _q_similarity,
         "vocab_topk_docs": _q_vocab_topk,
+        "bigram_topk_docs": _q_bigram_topk,
+        "turns_export": _q_turns_export,
+        "decontaminated_docs": _q_decontaminated_docs,
+        "orders_ranked": _q_orders_ranked,
         "doc_quantiles": _q_doc_quantiles,
         "sampled_docs": _q_sampled_docs,
         "customer_orders_join": _q_customer_orders_join,
@@ -2665,6 +2754,47 @@ def oracle_sql() -> dict[str, str]:
             "ranked AS (SELECT token, cnt, "
             "ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank FROM cnts) "
             "SELECT token, cnt, rank FROM ranked WHERE rank <= 100 ORDER BY rank"
+        ),
+        "bigram_topk_docs": (
+            # adjacent-token pairs inside one document; both sides of a
+            # pair must be non-empty (mirrors the engine's '' filter)
+            "WITH s AS (SELECT regexp_split_to_array(text, '\\s+') AS w "
+            "FROM documents WHERE text IS NOT NULL), "
+            "b AS (SELECT unnest(list_zip(w, w[2:])) AS p FROM s), "
+            "cnts AS (SELECT p[1] || ' ' || p[2] AS bigram, COUNT(*)::BIGINT AS cnt "
+            "FROM b WHERE p[2] IS NOT NULL AND p[1] <> '' AND p[2] <> '' "
+            "GROUP BY 1), "
+            "ranked AS (SELECT bigram, cnt, "
+            "ROW_NUMBER() OVER (ORDER BY cnt DESC, bigram) AS rank FROM cnts) "
+            "SELECT bigram, cnt, rank FROM ranked WHERE rank <= 100 ORDER BY rank"
+        ),
+        "turns_export": (
+            f"SELECT conv_id, "
+            f"string_agg(text, chr(10) ORDER BY turn_idx) AS full_text, "
+            f"COUNT(*)::BIGINT AS n_turns, "
+            f"CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS n_bytes "
+            f"FROM {turns} GROUP BY conv_id ORDER BY conv_id"
+        ),
+        "decontaminated_docs": (
+            # word 5-gram shingles over the raw \s+ split (no '' filter on
+            # either side — mirrors functions/corpus.py _word_shingles);
+            # probes = docs with doc_id % 97 == 0, corpus = the rest;
+            # n_gram_hits counts corpus shingle OCCURRENCES in the probe set
+            "WITH s AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w "
+            "FROM documents), "
+            "g AS (SELECT doc_id, unnest(generate_series(1, len(w) - 4)) AS i, w "
+            "FROM s), "
+            "sh AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram FROM g), "
+            "probe AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 97 = 0) "
+            "SELECT sh.doc_id, COUNT(*)::BIGINT AS n_gram_hits "
+            "FROM sh JOIN probe USING (gram) WHERE sh.doc_id % 97 <> 0 "
+            "GROUP BY sh.doc_id ORDER BY sh.doc_id"
+        ),
+        "orders_ranked": (
+            "SELECT o_orderkey, o_totalprice, "
+            "ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk, "
+            "NTILE(8) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS bucket "
+            "FROM orders ORDER BY rnk"
         ),
         "doc_quantiles": (
             "SELECT quantile_disc(n_chars, 0.5) AS p50, "

@@ -33,7 +33,8 @@ from .hashing import md5_u64_str
 
 __all__ = ["vocab_topk", "exact_quantiles", "grouped_quantiles", "hash_sample",
            "pack_sequences", "grouped_distinct", "chunk_documents",
-           "split_assign"]
+           "split_assign", "export_conversations", "bigram_topk",
+           "ngram_decontaminate"]
 
 
 def _token_counts(batch: pa.Table, text_col: str) -> pa.Table:
@@ -484,6 +485,229 @@ def chunk_documents(ds, *, id_col: str = "doc_id", text_col: str = "text",
     return ds.select_columns([id_col, text_col]).map_batches(
         _chunks, batch_format="pyarrow"
     )
+
+
+def export_conversations(ds, *, key_col: str = "conv_id",
+                         order_col: str = "turn_idx", text_col: str = "text",
+                         sep: str = "\n"):
+    """Ordered per-conversation reassembly (turns table -> document table):
+    one output row per ``key_col`` with the ``text_col`` values joined by
+    ``sep`` in ``order_col`` order, plus ``n_turns`` / ``n_bytes`` counters.
+    The inverse of the reference's line splitter (BytesLines,
+    crates/iterator/src/iterator.rs:115-346) — exporting transcripts back
+    out as whole documents for downstream training-data pipelines.
+
+    Scalable shape — a global ordered string_agg without per-row Python:
+
+    1. ``sort((key, order))`` so every key's rows form contiguous runs and
+       a key spans at most a handful of blocks;
+    2. per-batch FRAGMENT emit: run boundaries via one numpy key-change
+       scan, the joins as a single Arrow ``binary_join`` over a ListArray
+       built from the run offsets (zero Python per row).  Each fragment
+       carries its min ``order_col`` and partial counters;
+    3. ``groupby(key).map_groups`` merges fragments — group sizes are
+       O(blocks a key touches), typically 1-2 rows, so the only Python-
+       per-group work is over fragments, never turns.
+    """
+    import numpy as np
+
+    def _fragments(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty = pa.table({
+            key_col: pa.array([], batch.schema.field(key_col).type),
+            "frag_order": pa.array([], pa.int64()),
+            "frag_text": pa.array([], pa.string()),
+            "n_turns": pa.array([], pa.int64()),
+            "n_bytes": pa.array([], pa.int64()),
+        })
+        if n == 0:
+            return empty
+        keys = batch.column(key_col).combine_chunks() if isinstance(
+            batch.column(key_col), pa.ChunkedArray) else batch.column(key_col)
+        kcodes = pc.dictionary_encode(keys).indices.to_numpy(zero_copy_only=False)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = kcodes[1:] != kcodes[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        texts = pc.fill_null(batch.column(text_col), "")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        offsets = pa.array(np.append(starts, n).astype(np.int32))
+        runs = pa.ListArray.from_arrays(offsets, texts)
+        frag_text = pc.binary_join(runs, sep)
+        byte_lens = pc.binary_length(texts).to_numpy(zero_copy_only=False)
+        csum = np.concatenate([[0], np.cumsum(byte_lens)])
+        orders = batch.column(order_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: keys.take(pa.array(starts, pa.int64())),
+            "frag_order": pa.array(orders[starts].astype(np.int64), pa.int64()),
+            "frag_text": frag_text,
+            "n_turns": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            "n_bytes": pa.array(csum[ends] - csum[starts], pa.int64()),
+        })
+
+    def _merge(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("frag_order", "ascending")])
+        g = group.take(idx)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array([0, g.num_rows], pa.int32()),
+                g.column("frag_text").combine_chunks(),
+            ),
+            sep,
+        )
+        return pa.table({
+            key_col: g.column(key_col).slice(0, 1),
+            "full_text": joined,
+            "n_turns": pa.array([pc.sum(g.column("n_turns")).as_py()], pa.int64()),
+            "n_bytes": pa.array([pc.sum(g.column("n_bytes")).as_py()], pa.int64()),
+        })
+
+    frags = (
+        ds.select_columns([key_col, order_col, text_col])
+        .sort([key_col, order_col])
+        .map_batches(_fragments, batch_format="pyarrow")
+    )
+    return frags.groupby(key_col).map_groups(_merge, batch_format="pyarrow")
+
+
+def bigram_topk(ds, *, text_col: str = "text", k: int = 100):
+    """Corpus-wide BIGRAM frequencies (adjacent whitespace-token pairs
+    inside one document), top ``k`` by (count desc, bigram asc) with a
+    1-based ``rank`` — the 2-gram analog of :func:`vocab_topk` for
+    language-model corpus statistics.
+
+    Vectorized bigram construction: one ``utf8_split_whitespace`` per
+    batch, adjacency from ``list_parent_indices`` (tokens i, i+1 form a
+    bigram iff they share a parent document), the pair join as one
+    ``binary_join_element_wise``.  Per-batch value_counts partials mean the
+    shuffle moves unique bigrams x tasks, never corpus tokens."""
+    import numpy as np
+
+    def _bigram_counts(batch: pa.Table) -> pa.Table:
+        toks_list = pc.utf8_split_whitespace(pc.drop_null(batch.column(text_col)))
+        flat = pc.list_flatten(toks_list)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parent = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
+        empty = pa.table({"bigram": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        if len(flat) < 2:
+            return empty
+        adj = np.flatnonzero(parent[1:] == parent[:-1])
+        if not len(adj):
+            return empty
+        left = flat.take(pa.array(adj, pa.int64()))
+        right = flat.take(pa.array(adj + 1, pa.int64()))
+        ok = pc.and_(pc.not_equal(left, ""), pc.not_equal(right, ""))
+        grams = pc.binary_join_element_wise(
+            left.filter(ok), right.filter(ok), " "
+        )
+        vc = grams.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({
+            "bigram": vc.field("values"),
+            "cnt": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    totals = (
+        ds.map_batches(_bigram_counts, batch_format="pyarrow")
+        .groupby("bigram").sum("cnt")
+        .map_batches(lambda b: b.rename_columns(["bigram", "cnt"]),
+                     batch_format="pyarrow")
+    )
+    top = totals.sort(["cnt", "bigram"], descending=[True, False]).limit(k)
+
+    def _rank(b: pa.Table) -> pa.Table:
+        return b.append_column("rank", pa.array(range(1, b.num_rows + 1), pa.int64()))
+
+    return top.repartition(1).map_batches(_rank, batch_format="pyarrow")
+
+
+def _word_shingles(batch: pa.Table, *, id_col: str, text_col: str, n: int):
+    """Vectorized word n-gram shingles: (doc index, gram string) for every
+    window of ``n`` adjacent whitespace tokens within one document.  Built
+    flat: valid start positions are token indices i with
+    ``parent[i] == parent[i+n-1]``; the gram strings come from n takes +
+    one ``binary_join_element_wise`` — no Python over rows or grams."""
+    import numpy as np
+
+    toks_list = pc.utf8_split_whitespace(pc.fill_null(batch.column(text_col), ""))
+    flat = pc.list_flatten(toks_list)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parent = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
+    if len(flat) < n:
+        return np.array([], dtype=np.int64), pa.array([], pa.string())
+    starts = np.flatnonzero(parent[: len(parent) - n + 1] == parent[n - 1:])
+    if not len(starts):
+        return np.array([], dtype=np.int64), pa.array([], pa.string())
+    parts = [flat.take(pa.array(starts + j, pa.int64())) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    return parent[starts], grams
+
+
+def ngram_decontaminate(ds, probe_grams, *, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 5):
+    """Benchmark decontamination by word n-gram overlap (the standard
+    eval-set leak check): flag every document sharing at least one
+    ``n``-gram with the probe set.  Emits (id, n_gram_hits) for
+    contaminated docs only — ``n_gram_hits`` counts gram OCCURRENCES in the
+    doc that appear in the probe set.
+
+    ``probe_grams`` is a plain list of gram strings (from the eval set —
+    small: benchmarks are O(10^4) docs) broadcast once via ``ray.put``;
+    each task reads the reference, builds one Arrow value_set, and runs a
+    single vectorized ``is_in`` per batch.  No shuffle at all — the corpus
+    never moves."""
+    import numpy as np
+    import ray
+
+    probes_ref = ray.put(pa.array(sorted(set(probe_grams)), pa.string()))
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        probe_set = ray.get(probes_ref)
+        parents, grams = _word_shingles(
+            batch, id_col=id_col, text_col=text_col, n=n
+        )
+        out_empty = pa.table({
+            id_col: batch.column(id_col).slice(0, 0),
+            "n_gram_hits": pa.array([], pa.int64()),
+        })
+        if not len(parents):
+            return out_empty
+        hit = pc.is_in(grams, value_set=probe_set).to_numpy(zero_copy_only=False)
+        per_doc = np.bincount(parents[hit], minlength=batch.num_rows).astype(np.int64)
+        flagged = np.flatnonzero(per_doc > 0)
+        if not len(flagged):
+            return out_empty
+        idx = pa.array(flagged, pa.int64())
+        return pa.table({
+            id_col: batch.column(id_col).take(idx),
+            "n_gram_hits": pa.array(per_doc[flagged], pa.int64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _scan, batch_format="pyarrow"
+    )
+
+
+def probe_grams_of(ds, *, text_col: str = "text", n: int = 5) -> list[str]:
+    """Collect the DISTINCT word n-grams of a (small) probe dataset to the
+    driver — the build step for :func:`ngram_decontaminate`'s broadcast
+    set.  Bounded by the probe corpus's distinct grams (an eval benchmark,
+    not the training corpus); dedup happens distributed (per-batch
+    value_counts partial + groupby) so the driver sees unique grams only."""
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        _, grams = _word_shingles(batch, id_col=text_col, text_col=text_col, n=n)
+        u = grams.unique() if len(grams) else pa.array([], pa.string())
+        return pa.table({"gram": u})
+
+    uniq = ds.map_batches(_grams, batch_format="pyarrow").groupby("gram").count()
+    return [r["gram"] for r in uniq.take_all()]
 
 
 def split_assign(ds, *, key_col: str, fracs: dict[str, float],
