@@ -2044,6 +2044,96 @@ def _q_orders_ranked(sf_dir: str):
     ).sort("rnk")
 
 
+def _edges_parts(sf_dir: str):
+    """Part co-occurrence edges (same order, u < v, deduped) — the derived
+    graph for the graph-analytics queries."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.graph import cooccurrence_edges
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return cooccurrence_edges(li, group_col="l_orderkey", item_col="l_partkey")
+
+
+def _q_part_triangles(sf_dir: str):
+    """Per-node triangle counts on the part co-occurrence graph: oriented
+    wedge join + closing-edge join + explode, all native Ray joins
+    (functions/graph.py triangle_counts)."""
+    return triangle_counts_q(sf_dir)
+
+
+def triangle_counts_q(sf_dir: str):
+    from logjuicer_ray.functions.graph import triangle_counts
+
+    return triangle_counts(_edges_parts(sf_dir)).sort("node")
+
+
+def _q_part_pagerank(sf_dir: str):
+    """3-iteration integer micro-unit PageRank over the part co-occurrence
+    graph — per-edge floor(0.85·r/deg) keeps every intermediate an int64,
+    bit-reproducible and SQL-recomputable (functions/graph.py pagerank)."""
+    from logjuicer_ray.functions.graph import pagerank
+
+    return pagerank(_edges_parts(sf_dir), iterations=3).sort("node")
+
+
+def _q_docs_diff(sf_dir: str):
+    """Corpus-version diff: B is a deterministic mutation of documents
+    (drop doc_id%13==0, uppercase text for doc_id%10==0, add shifted
+    copies of doc_id%17==0); emit (doc_id, status) for
+    added/removed/changed via digest reduction + one native full-outer
+    join (functions/diff.py dataset_diff)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logjuicer_ray.functions.diff import dataset_diff
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def _mutate(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = b.filter(pa.array(ids % 13 != 0))
+        kids = keep.column("doc_id").to_numpy(zero_copy_only=False)
+        text = pc.if_else(
+            pa.array(kids % 10 == 0),
+            pc.utf8_upper(keep.column("text")),
+            keep.column("text"),
+        )
+        base = pa.table({"doc_id": keep.column("doc_id"), "text": text})
+        add_src = b.filter(pa.array(ids % 17 == 0))
+        added = pa.table({
+            "doc_id": pc.add(add_src.column("doc_id"), 10_000_000),
+            "text": add_src.column("text"),
+        })
+        return pa.concat_tables([base, added])
+
+    ds_b = docs.map_batches(_mutate, batch_format="pyarrow")
+    return dataset_diff(
+        docs, ds_b, key_col="doc_id", compare_cols=["text"]
+    ).sort("doc_id")
+
+
+_FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+def _q_funnel_users(sf_dir: str):
+    """Ordered funnel (signup → click → purchase, strictly increasing ts,
+    greedy earliest match): one keyed shuffle, vectorized per-step masks
+    (functions/windows.py funnel_users)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.windows import funnel_users
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return funnel_users(ev, steps=_FUNNEL_STEPS).sort("user_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipelines (SURVEY.md §2 / §3)
@@ -2108,6 +2198,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turns_export": _q_turns_export,
         "decontaminated_docs": _q_decontaminated_docs,
         "orders_ranked": _q_orders_ranked,
+        "part_triangles": _q_part_triangles,
+        "part_pagerank": _q_part_pagerank,
+        "docs_diff": _q_docs_diff,
+        "funnel_users": _q_funnel_users,
         "doc_quantiles": _q_doc_quantiles,
         "sampled_docs": _q_sampled_docs,
         "customer_orders_join": _q_customer_orders_join,
@@ -2170,6 +2264,16 @@ def _sampled_docs_sql() -> str:
         f"(CASE lang {cases} ELSE {default_thr}::UBIGINT END) "
         "ORDER BY doc_id"
     )
+
+
+# shared edge-list CTE for the graph-analytics oracles: part co-occurrence
+# within an order, oriented u < v, deduped (functions/graph.py
+# cooccurrence_edges)
+_EDGES_CTE = (
+    "WITH so AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem), "
+    "e AS (SELECT DISTINCT a.s AS u, b.s AS v FROM so a "
+    "JOIN so b ON a.o = b.o AND a.s < b.s)"
+)
 
 
 def _md5_u64_sql(expr: str) -> str:
@@ -2795,6 +2899,63 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk, "
             "NTILE(8) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS bucket "
             "FROM orders ORDER BY rnk"
+        ),
+        "part_triangles": (
+            f"{_EDGES_CTE} , "
+            "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+            "FROM e e1 JOIN e e2 ON e2.u = e1.v "
+            "JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), "
+            "nodes AS (SELECT unnest([a, b, c]) AS node FROM tri) "
+            "SELECT node, COUNT(*)::BIGINT AS n_triangles FROM nodes "
+            "GROUP BY node ORDER BY node"
+        ),
+        "part_pagerank": (
+            f"{_EDGES_CTE} , "
+            "sym AS (SELECT u AS src, v AS dst FROM e "
+            "UNION ALL SELECT v AS src, u AS dst FROM e), "
+            "deg AS (SELECT src, COUNT(*)::BIGINT AS d FROM sym GROUP BY src), "
+            "r0 AS (SELECT src, 1000000::BIGINT AS r FROM deg), "
+            + " ".join(
+                f"r{i} AS (SELECT sym.dst AS src, CAST(150000 + "
+                f"SUM(CAST(FLOOR(0.85 * r{i-1}.r / deg.d) AS BIGINT)) AS BIGINT) AS r "
+                f"FROM sym JOIN r{i-1} ON sym.src = r{i-1}.src "
+                f"JOIN deg ON sym.src = deg.src GROUP BY sym.dst),"
+                for i in (1, 2, 3)
+            ).rstrip(",")
+            + " SELECT src AS node, r AS rank_e6 FROM r3 ORDER BY node"
+        ),
+        "docs_diff": (
+            # B: drop %13, uppercase %10, add shifted copies of %17 —
+            # exactly the engine's deterministic mutation
+            "WITH b_base AS (SELECT doc_id, "
+            "CASE WHEN doc_id % 10 = 0 THEN upper(text) ELSE text END AS text "
+            "FROM documents WHERE doc_id % 13 <> 0), "
+            "b_add AS (SELECT doc_id + 10000000 AS doc_id, text FROM documents "
+            "WHERE doc_id % 17 = 0), "
+            "b AS (SELECT * FROM b_base UNION ALL SELECT * FROM b_add), "
+            "j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, "
+            "CASE WHEN b.doc_id IS NULL THEN 'removed' "
+            "WHEN a.doc_id IS NULL THEN 'added' "
+            "WHEN a.text <> b.text THEN 'changed' END AS status "
+            "FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id) "
+            "SELECT doc_id, status FROM j WHERE status IS NOT NULL "
+            "ORDER BY doc_id"
+        ),
+        "funnel_users": (
+            # strictly-ordered greedy funnel: each step's ts is the MIN ts
+            # of that type strictly after the previous step's ts
+            "WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+            "WHERE event_type = 'signup' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
+            "JOIN s1 ON e.user_id = s1.user_id "
+            "WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e "
+            "JOIN s2 ON e.user_id = s2.user_id "
+            "WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id) "
+            "SELECT s1.user_id, epoch_us(s1.t1) AS t_signup_us, "
+            "epoch_us(s2.t2) AS t_click_us, epoch_us(s3.t3) AS t_purchase_us "
+            "FROM s1 JOIN s2 ON s1.user_id = s2.user_id "
+            "JOIN s3 ON s1.user_id = s3.user_id ORDER BY s1.user_id"
         ),
         "doc_quantiles": (
             "SELECT quantile_disc(n_chars, 0.5) AS p50, "

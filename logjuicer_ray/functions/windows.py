@@ -16,7 +16,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["sessionize", "hopping_window_agg", "rolling_agg", "window_funcs"]
+__all__ = ["sessionize", "hopping_window_agg", "rolling_agg", "window_funcs",
+           "funnel_users"]
 
 
 def _session_group(
@@ -241,3 +242,56 @@ def hopping_window_agg(ds, *, ts_col: str = "ts", value_col: str,
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _funnel_group(group: pa.Table, *, key: str, ts_col: str, type_col: str,
+                  steps: list[str]) -> pa.Table:
+    """Strictly-ordered funnel match for one key: t_i = min ts of step i
+    with ts > t_{i-1}.  Vectorized per step (one boolean mask + min), no
+    per-event Python."""
+    ts = group.column(ts_col)
+    ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
+    t = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    et = group.column(type_col).to_pandas().to_numpy()
+    prev = -(2**63)
+    hits: list[int] = []
+    for step in steps:
+        cand = t[(et == step) & (t > prev)]
+        if not len(cand):
+            return pa.table({
+                key: group.column(key).slice(0, 0),
+                **{f"t_{s}_us": pa.array([], pa.int64()) for s in steps},
+            })
+        prev = int(cand.min())
+        hits.append(prev)
+    return pa.table({
+        key: group.column(key).slice(0, 1),
+        **{f"t_{s}_us": pa.array([h], pa.int64()) for s, h in zip(steps, hits)},
+    })
+
+
+def funnel_users(ds, *, key: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type", steps: list[str]):
+    """Ordered funnel analysis: keys whose event stream contains the
+    ``steps`` sequence with strictly increasing timestamps, greedily
+    matched (each step takes the EARLIEST occurrence after the previous
+    step — the standard product-analytics funnel definition; greedy
+    earliest-match is optimal for existence, so no backtracking).
+    Returns one row per completing key with ``t_<step>_us`` epoch-µs
+    columns.
+
+    One keyed shuffle (``groupby(key)``), per-group work O(events of that
+    key) with one vectorized mask per funnel step.  Same key-skew bound as
+    :func:`sessionize`."""
+    if not steps:
+        raise ValueError("funnel_users needs at least one step")
+    return (
+        ds.select_columns([key, ts_col, type_col])
+        .groupby(key)
+        .map_groups(
+            lambda g: _funnel_group(
+                g, key=key, ts_col=ts_col, type_col=type_col, steps=list(steps)
+            ),
+            batch_format="pyarrow",
+        )
+    )
