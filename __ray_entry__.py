@@ -2134,6 +2134,85 @@ def _q_funnel_users(sf_dir: str):
     return funnel_users(ev, steps=_FUNNEL_STEPS).sort("user_id")
 
 
+_BM25_TERMS = ["merge", "spark", "vector", "window"]
+
+
+def _q_bm25_docs(sf_dir: str):
+    """Okapi BM25 top-20 against a broadcast 4-term query: corpus stats
+    from a query-bounded partial aggregate, per-term contributions floored
+    to e6 integers so the document sum is partitioning-proof and
+    SQL-recomputable (functions/retrieval.py bm25_topk)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.retrieval import bm25_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_topk(docs, _BM25_TERMS, k=20)
+
+
+def _q_rrf_docs(sf_dir: str):
+    """Hybrid-retrieval rank fusion: BM25 top-50 ⊕ length-prior top-50 via
+    reciprocal-rank fusion with integer contributions
+    (functions/retrieval.py rrf_fuse + functions/rank.py global_rank)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logjuicer_ray.functions.rank import global_rank
+    from logjuicer_ray.functions.retrieval import bm25_topk, rrf_fuse
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "n_chars"])
+    bm25 = bm25_topk(
+        docs.select_columns(["doc_id", "text"]), _BM25_TERMS, k=50
+    ).select_columns(["doc_id", "rank"])
+    length = global_rank(
+        docs.select_columns(["doc_id", "n_chars"]), value_col="n_chars",
+        tie_col="doc_id", descending=True, rank_col="rank",
+    ).map_batches(
+        lambda b: b.filter(pc.less_equal(b.column("rank"), 50)).select(
+            ["doc_id", "rank"]
+        ),
+        batch_format="pyarrow",
+    )
+    return rrf_fuse([bm25, length], id_col="doc_id", k=60).sort("doc_id")
+
+
+_PROFILE_COLS = ["doc_id", "n_chars", "lang"]
+
+
+def _q_docs_profile(sf_dir: str):
+    """Long-format column profile (null/value counts + typed min/max as
+    strings) via mergeable per-batch partials (functions/quality.py
+    profile_table)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.quality import profile_table
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=_PROFILE_COLS)
+    return profile_table(docs, _PROFILE_COLS).sort("column")
+
+
+def _q_docs_constraints(sf_dir: str):
+    """Declarative expectations: not_null / range / in_set are stateless
+    vectorized predicates (no shuffle); unique moves one row per distinct
+    value (functions/quality.py check_constraints)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.quality import check_constraints
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    return check_constraints(docs, [
+        ("not_null", "text"),
+        ("range", "n_chars", 0, 300),
+        ("in_set", "lang", ["en", "fr", "zh"]),
+        ("unique", "source"),
+    ]).sort("constraint")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipelines (SURVEY.md §2 / §3)
@@ -2202,6 +2281,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_pagerank": _q_part_pagerank,
         "docs_diff": _q_docs_diff,
         "funnel_users": _q_funnel_users,
+        "bm25_docs": _q_bm25_docs,
+        "rrf_docs": _q_rrf_docs,
+        "docs_profile": _q_docs_profile,
+        "docs_constraints": _q_docs_constraints,
         "doc_quantiles": _q_doc_quantiles,
         "sampled_docs": _q_sampled_docs,
         "customer_orders_join": _q_customer_orders_join,
@@ -2263,6 +2346,36 @@ def _sampled_docs_sql() -> str:
         "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT < "
         f"(CASE lang {cases} ELSE {default_thr}::UBIGINT END) "
         "ORDER BY doc_id"
+    )
+
+
+def _bm25_ctes() -> str:
+    """Shared BM25 CTE chain: per-(doc, term) contributions floored to e6
+    integers, exactly the engine's FP operation order
+    (functions/retrieval.py bm25_topk; k1=1.2, b=0.75, +1-smoothed idf)."""
+    vals = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    return (
+        "toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok "
+        "FROM documents WHERE text IS NOT NULL), "
+        "tt AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), "
+        "dl AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM tt GROUP BY doc_id), "
+        "stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs, "
+        "(SELECT SUM(dl) FROM dl) AS sum_dl), "
+        f"q(term) AS (VALUES {vals}), "
+        "dfs AS (SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM tt "
+        "JOIN q ON tok = term GROUP BY term), "
+        "tfs AS (SELECT doc_id, tok AS term, COUNT(*)::BIGINT AS tf FROM tt "
+        "JOIN q ON tok = term GROUP BY doc_id, tok), "
+        "contrib AS (SELECT tfs.doc_id, CAST(FLOOR("
+        "ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+        "* (tfs.tf * 2.2) / (tfs.tf + 1.2 * (0.25 + 0.75 * dl.dl / "
+        "(s.sum_dl / s.n_docs))) * 1e6 + 0.5) AS BIGINT) AS c "
+        "FROM tfs JOIN dfs USING (term) JOIN dl ON tfs.doc_id = dl.doc_id "
+        "CROSS JOIN stats s), "
+        "score AS (SELECT doc_id, SUM(c)::BIGINT AS score_e6 FROM contrib "
+        "GROUP BY doc_id HAVING SUM(c) > 0), "
+        "bm25_ranked AS (SELECT doc_id, score_e6, "
+        "ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS rank FROM score)"
     )
 
 
@@ -2940,6 +3053,55 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id) "
             "SELECT doc_id, status FROM j WHERE status IS NOT NULL "
             "ORDER BY doc_id"
+        ),
+        "bm25_docs": (
+            f"WITH {_bm25_ctes()} "
+            "SELECT doc_id, score_e6, rank FROM bm25_ranked "
+            "WHERE rank <= 20 ORDER BY rank"
+        ),
+        "rrf_docs": (
+            # RRF with integer contributions floor(1e6/(60+rank)) over
+            # BM25 top-50 and the n_chars-desc length ranking top-50
+            f"WITH {_bm25_ctes()}, "
+            "len_ranked AS (SELECT doc_id, "
+            "ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rank "
+            "FROM documents), "
+            "parts AS ("
+            "SELECT doc_id, CAST(FLOOR(1000000 / (60 + rank)) AS BIGINT) AS c "
+            "FROM bm25_ranked WHERE rank <= 50 "
+            "UNION ALL "
+            "SELECT doc_id, CAST(FLOOR(1000000 / (60 + rank)) AS BIGINT) AS c "
+            "FROM len_ranked WHERE rank <= 50) "
+            "SELECT doc_id, SUM(c)::BIGINT AS rrf_e6 FROM parts "
+            "GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "docs_profile": (
+            "SELECT 'doc_id' AS \"column\", "
+            "COUNT(*) FILTER (doc_id IS NULL)::BIGINT AS n_null, "
+            "COUNT(doc_id)::BIGINT AS n_value, "
+            "CAST(MIN(doc_id) AS VARCHAR) AS min_str, "
+            "CAST(MAX(doc_id) AS VARCHAR) AS max_str FROM documents "
+            "UNION ALL SELECT 'n_chars', "
+            "COUNT(*) FILTER (n_chars IS NULL)::BIGINT, COUNT(n_chars)::BIGINT, "
+            "CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) "
+            "FROM documents "
+            "UNION ALL SELECT 'lang', "
+            "COUNT(*) FILTER (lang IS NULL)::BIGINT, COUNT(lang)::BIGINT, "
+            "MIN(lang), MAX(lang) FROM documents "
+            "ORDER BY \"column\""
+        ),
+        "docs_constraints": (
+            "SELECT 'in_set:lang' AS \"constraint\", "
+            "COUNT(*) FILTER (lang IS NOT NULL AND lang NOT IN "
+            "('en','fr','zh'))::BIGINT AS n_violations FROM documents "
+            "UNION ALL SELECT 'not_null:text', "
+            "COUNT(*) FILTER (text IS NULL)::BIGINT FROM documents "
+            "UNION ALL SELECT 'range:n_chars:[0,300]', "
+            "COUNT(*) FILTER (n_chars IS NOT NULL AND (n_chars < 0 OR "
+            "n_chars > 300))::BIGINT FROM documents "
+            "UNION ALL SELECT 'unique:source', "
+            "(COUNT(source) - COUNT(DISTINCT source))::BIGINT FROM documents "
+            "ORDER BY \"constraint\""
         ),
         "funnel_users": (
             # strictly-ordered greedy funnel: each step's ts is the MIN ts

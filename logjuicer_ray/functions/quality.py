@@ -1,0 +1,177 @@
+"""Data-quality operators: table profiling and declarative constraint
+checking — the validation layer a 100-TB ingest needs before training.
+
+- :func:`profile_table`: one long-format row per profiled column with
+  null count, non-null count, and min/max (rendered as strings so mixed
+  column types share one output schema).  Mergeable per-batch partials:
+  each batch contributes one tiny row per column; the driver never sees
+  data rows.
+- :func:`check_constraints`: declarative expectations → one row per
+  constraint with its violation count.  Three constraint kinds cover the
+  common contracts:
+    ``("not_null", col)``          — col IS NULL counts as a violation
+    ``("range", col, lo, hi)``     — non-null value outside [lo, hi]
+    ``("in_set", col, values)``    — non-null value not in the list
+    ``("unique", col)``            — rows beyond the first per value
+  The first three are stateless vectorized predicates (no shuffle);
+  ``unique`` is the only one that must exchange data and moves one row
+  per DISTINCT value (in-batch pre-dedup + keyed count, the same shape
+  as exact dedup, functions/dedup.py:44-69).
+
+No reference analog (the reference validates nothing beyond config
+regexes, crates/model/src/config.rs:197-213); extends the engine's
+data-ops surface per the brief.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["profile_table", "check_constraints"]
+
+
+def profile_table(ds, columns: list[str]):
+    """Long-format profile: (column, n_null, n_value, min_str, max_str)
+    per requested column.  min/max are cast to strings AFTER the typed
+    comparison (numeric columns compare numerically, then render)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        names, nn, nv, mins, maxs = [], [], [], [], []
+        for c in columns:
+            col = batch.column(c)
+            n_null = col.null_count
+            valid = pc.drop_null(col)
+            names.append(c)
+            nn.append(n_null)
+            nv.append(len(valid))
+            if len(valid):
+                mm = pc.min_max(valid)
+                mins.append(str(mm["min"].as_py()))
+                maxs.append(str(mm["max"].as_py()))
+            else:
+                mins.append(None)
+                maxs.append(None)
+        return pa.table({
+            "column": pa.array(names, pa.string()),
+            "n_null": pa.array(nn, pa.int64()),
+            "n_value": pa.array(nv, pa.int64()),
+            "min_str": pa.array(mins, pa.string()),
+            "max_str": pa.array(maxs, pa.string()),
+        })
+
+    def _merge(group: pa.Table) -> pa.Table:
+        name = group.column("column")[0].as_py()
+        mins = pc.drop_null(group.column("min_str"))
+        maxs = pc.drop_null(group.column("max_str"))
+        # partial min/max strings re-compare as the ORIGINAL type by
+        # parsing back — numeric columns must not compare lexically
+        def _typed_extreme(vals, biggest: bool):
+            pyv = vals.to_pylist()
+            if not pyv:
+                return None
+            try:
+                nums = [float(x) for x in pyv]
+                pick = max(range(len(nums)), key=nums.__getitem__) if biggest \
+                    else min(range(len(nums)), key=nums.__getitem__)
+                return pyv[pick]
+            except ValueError:
+                return max(pyv) if biggest else min(pyv)
+
+        return pa.table({
+            "column": pa.array([name], pa.string()),
+            "n_null": pa.array([pc.sum(group.column("n_null")).as_py()], pa.int64()),
+            "n_value": pa.array([pc.sum(group.column("n_value")).as_py()], pa.int64()),
+            "min_str": pa.array([_typed_extreme(mins, False)], pa.string()),
+            "max_str": pa.array([_typed_extreme(maxs, True)], pa.string()),
+        })
+
+    return (
+        ds.select_columns(columns)
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("column")
+        .map_groups(_merge, batch_format="pyarrow")
+    )
+
+
+def check_constraints(ds, constraints: list[tuple]):
+    """Evaluate declarative constraints; returns one row per constraint:
+    (constraint, n_violations).  See module docstring for kinds."""
+    stateless = []
+    uniques = []
+    for spec in constraints:
+        kind = spec[0]
+        if kind == "unique":
+            uniques.append(spec)
+        elif kind in ("not_null", "range", "in_set"):
+            stateless.append(spec)
+        else:
+            raise ValueError(f"unknown constraint kind: {kind!r}")
+
+    def _label(spec) -> str:
+        kind, col = spec[0], spec[1]
+        if kind == "range":
+            return f"range:{col}:[{spec[2]},{spec[3]}]"
+        if kind == "in_set":
+            return f"in_set:{col}"
+        return f"{kind}:{col}"
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        labels, counts = [], []
+        for spec in stateless:
+            kind, col = spec[0], spec[1]
+            c = batch.column(col)
+            if kind == "not_null":
+                n = c.null_count
+            elif kind == "range":
+                lo, hi = spec[2], spec[3]
+                bad = pc.or_(pc.less(c, lo), pc.greater(c, hi))
+                n = pc.sum(pc.cast(pc.fill_null(bad, False), pa.int64())).as_py() or 0
+            else:  # in_set
+                ok = pc.is_in(c, value_set=pa.array(list(spec[2])))
+                bad = pc.and_(pc.invert(ok), pc.is_valid(c))
+                n = pc.sum(pc.cast(bad, pa.int64())).as_py() or 0
+            labels.append(_label(spec))
+            counts.append(int(n))
+        return pa.table({
+            "constraint": pa.array(labels, pa.string()),
+            "n_violations": pa.array(counts, pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("constraint")
+        .aggregate(Sum("n_violations", alias_name="n_violations"))
+    )
+
+    for spec in uniques:
+        col = spec[1]
+
+        def _pairs(batch: pa.Table, col=col) -> pa.Table:
+            t = batch.select([col]).group_by([col]).aggregate([([], "count_all")])
+            return t.rename_columns([col, "cnt"])
+
+        dup = (
+            ds.map_batches(_pairs, batch_format="pyarrow")
+            .groupby(col)
+            .aggregate(Sum("cnt", alias_name="cnt"))
+        )
+
+        def _excess(batch: pa.Table) -> pa.Table:
+            cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+            extra = int((cnt - 1).clip(min=0).sum())
+            return pa.table({
+                "constraint": pa.array([f"unique:{col}"], pa.string()),
+                "n_violations": pa.array([extra], pa.int64()),
+            })
+
+        u = (
+            dup.map_batches(_excess, batch_format="pyarrow")
+            .groupby("constraint")
+            .aggregate(Sum("n_violations", alias_name="n_violations"))
+        )
+        out = out.union(u)
+    return out
