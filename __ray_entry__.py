@@ -2213,6 +2213,70 @@ def _q_docs_constraints(sf_dir: str):
     ]).sort("constraint")
 
 
+def _q_majority_labels(sf_dir: str):
+    """Per-user majority event_type (crowd-vote reducer): unique-pair
+    count shuffle + grouped top-1, ties by label asc (functions/labels.py
+    majority_vote)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.labels import majority_vote
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    return majority_vote(ev, key_col="user_id", label_col="event_type"
+                         ).sort("user_id")
+
+
+_BALANCE_PER_CLASS = 40
+
+
+def _q_balanced_docs(sf_dir: str):
+    """Class-balance downsampling: ≤40 docs per lang by md5-u64 hash order
+    of doc_id — deterministic, resume-stable, SQL-recomputable
+    (functions/labels.py balance_classes over the k-bounded grouped
+    top-k)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.labels import balance_classes
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    return balance_classes(
+        docs, class_col="lang", key_col="doc_id",
+        per_class=_BALANCE_PER_CLASS,
+    ).sort(["lang", "rank"])
+
+
+def _q_latest_events(sf_dir: str):
+    """CDC latest-wins snapshot: newest event per user by (ts desc,
+    event_id asc on ties); map-side top-1 combiner ships one row per
+    (key, task) (functions/labels.py latest_per_key)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.labels import latest_per_key
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "event_type"])
+    return latest_per_key(
+        ev, key_col="user_id", ts_col="ts", tie_col="event_id"
+    ).sort("user_id")
+
+
+def _q_zscore_docs(sf_dir: str):
+    """Per-lang z-score of n_chars from exact integer moments (n, Σx, Σx²
+    partials — order-independent), fixed float sequence, e6 floor
+    (functions/normalize.py zscore_normalize)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.normalize import zscore_normalize
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+    return zscore_normalize(
+        docs, group_col="lang", int_col="n_chars", id_cols=["doc_id"]
+    ).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipelines (SURVEY.md §2 / §3)
@@ -2285,6 +2349,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_docs": _q_rrf_docs,
         "docs_profile": _q_docs_profile,
         "docs_constraints": _q_docs_constraints,
+        "majority_labels": _q_majority_labels,
+        "balanced_docs": _q_balanced_docs,
+        "latest_events": _q_latest_events,
+        "zscore_docs": _q_zscore_docs,
         "doc_quantiles": _q_doc_quantiles,
         "sampled_docs": _q_sampled_docs,
         "customer_orders_join": _q_customer_orders_join,
@@ -3102,6 +3170,43 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'unique:source', "
             "(COUNT(source) - COUNT(DISTINCT source))::BIGINT FROM documents "
             "ORDER BY \"constraint\""
+        ),
+        "majority_labels": (
+            "WITH cnts AS (SELECT user_id, event_type, COUNT(*)::BIGINT AS n_votes "
+            "FROM events GROUP BY user_id, event_type), "
+            "ranked AS (SELECT user_id, event_type, n_votes, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY n_votes DESC, event_type) AS rn FROM cnts) "
+            "SELECT user_id, event_type, n_votes FROM ranked WHERE rn = 1 "
+            "ORDER BY user_id"
+        ),
+        "balanced_docs": (
+            f"WITH hashed AS (SELECT doc_id, lang, "
+            f"{_md5_u64_sql('CAST(doc_id AS VARCHAR)')} AS h FROM documents), "
+            f"ranked AS (SELECT doc_id, lang, "
+            f"ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rank "
+            f"FROM hashed) "
+            f"SELECT doc_id, lang, rank FROM ranked "
+            f"WHERE rank <= {_BALANCE_PER_CLASS} ORDER BY lang, rank"
+        ),
+        "latest_events": (
+            "SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us "
+            "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id) AS rn FROM events) "
+            "WHERE rn = 1 ORDER BY user_id"
+        ),
+        "zscore_docs": (
+            # exact integer moments then the engine's fixed float sequence:
+            # mean = s/n; var = (n*ss - s*s)/(n*n); z = (x-mean)/sqrt(var)
+            "WITH m AS (SELECT lang, COUNT(*)::BIGINT AS n, "
+            "SUM(n_chars)::BIGINT AS s, "
+            "SUM(n_chars * n_chars)::BIGINT AS ss FROM documents GROUP BY lang) "
+            "SELECT d.doc_id, d.lang, d.n_chars, "
+            "CAST(FLOOR(CASE WHEN (m.n * m.ss - m.s * m.s) = 0 THEN 0.0 ELSE "
+            "(d.n_chars - (m.s / m.n)) / "
+            "sqrt((m.n * m.ss - m.s * m.s) / (m.n * m.n)) END * 1e6 + 0.5) "
+            "AS BIGINT) AS z_e6 "
+            "FROM documents d JOIN m ON d.lang = m.lang ORDER BY d.doc_id"
         ),
         "funnel_users": (
             # strictly-ordered greedy funnel: each step's ts is the MIN ts

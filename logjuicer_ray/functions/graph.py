@@ -158,9 +158,11 @@ def pagerank(edges, *, iterations: int = 3, num_partitions: int | None = None):
         })
 
     sym = edges.map_batches(_symmetrize, batch_format="pyarrow").materialize()
+    # repartition the key-bounded aggregate so no schema-less empty block
+    # reaches the join shuffle (same guard as the outer-join queries)
     deg = sym.groupby("src").count().map_batches(
         lambda b: b.rename_columns(["src", "deg"]), batch_format="pyarrow"
-    )
+    ).repartition(2)
     # edges annotated with the source degree once — reused every iteration
     esrc = sym.join(deg, join_type="inner", on=("src",),
                     num_partitions=num_partitions).materialize()
@@ -170,7 +172,7 @@ def pagerank(edges, *, iterations: int = 3, num_partitions: int | None = None):
             "r": pa.array([1_000_000] * b.num_rows, pa.int64()),
         }),
         batch_format="pyarrow",
-    )
+    ).repartition(2)
     from ray.data.aggregate import Sum
 
     for _ in range(iterations):
@@ -197,7 +199,7 @@ def pagerank(edges, *, iterations: int = 3, num_partitions: int | None = None):
                 "r": pc.add(b.column("c"), 150_000),
             }),
             batch_format="pyarrow",
-        ).materialize()
+        ).repartition(2).materialize()
 
     return ranks.map_batches(
         lambda b: b.rename_columns(["node", "rank_e6"]), batch_format="pyarrow"
