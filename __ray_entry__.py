@@ -2277,6 +2277,47 @@ def _q_zscore_docs(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_events_resampled(sf_dir: str):
+    """Dense hourly resample with zero-fill per user (gap filling before
+    windowed features): keyed shuffle + per-group floor-div/bincount
+    kernel (functions/windows.py resample_dense)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.windows import resample_dense
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return resample_dense(ev, key="user_id", ts_col="ts").sort(
+        ["user_id", "bucket_us"]
+    )
+
+
+def _q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts over per-user event streams
+    ordered by (ts, event_id) (functions/windows.py event_transitions)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.windows import event_transitions
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return event_transitions(ev).sort(["from_type", "to_type"])
+
+
+def _q_quantized_embeddings(sf_dir: str):
+    """Int8 scalar quantization summary per vector (scale = max|x|/127,
+    half-up rounding): stateless vectorized map, compact verification row
+    per vector (functions/knn.py quantize_embeddings)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.knn import quantize_embeddings
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return quantize_embeddings(emb).sort("vec_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipelines (SURVEY.md §2 / §3)
@@ -2353,6 +2394,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balanced_docs": _q_balanced_docs,
         "latest_events": _q_latest_events,
         "zscore_docs": _q_zscore_docs,
+        "events_resampled": _q_events_resampled,
+        "event_transitions": _q_event_transitions,
+        "quantized_embeddings": _q_quantized_embeddings,
         "doc_quantiles": _q_doc_quantiles,
         "sampled_docs": _q_sampled_docs,
         "customer_orders_join": _q_customer_orders_join,
@@ -3207,6 +3251,47 @@ def oracle_sql() -> dict[str, str]:
             "sqrt((m.n * m.ss - m.s * m.s) / (m.n * m.n)) END * 1e6 + 0.5) "
             "AS BIGINT) AS z_e6 "
             "FROM documents d JOIN m ON d.lang = m.lang ORDER BY d.doc_id"
+        ),
+        "events_resampled": (
+            # dense hourly grid per user between first and last event;
+            # bucket index = epoch_us // 3.6e9 (floor), zero-filled
+            "WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr "
+            "FROM events), "
+            "b AS (SELECT user_id, MIN(hr) AS lo, MAX(hr) AS hi FROM h "
+            "GROUP BY user_id), "
+            "grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS hr "
+            "FROM b), "
+            "cnt AS (SELECT user_id, hr, COUNT(*)::BIGINT AS n FROM h "
+            "GROUP BY user_id, hr) "
+            "SELECT g.user_id, g.hr * 3600000000 AS bucket_us, "
+            "COALESCE(c.n, 0)::BIGINT AS n_events "
+            "FROM grid g LEFT JOIN cnt c ON g.user_id = c.user_id "
+            "AND g.hr = c.hr ORDER BY g.user_id, bucket_us"
+        ),
+        "event_transitions": (
+            "WITH o AS (SELECT user_id, event_type, "
+            "LAG(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev FROM events) "
+            "SELECT prev AS from_type, event_type AS to_type, "
+            "COUNT(*)::BIGINT AS cnt FROM o WHERE prev IS NOT NULL "
+            "GROUP BY prev, event_type ORDER BY from_type, to_type"
+        ),
+        "quantized_embeddings": (
+            # engine arithmetic mirrored exactly: float32 widens to DOUBLE,
+            # scale = max(|x|)/127, q = floor(x/scale + 0.5), zero vectors
+            # define q = 0
+            "WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x "
+            "FROM embeddings), "
+            "sc AS (SELECT vec_id, MAX(abs(x)) / CAST(127 AS DOUBLE) AS scale "
+            "FROM ex GROUP BY vec_id), "
+            "q AS (SELECT ex.vec_id, CASE WHEN sc.scale = 0 THEN 0 "
+            "ELSE CAST(FLOOR(ex.x / sc.scale + 0.5) AS BIGINT) END AS q, "
+            "sc.scale FROM ex JOIN sc ON ex.vec_id = sc.vec_id) "
+            "SELECT vec_id, "
+            "CAST(FLOOR(ANY_VALUE(scale) * 1e9 + 0.5) AS BIGINT) AS scale_e9, "
+            "SUM(q)::BIGINT AS q_sum, MIN(q)::BIGINT AS q_min, "
+            "MAX(q)::BIGINT AS q_max "
+            "FROM q GROUP BY vec_id ORDER BY vec_id"
         ),
         "funnel_users": (
             # strictly-ordered greedy funnel: each step's ts is the MIN ts

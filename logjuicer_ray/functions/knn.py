@@ -16,7 +16,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["knn_brute_force", "knn_ivf", "kmeans_fit", "kmeans_distributed",
-           "grouped_centroids"]
+           "grouped_centroids", "quantize_embeddings"]
 
 
 def grouped_centroids(ds, *, group_col: str, vec_col: str = "embedding"):
@@ -293,3 +293,51 @@ def kmeans_distributed(ds, *, n_clusters: int = 16, iters: int = 5,
         return batch.append_column("cluster", pa.array(assign.astype(np.int64)))
 
     return centroids, assign_fn
+
+
+def quantize_embeddings(ds, *, id_col: str = "vec_id",
+                        vec_col: str = "embedding"):
+    """Int8 scalar quantization summary per vector — the storage-reduction
+    step before ANN serving.  Per vector: ``scale = max(|x|)/127``,
+    ``q_i = floor(x_i/scale + 0.5)`` (half-up, matching SQL FLOOR, not
+    numpy's half-even round); emits the compact verification row
+    (id, scale_e9, q_sum, q_min, q_max) rather than the int8 payload so
+    the whole quantization arithmetic sits under a value oracle.
+
+    Stateless vectorized map — no shuffle: each batch converts its vectors
+    to one (rows × dim) float64 matrix (float32 → float64 is exact, the
+    same widening an external SQL engine applies) and reduces along the
+    dim axis.  All-zero vectors define q = 0.
+    """
+    import numpy as np
+    import pyarrow.compute as _pc
+
+    def _quant(batch: pa.Table) -> pa.Table:
+        emb = batch.column(vec_col)
+        emb = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
+        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = emb.offsets.to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        widths = np.diff(offs)
+        if n and (widths != widths[0]).any():
+            raise ValueError("quantize_embeddings requires fixed-dim vectors")
+        dim = int(widths[0]) if n else 0
+        m = flat.reshape(n, dim) if n else flat.reshape(0, 0)
+        scale = np.abs(m).max(axis=1) / 127.0 if dim else np.zeros(n)
+        safe = np.where(scale == 0.0, 1.0, scale)
+        q = np.floor(m / safe[:, None] + 0.5)
+        q[scale == 0.0, :] = 0.0
+        return pa.table({
+            id_col: batch.column(id_col),
+            "scale_e9": pa.array(
+                np.floor(scale * 1e9 + 0.5).astype(np.int64), pa.int64()),
+            "q_sum": pa.array(q.sum(axis=1).astype(np.int64), pa.int64()),
+            "q_min": pa.array(
+                (q.min(axis=1) if dim else np.zeros(n)).astype(np.int64),
+                pa.int64()),
+            "q_max": pa.array(
+                (q.max(axis=1) if dim else np.zeros(n)).astype(np.int64),
+                pa.int64()),
+        })
+
+    return ds.map_batches(_quant, batch_format="pyarrow")

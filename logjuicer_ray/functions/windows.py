@@ -17,7 +17,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["sessionize", "hopping_window_agg", "rolling_agg", "window_funcs",
-           "funnel_users"]
+           "funnel_users", "resample_dense", "event_transitions"]
 
 
 def _session_group(
@@ -294,4 +294,87 @@ def funnel_users(ds, *, key: str = "user_id", ts_col: str = "ts",
             ),
             batch_format="pyarrow",
         )
+    )
+
+
+def _resample_group(group: pa.Table, *, key: str, ts_col: str,
+                    unit_us: int) -> pa.Table:
+    ts = group.column(ts_col)
+    ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
+    t = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    hr = t // unit_us
+    lo, hi = int(hr.min()), int(hr.max())
+    counts = np.bincount(hr - lo, minlength=hi - lo + 1).astype(np.int64)
+    key_val = group.column(key)[0].as_py()
+    n = hi - lo + 1
+    return pa.table({
+        key: pa.array([key_val] * n, group.schema.field(key).type),
+        "bucket_us": pa.array((np.arange(lo, hi + 1) * unit_us), pa.int64()),
+        "n_events": pa.array(counts, pa.int64()),
+    })
+
+
+def resample_dense(ds, *, key: str = "user_id", ts_col: str = "ts",
+                   unit_us: int = 3_600_000_000):
+    """Dense time-series resample: one row per ``unit_us`` bucket per key
+    between that key's first and last event, zero-filled — the gap-filling
+    step before windowed feature extraction.  One keyed shuffle, then a
+    vectorized per-group kernel (floor-div + bincount over the key's own
+    span).  Emits (key, bucket_us, n_events); a key's output is bounded by
+    its time span / unit, independent of dataset size."""
+    return (
+        ds.select_columns([key, ts_col])
+        .groupby(key)
+        .map_groups(
+            lambda g: _resample_group(g, key=key, ts_col=ts_col, unit_us=unit_us),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _transitions_group(group: pa.Table, *, key: str, ts_col: str,
+                       id_col: str, type_col: str) -> pa.Table:
+    ts = group.column(ts_col)
+    ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
+    t = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ids = group.column(id_col)
+    ids = (ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+           ).to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, t))
+    et = group.column(type_col)
+    et = et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et
+    ordered = et.take(pa.array(order, pa.int64()))
+    n = len(order)
+    if n < 2:
+        return pa.table({"from_type": pa.array([], pa.string()),
+                         "to_type": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    frm = ordered.slice(0, n - 1)
+    to = ordered.slice(1, n - 1)
+    tt = pa.table({"from_type": frm, "to_type": to})
+    g = tt.group_by(["from_type", "to_type"]).aggregate([([], "count_all")])
+    return g.rename_columns(["from_type", "to_type", "cnt"])
+
+
+def event_transitions(ds, *, key: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id", type_col: str = "event_type"):
+    """First-order Markov transition counts over each key's event stream
+    ordered by (ts, id): global (from_type, to_type, cnt) — the sequence-
+    mining primitive behind session-flow analysis.  One keyed shuffle +
+    vectorized per-group adjacent pairs (in-group Arrow group_by partial),
+    then a tiny keyed sum over unique type pairs."""
+    from ray.data.aggregate import Sum
+
+    partials = (
+        ds.select_columns([key, ts_col, id_col, type_col])
+        .groupby(key)
+        .map_groups(
+            lambda g: _transitions_group(
+                g, key=key, ts_col=ts_col, id_col=id_col, type_col=type_col
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return partials.groupby(["from_type", "to_type"]).aggregate(
+        Sum("cnt", alias_name="cnt")
     )
