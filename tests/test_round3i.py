@@ -150,3 +150,28 @@ def test_round3i_queries_vs_duckdb(ray_session):
             b[c] = b[c].astype(a[c].dtype)
         b = b[cols].sort_values(cols).reset_index(drop=True)
         assert a.equals(b), f"{name}: value mismatch"
+
+
+def test_dataset_diff_fast_equals_md5(ray_session):
+    """Both digest modes classify identically (the digest only carries
+    equality, never values)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.diff import dataset_diff
+
+    rng = np.random.default_rng(17)
+    texts = [f"doc-{i}-" + "x" * int(rng.integers(0, 30)) for i in range(60)]
+    a = rd.from_arrow(pa.table({
+        "k": pa.array(range(60), pa.int64()), "text": pa.array(texts)}))
+    texts_b = [t + "!" if i % 7 == 0 else t for i, t in enumerate(texts[:50])]
+    b = rd.from_arrow(pa.table({
+        "k": pa.array(range(50), pa.int64()), "text": pa.array(texts_b)}))
+    outs = []
+    for mode in ("fast", "md5"):
+        out = dataset_diff(a, b, key_col="k", compare_cols=["text"],
+                           digest=mode).to_pandas()
+        outs.append(out.sort_values("k").reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    got = dict(zip(outs[0]["k"], outs[0]["status"]))
+    assert all(got[k] == "removed" for k in range(50, 60))
+    assert all(got[k] == "changed" for k in range(0, 50, 7))
