@@ -2318,6 +2318,68 @@ def _q_quantized_embeddings(sf_dir: str):
     return quantize_embeddings(emb).sort("vec_id")
 
 
+def _li_ints(sf_dir: str):
+    """lineitem with exact integer qty/cents columns (floor(x·100 + 0.5)
+    for the price — the repo's standard float→cents contract)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def _ints(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        p = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "qty": pa.array(q.astype(np.int64), pa.int64()),
+            "cents": pa.array(np.floor(p * 100 + 0.5).astype(np.int64),
+                              pa.int64()),
+        })
+
+    return li.map_batches(_ints, batch_format="pyarrow")
+
+
+def _q_lineitem_mad(sf_dir: str):
+    """Per-returnflag median + median absolute deviation of quantity —
+    two passes of the unique-value exact-quantile machinery
+    (functions/stats.py grouped_mad)."""
+    from logjuicer_ray.functions.stats import grouped_mad
+
+    return grouped_mad(
+        _li_ints(sf_dir), group_col="l_returnflag", col="qty"
+    ).sort("l_returnflag")
+
+
+def _q_lineitem_trend(sf_dir: str):
+    """Per-returnflag least-squares price-vs-quantity fit from exact
+    integer moments (functions/stats.py grouped_linreg)."""
+    from logjuicer_ray.functions.stats import grouped_linreg
+
+    return grouped_linreg(
+        _li_ints(sf_dir), group_col="l_returnflag", x_col="qty", y_col="cents"
+    ).sort("l_returnflag")
+
+
+_CHECKSUM_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _q_docs_checksum(sf_dir: str):
+    """Order-independent table fingerprint: XOR of per-row md5-u64 over
+    all columns + row count — the anti-entropy 16-byte table compare
+    (functions/stats.py table_checksum)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.stats import table_checksum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=_CHECKSUM_COLS)
+    return table_checksum(docs, _CHECKSUM_COLS)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipelines (SURVEY.md §2 / §3)
@@ -2397,6 +2459,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_resampled": _q_events_resampled,
         "event_transitions": _q_event_transitions,
         "quantized_embeddings": _q_quantized_embeddings,
+        "lineitem_mad": _q_lineitem_mad,
+        "lineitem_trend": _q_lineitem_trend,
+        "docs_checksum": _q_docs_checksum,
         "doc_quantiles": _q_doc_quantiles,
         "sampled_docs": _q_sampled_docs,
         "customer_orders_join": _q_customer_orders_join,
@@ -3251,6 +3316,49 @@ def oracle_sql() -> dict[str, str]:
             "sqrt((m.n * m.ss - m.s * m.s) / (m.n * m.n)) END * 1e6 + 0.5) "
             "AS BIGINT) AS z_e6 "
             "FROM documents d JOIN m ON d.lang = m.lang ORDER BY d.doc_id"
+        ),
+        "lineitem_mad": (
+            "WITH li AS (SELECT l_returnflag, "
+            "CAST(l_quantity AS BIGINT) AS qty FROM lineitem), "
+            "m AS (SELECT l_returnflag, "
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY qty) AS med "
+            "FROM li GROUP BY l_returnflag), "
+            "d AS (SELECT li.l_returnflag, abs(li.qty - m.med) AS dev "
+            "FROM li JOIN m ON li.l_returnflag = m.l_returnflag) "
+            "SELECT m.l_returnflag, m.med::BIGINT AS med, "
+            "(SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY dev) "
+            "FROM d WHERE d.l_returnflag = m.l_returnflag)::BIGINT AS mad "
+            "FROM m ORDER BY m.l_returnflag"
+        ),
+        "lineitem_trend": (
+            # exact HUGEINT moments then the engine's fixed float sequence:
+            # slope = (n*sxy - sx*sy)/(n*sxx - sx*sx);
+            # intercept = (sy - slope*sx)/n
+            "WITH li AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x, "
+            "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y "
+            "FROM lineitem), "
+            "m AS (SELECT l_returnflag, COUNT(*)::HUGEINT AS n, "
+            "SUM(x)::HUGEINT AS sx, SUM(y)::HUGEINT AS sy, "
+            "SUM(x * y)::HUGEINT AS sxy, SUM(x * x)::HUGEINT AS sxx "
+            "FROM li GROUP BY l_returnflag), "
+            "f AS (SELECT l_returnflag, n, "
+            "CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "CAST(n * sxx - sx * sx AS DOUBLE) AS slope, sx, sy FROM m "
+            "WHERE n * sxx - sx * sx <> 0) "
+            "SELECT l_returnflag, n::BIGINT AS n, "
+            "CAST(FLOOR(slope * 1e6 + 0.5) AS BIGINT) AS slope_e6, "
+            "CAST(FLOOR((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) "
+            "/ CAST(n AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS intercept_e6 "
+            "FROM f ORDER BY l_returnflag"
+        ),
+        "docs_checksum": (
+            "SELECT COUNT(*)::BIGINT AS n_rows, "
+            "bit_xor(('0x' || substr(md5("
+            + " || chr(31) || ".join(
+                f"COALESCE(CAST({c} AS VARCHAR), chr(0))"
+                for c in _CHECKSUM_COLS
+            )
+            + "), 1, 16))::UBIGINT) AS xor_hash FROM documents"
         ),
         "events_resampled": (
             # dense hourly grid per user between first and last event;
