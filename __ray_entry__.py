@@ -2380,6 +2380,52 @@ def _q_docs_checksum(sf_dir: str):
     return table_checksum(docs, _CHECKSUM_COLS)
 
 
+_PAIR_SUPPORT = 3
+
+
+def _q_frequent_part_pairs(sf_dir: str):
+    """Market-basket support counting: part pairs co-occurring in ≥3
+    distinct orders, distributed support aggregation (functions/graph.py
+    frequent_pairs)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.graph import frequent_pairs
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return frequent_pairs(
+        li, group_col="l_orderkey", item_col="l_partkey",
+        min_support=_PAIR_SUPPORT,
+    ).sort(["u", "v"])
+
+
+def _q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention triangle over absolute epoch weeks
+    (functions/windows.py cohort_retention)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.windows import cohort_retention
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return cohort_retention(ev).sort(["cohort_week", "week_offset"])
+
+
+def _q_events_value_hist(sf_dir: str):
+    """Fixed-width value histogram per event type (bin = floor(v/25)):
+    in-batch partials, keyed sum over (type, bin)
+    (functions/quality.py grouped_histogram)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.quality import grouped_histogram
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return grouped_histogram(
+        ev, group_col="event_type", value_col="value", bin_width=25.0
+    ).sort(["event_type", "bin"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipelines (SURVEY.md §2 / §3)
@@ -2462,6 +2508,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_mad": _q_lineitem_mad,
         "lineitem_trend": _q_lineitem_trend,
         "docs_checksum": _q_docs_checksum,
+        "frequent_part_pairs": _q_frequent_part_pairs,
+        "cohort_retention": _q_cohort_retention,
+        "events_value_hist": _q_events_value_hist,
         "doc_quantiles": _q_doc_quantiles,
         "sampled_docs": _q_sampled_docs,
         "customer_orders_join": _q_customer_orders_join,
@@ -3316,6 +3365,31 @@ def oracle_sql() -> dict[str, str]:
             "sqrt((m.n * m.ss - m.s * m.s) / (m.n * m.n)) END * 1e6 + 0.5) "
             "AS BIGINT) AS z_e6 "
             "FROM documents d JOIN m ON d.lang = m.lang ORDER BY d.doc_id"
+        ),
+        "frequent_part_pairs": (
+            "WITH so AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s "
+            "FROM lineitem), "
+            "p AS (SELECT a.s AS u, b.s AS v, COUNT(*)::BIGINT AS support "
+            "FROM so a JOIN so b ON a.o = b.o AND a.s < b.s GROUP BY a.s, b.s) "
+            "SELECT u, v, support FROM p WHERE support >= 3 ORDER BY u, v"
+        ),
+        "cohort_retention": (
+            # absolute epoch weeks: week = epoch_us // (7 * 86400e6)
+            "WITH aw AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 604800000000 AS week FROM events), "
+            "c AS (SELECT user_id, MIN(week) AS cohort_week FROM aw "
+            "GROUP BY user_id) "
+            "SELECT c.cohort_week, aw.week - c.cohort_week AS week_offset, "
+            "COUNT(*)::BIGINT AS n_users "
+            "FROM aw JOIN c ON aw.user_id = c.user_id "
+            "GROUP BY c.cohort_week, week_offset "
+            "ORDER BY c.cohort_week, week_offset"
+        ),
+        "events_value_hist": (
+            "SELECT event_type, "
+            "CAST(FLOOR(value / 25.0) AS BIGINT) AS bin, "
+            "COUNT(*)::BIGINT AS n FROM events "
+            "GROUP BY event_type, bin ORDER BY event_type, bin"
         ),
         "lineitem_mad": (
             "WITH li AS (SELECT l_returnflag, "

@@ -36,7 +36,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["cooccurrence_edges", "triangle_counts", "pagerank"]
+__all__ = ["cooccurrence_edges", "triangle_counts", "pagerank", "frequent_pairs"]
 
 
 def _auto_partitions(num_partitions: int | None) -> int:
@@ -203,4 +203,50 @@ def pagerank(edges, *, iterations: int = 3, num_partitions: int | None = None):
 
     return ranks.map_batches(
         lambda b: b.rename_columns(["node", "rank_e6"]), batch_format="pyarrow"
+    )
+
+
+def frequent_pairs(ds, *, group_col: str, item_col: str, min_support: int,
+                   num_partitions: int | None = None):
+    """Frequent itemset pairs (market-basket support counting): item pairs
+    co-occurring in at least ``min_support`` distinct groups, with their
+    support counts.  The same incidence self-join as
+    :func:`cooccurrence_edges`, but the final keyed aggregate keeps the
+    per-pair group count and filters by support — support counting
+    happens distributed; only (u, v, support) rows survive."""
+    num_partitions = _auto_partitions(num_partitions)
+    inc = (
+        ds.map_batches(
+            lambda b: _dedup_pairs_batch(b, [group_col, item_col]),
+            batch_format="pyarrow",
+        )
+        .groupby([group_col, item_col]).count()
+        .select_columns([group_col, item_col])
+    )
+    right = inc.map_batches(
+        lambda b: b.rename_columns([group_col, "v"]), batch_format="pyarrow"
+    )
+    left = inc.map_batches(
+        lambda b: b.rename_columns([group_col, "u"]), batch_format="pyarrow"
+    )
+    pairs = left.join(right, join_type="inner", on=(group_col,),
+                      num_partitions=num_partitions)
+
+    def _orient_count(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.less(batch.column("u"), batch.column("v")))
+        t = keep.select(["u", "v"]).group_by(["u", "v"]).aggregate(
+            [([], "count_all")]
+        )
+        return t.rename_columns(["u", "v", "support"])
+
+    from ray.data.aggregate import Sum
+
+    counted = (
+        pairs.map_batches(_orient_count, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Sum("support", alias_name="support"))
+    )
+    return counted.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("support"), min_support)),
+        batch_format="pyarrow",
     )

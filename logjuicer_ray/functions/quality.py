@@ -29,7 +29,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["profile_table", "check_constraints"]
+__all__ = ["profile_table", "check_constraints", "grouped_histogram"]
 
 
 def profile_table(ds, columns: list[str]):
@@ -175,3 +175,31 @@ def check_constraints(ds, constraints: list[tuple]):
         )
         out = out.union(u)
     return out
+
+
+def grouped_histogram(ds, *, group_col: str, value_col: str,
+                      bin_width: float):
+    """Fixed-width histogram per group: (group, bin, n) with
+    ``bin = floor(value / bin_width)`` — the distribution-monitoring
+    companion to :func:`profile_table`.  In-batch bincount partials, one
+    keyed sum over (group, bin) — values never shuffle."""
+    import numpy as np
+
+    def _bins(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        b = np.floor(v / bin_width).astype(np.int64)
+        t = pa.table({
+            group_col: batch.column(group_col),
+            "bin": pa.array(b, pa.int64()),
+        })
+        g = t.group_by([group_col, "bin"]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, "bin", "n"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .map_batches(_bins, batch_format="pyarrow")
+        .groupby([group_col, "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

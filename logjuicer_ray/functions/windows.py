@@ -17,7 +17,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["sessionize", "hopping_window_agg", "rolling_agg", "window_funcs",
-           "funnel_users", "resample_dense", "event_transitions"]
+           "funnel_users", "resample_dense", "event_transitions", "cohort_retention"]
 
 
 def _session_group(
@@ -378,3 +378,59 @@ def event_transitions(ds, *, key: str = "user_id", ts_col: str = "ts",
     return partials.groupby(["from_type", "to_type"]).aggregate(
         Sum("cnt", alias_name="cnt")
     )
+
+
+def cohort_retention(ds, *, key: str = "user_id", ts_col: str = "ts",
+                     week_us: int = 7 * 86_400_000_000):
+    """Weekly cohort retention: users grouped by their FIRST active week
+    (absolute weeks since epoch — deterministic, no calendar config), then
+    counted per (cohort_week, week_offset) over their distinct active
+    weeks.  The standard retention triangle.
+
+    Three reduced exchanges, none row-sized: distinct (user, week) pairs
+    (in-batch pre-dedup), per-user Min for the cohort, a broadcast-free
+    native join back on user, and the final pair count."""
+    from ray.data.aggregate import Min, Sum
+
+    def _weeks(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts_col)
+        t = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+        wk = t.cast(pa.int64()).to_numpy(zero_copy_only=False) // week_us
+        p = pa.table({key: batch.column(key), "week": pa.array(wk, pa.int64())})
+        return p.group_by([key, "week"]).aggregate([])
+
+    active = (
+        ds.select_columns([key, ts_col])
+        .map_batches(_weeks, batch_format="pyarrow")
+        .groupby([key, "week"]).count()
+        .select_columns([key, "week"])
+        .materialize()  # feeds both the cohort Min and the join
+    )
+    cohorts = active.groupby(key).aggregate(Min("week", alias_name="cohort_week"))
+    joined = active.join(cohorts.repartition(4), join_type="inner", on=(key,),
+                         num_partitions=_cohort_partitions())
+
+    def _offsets(batch: pa.Table) -> pa.Table:
+        wk = batch.column("week").to_numpy(zero_copy_only=False)
+        cw = batch.column("cohort_week").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "cohort_week": batch.column("cohort_week"),
+            "week_offset": pa.array(wk - cw, pa.int64()),
+        })
+        g = t.group_by(["cohort_week", "week_offset"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["cohort_week", "week_offset", "n_users"])
+
+    return (
+        joined.map_batches(_offsets, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+def _cohort_partitions() -> int:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, cpus // 2)
