@@ -2426,6 +2426,128 @@ def _q_events_value_hist(sf_dir: str):
     ).sort(["event_type", "bin"])
 
 
+_DEDUP_WINDOW_US = 6 * 3_600_000_000
+
+
+def _q_events_windowed_dedup(sf_dir: str):
+    """Windowed event dedup (rate-limit semantics): keep the FIRST event
+    — min (ts, event_id) — per (user, type, 6-hour window).  Grouped
+    top-1 ascending with its map-side combiner: each task ships at most
+    one row per dedup key it saw (functions/topk.py)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logjuicer_ray.functions.topk import topk_per_group
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+
+    def _win(b: pa.Table) -> pa.Table:
+        t = b.column("ts")
+        t = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+        us = t.cast(pa.int64())
+        i = b.schema.get_field_index("ts")
+        return (
+            b.remove_column(i)
+            .append_column("ts_us", us)
+            .append_column("win", pa.compute.divide(us, _DEDUP_WINDOW_US))
+        )
+
+    first = topk_per_group(
+        ev.map_batches(_win, batch_format="pyarrow"),
+        group_cols=["user_id", "event_type", "win"],
+        order_col="ts_us", k=1, tie_cols=["event_id"], descending=False,
+    )
+    return first.drop_columns(["rank"]).sort(
+        ["user_id", "event_type", "win"]
+    )
+
+
+def _q_transition_probs(sf_dir: str):
+    """Conditional transition probabilities P(to|from) as e6 integers:
+    the Markov counts normalized by per-from totals (exact integer
+    division floor(cnt·10⁶ / total))."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from logjuicer_ray.functions.windows import event_transitions
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    counts = event_transitions(ev).materialize()
+    totals = counts.groupby("from_type").aggregate(
+        Sum("cnt", alias_name="total")
+    ).repartition(2)
+    j = counts.repartition(4).join(totals, join_type="inner",
+                                   on=("from_type",), num_partitions=4)
+
+    def _prob(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        c = b.column("cnt").to_numpy(zero_copy_only=False)
+        t = b.column("total").to_numpy(zero_copy_only=False)
+        p = (c * 1_000_000) // t
+        return pa.table({
+            "from_type": b.column("from_type"),
+            "to_type": b.column("to_type"),
+            "cnt": b.column("cnt"),
+            "p_e6": pa.array(p.astype("int64"), pa.int64()),
+        })
+
+    return j.map_batches(_prob, batch_format="pyarrow").sort(
+        ["from_type", "to_type"]
+    )
+
+
+def _q_join_size_stats(sf_dir: str):
+    """Exact join-cardinality statistics without running the join
+    (planner-style): |orders ⋈ events on custkey/user| = Σ_k cntA(k)·cntB(k),
+    plus matched-key count — computed from the two key-count tables
+    (a key-bounded exchange, never the fact rows)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def counted(path, col, out):
+        ds = rd.read_parquet(path, columns=[col])
+
+        def _c(b: pa.Table) -> pa.Table:
+            g = b.group_by([col]).aggregate([([], "count_all")])
+            return g.rename_columns(["k", out])
+
+        return ds.map_batches(_c, batch_format="pyarrow").groupby("k").aggregate(
+            Sum(out, alias_name=out)
+        ).repartition(4)
+
+    a = counted(f"{sf_dir}/orders.parquet", "o_custkey", "na")
+    b = counted(f"{sf_dir}/events.parquet", "user_id", "nb")
+    j = a.join(b, join_type="inner", on=("k",), num_partitions=4)
+
+    def _prod(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        na = t.column("na").to_numpy(zero_copy_only=False)
+        nb = t.column("nb").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "matched_keys": pa.array([t.num_rows], pa.int64()),
+            "join_rows": pa.array([int((na * nb).sum())], pa.int64()),
+        })
+
+    parts = j.map_batches(_prod, batch_format="pyarrow").take_all()
+    import pyarrow as pa2
+
+    return pa2.table({
+        "matched_keys": pa2.array([sum(p["matched_keys"] for p in parts)], pa2.int64()),
+        "join_rows": pa2.array([sum(p["join_rows"] for p in parts)], pa2.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipelines (SURVEY.md §2 / §3)
@@ -2511,6 +2633,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_part_pairs": _q_frequent_part_pairs,
         "cohort_retention": _q_cohort_retention,
         "events_value_hist": _q_events_value_hist,
+        "events_windowed_dedup": _q_events_windowed_dedup,
+        "transition_probs": _q_transition_probs,
+        "join_size_stats": _q_join_size_stats,
         "doc_quantiles": _q_doc_quantiles,
         "sampled_docs": _q_sampled_docs,
         "customer_orders_join": _q_customer_orders_join,
@@ -3365,6 +3490,36 @@ def oracle_sql() -> dict[str, str]:
             "sqrt((m.n * m.ss - m.s * m.s) / (m.n * m.n)) END * 1e6 + 0.5) "
             "AS BIGINT) AS z_e6 "
             "FROM documents d JOIN m ON d.lang = m.lang ORDER BY d.doc_id"
+        ),
+        "events_windowed_dedup": (
+            "WITH w AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, "
+            "epoch_us(ts) // 21600000000 AS win, event_id FROM events), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, "
+            "event_type, win ORDER BY ts_us, event_id) AS rn FROM w) "
+            "SELECT user_id, event_type, win, ts_us, event_id FROM r "
+            "WHERE rn = 1 ORDER BY user_id, event_type, win"
+        ),
+        "transition_probs": (
+            "WITH o AS (SELECT user_id, event_type, "
+            "LAG(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev FROM events), "
+            "c AS (SELECT prev AS from_type, event_type AS to_type, "
+            "COUNT(*)::BIGINT AS cnt FROM o WHERE prev IS NOT NULL "
+            "GROUP BY prev, event_type), "
+            "t AS (SELECT from_type, SUM(cnt)::BIGINT AS total FROM c "
+            "GROUP BY from_type) "
+            "SELECT c.from_type, c.to_type, c.cnt, "
+            "(c.cnt * 1000000) // t.total AS p_e6 "
+            "FROM c JOIN t ON c.from_type = t.from_type "
+            "ORDER BY c.from_type, c.to_type"
+        ),
+        "join_size_stats": (
+            "WITH a AS (SELECT o_custkey AS k, COUNT(*)::BIGINT AS na "
+            "FROM orders GROUP BY o_custkey), "
+            "b AS (SELECT user_id AS k, COUNT(*)::BIGINT AS nb FROM events "
+            "GROUP BY user_id) "
+            "SELECT COUNT(*)::BIGINT AS matched_keys, "
+            "SUM(na * nb)::BIGINT AS join_rows FROM a JOIN b ON a.k = b.k"
         ),
         "frequent_part_pairs": (
             "WITH so AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s "
