@@ -2548,6 +2548,90 @@ def _q_join_size_stats(sf_dir: str):
     })
 
 
+_CTX_BUDGET = 2000
+
+
+def _q_turns_context_windows(sf_dir: str):
+    """Per-conversation context-window assignment: each turn gets
+    ``window_idx = exclusive_prefix_sum(len(text)) // budget`` in turn
+    order — the per-key variant of sequence packing (pack_sequences is the
+    GLOBAL ordered prefix sum; keyed prefix sums need only one groupby +
+    a vectorized in-group cumsum)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    turns = rd.read_parquet(
+        _turns_path(sf_dir), columns=["conv_id", "turn_idx", "text"]
+    )
+
+    def _windows(group: pa.Table) -> pa.Table:
+        idx = group.column("turn_idx")
+        idx = (idx.combine_chunks() if isinstance(idx, pa.ChunkedArray)
+               else idx).to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
+        lens = pc.binary_length(
+            pc.fill_null(group.column("text"), "")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(idx, kind="stable")
+        excl = np.zeros(len(idx), dtype=np.int64)
+        csum = np.cumsum(lens[order])
+        excl[order[1:]] = csum[:-1]
+        return pa.table({
+            "conv_id": group.column("conv_id"),
+            "turn_idx": pa.array(idx, pa.int32()),
+            "window_idx": pa.array(excl // _CTX_BUDGET, pa.int64()),
+        })
+
+    return (
+        turns.groupby("conv_id")
+        .map_groups(_windows, batch_format="pyarrow")
+        .sort(["conv_id", "turn_idx"])
+    )
+
+
+def _q_langs_by_source(sf_dir: str):
+    """collect_set aggregation: per source the SORTED distinct langs as
+    one joined string + the distinct count — distinct pairs shuffle, one
+    Arrow binary_join per group."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "lang"])
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        return b.group_by(["source", "lang"]).aggregate([])
+
+    uniq = (
+        docs.map_batches(_pairs, batch_format="pyarrow")
+        .groupby(["source", "lang"]).count()
+        .select_columns(["source", "lang"])
+    )
+
+    def _collect(group: pa.Table) -> pa.Table:
+        langs = group.column("lang")
+        langs = langs.combine_chunks() if isinstance(langs, pa.ChunkedArray) else langs
+        idx = pc.sort_indices(langs)
+        s = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array([0, len(langs)], pa.int32()), langs.take(idx)
+            ),
+            ",",
+        )
+        return pa.table({
+            "source": group.column("source").slice(0, 1),
+            "langs": s,
+            "n_langs": pa.array([len(langs)], pa.int64()),
+        })
+
+    return uniq.groupby("source").map_groups(
+        _collect, batch_format="pyarrow"
+    ).sort("source")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipelines (SURVEY.md §2 / §3)
@@ -2636,6 +2720,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed_dedup": _q_events_windowed_dedup,
         "transition_probs": _q_transition_probs,
         "join_size_stats": _q_join_size_stats,
+        "turns_context_windows": _q_turns_context_windows,
+        "langs_by_source": _q_langs_by_source,
         "doc_quantiles": _q_doc_quantiles,
         "sampled_docs": _q_sampled_docs,
         "customer_orders_join": _q_customer_orders_join,
@@ -3490,6 +3576,20 @@ def oracle_sql() -> dict[str, str]:
             "sqrt((m.n * m.ss - m.s * m.s) / (m.n * m.n)) END * 1e6 + 0.5) "
             "AS BIGINT) AS z_e6 "
             "FROM documents d JOIN m ON d.lang = m.lang ORDER BY d.doc_id"
+        ),
+        "turns_context_windows": (
+            # exclusive per-conversation byte prefix // budget, turn order
+            f"SELECT conv_id, turn_idx, "
+            f"CAST(COALESCE(SUM(octet_length(CAST(text AS BLOB))) OVER "
+            f"(PARTITION BY conv_id ORDER BY turn_idx "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+            f"0) AS BIGINT) // {_CTX_BUDGET} AS window_idx "
+            f"FROM {turns} ORDER BY conv_id, turn_idx"
+        ),
+        "langs_by_source": (
+            "SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) "
+            "AS langs, COUNT(DISTINCT lang)::BIGINT AS n_langs "
+            "FROM documents GROUP BY source ORDER BY source"
         ),
         "events_windowed_dedup": (
             "WITH w AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, "
