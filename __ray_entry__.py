@@ -2632,6 +2632,45 @@ def _q_langs_by_source(sf_dir: str):
     ).sort("source")
 
 
+def _q_fk_checks(sf_dir: str):
+    """Referential-integrity checks (orphan counting): three FK relations
+    — two clean, one deliberately restricted (customers with even custkey)
+    so the orphan path is exercised.  Reference keys reduce to their
+    distinct set and broadcast; each fact batch is one vectorized is_in —
+    the fact tables never shuffle (functions/quality.py
+    check_foreign_key)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logjuicer_ray.functions.quality import check_foreign_key
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    even_cust = cust.map_batches(
+        lambda b: b.filter(
+            pc.equal(pc.bit_wise_and(b.column("c_custkey"), 1), 0)
+        ),
+        batch_format="pyarrow",
+    )
+    rows = []
+    for name, fact, col, ref, ref_col in [
+        ("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+        ("lineitem->part", li, "l_partkey", part, "p_partkey"),
+        ("orders->even_customer", orders, "o_custkey", even_cust, "c_custkey"),
+    ]:
+        t = check_foreign_key(fact, col=col, ref=ref, ref_col=ref_col)
+        rows.append((name, t.column("n_rows")[0].as_py(),
+                     t.column("n_orphans")[0].as_py()))
+    return pa.table({
+        "fk": pa.array([r[0] for r in rows], pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+        "n_orphans": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipelines (SURVEY.md §2 / §3)
@@ -2722,6 +2761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_stats": _q_join_size_stats,
         "turns_context_windows": _q_turns_context_windows,
         "langs_by_source": _q_langs_by_source,
+        "fk_checks": _q_fk_checks,
         "doc_quantiles": _q_doc_quantiles,
         "sampled_docs": _q_sampled_docs,
         "customer_orders_join": _q_customer_orders_join,
@@ -3576,6 +3616,22 @@ def oracle_sql() -> dict[str, str]:
             "sqrt((m.n * m.ss - m.s * m.s) / (m.n * m.n)) END * 1e6 + 0.5) "
             "AS BIGINT) AS z_e6 "
             "FROM documents d JOIN m ON d.lang = m.lang ORDER BY d.doc_id"
+        ),
+        "fk_checks": (
+            "SELECT 'lineitem->part' AS fk, "
+            "(SELECT COUNT(*) FROM lineitem)::BIGINT AS n_rows, "
+            "(SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NOT NULL AND "
+            "l_partkey NOT IN (SELECT p_partkey FROM part))::BIGINT AS n_orphans "
+            "UNION ALL SELECT 'orders->customer', "
+            "(SELECT COUNT(*) FROM orders)::BIGINT, "
+            "(SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL AND "
+            "o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT "
+            "UNION ALL SELECT 'orders->even_customer', "
+            "(SELECT COUNT(*) FROM orders)::BIGINT, "
+            "(SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL AND "
+            "o_custkey NOT IN (SELECT c_custkey FROM customer "
+            "WHERE c_custkey % 2 = 0))::BIGINT "
+            "ORDER BY fk"
         ),
         "turns_context_windows": (
             # exclusive per-conversation byte prefix // budget, turn order

@@ -29,7 +29,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["profile_table", "check_constraints", "grouped_histogram"]
+__all__ = ["profile_table", "check_constraints", "grouped_histogram",
+           "check_foreign_key"]
 
 
 def profile_table(ds, columns: list[str]):
@@ -203,3 +204,81 @@ def grouped_histogram(ds, *, group_col: str, value_col: str,
         .groupby([group_col, "bin"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def check_foreign_key(ds, *, col: str, ref, ref_col: str,
+                      broadcast_limit: int = 1_000_000):
+    """Referential-integrity check: count rows of ``ds`` whose non-null
+    ``col`` has no match in ``ref[ref_col]``.  Returns a one-row pyarrow
+    Table (n_rows, n_orphans).
+
+    Scale shape: the reference is first REDUCED to its distinct keys
+    (in-batch pre-dedup + keyed count — bounded by key cardinality, not
+    ref rows).  If the distinct-key count fits ``broadcast_limit``, the
+    key set broadcasts via ``ray.put`` and each fact batch runs one
+    vectorized ``is_in`` — no fact shuffle at all.  Above the limit the
+    orphan count comes from a native left_anti hash join (both sides
+    key-reduced; the fact side ships (key, count) partials, never rows).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _keys(b: pa.Table) -> pa.Table:
+        return b.select([ref_col]).group_by([ref_col]).aggregate([])
+
+    ref_keys = (
+        ref.map_batches(_keys, batch_format="pyarrow")
+        .groupby(ref_col).count()
+        .select_columns([ref_col])
+        .materialize()
+    )
+    n_ref = ref_keys.count()
+
+    def _fact_counts(b: pa.Table) -> pa.Table:
+        # nulls are not FK violations — drop them before the key groupby
+        # (the null group would otherwise survive the anti-join as a
+        # phantom orphan)
+        t = b.select([col]).drop_null().group_by([col]).aggregate(
+            [([], "count_all")]
+        )
+        return t.rename_columns([col, "cnt"])
+
+    if n_ref <= broadcast_limit:
+        # ≤ broadcast_limit distinct keys: a bounded driver materialization
+        key_ref = ray.put(pa.array([r[ref_col] for r in ref_keys.take_all()]))
+
+        def _count(b: pa.Table) -> pa.Table:
+            keys = ray.get(key_ref)
+            c = b.column(col)
+            orphan = pc.and_(pc.invert(pc.is_in(c, value_set=keys)),
+                             pc.is_valid(c))
+            n = pc.sum(pc.cast(orphan, pa.int64())).as_py() or 0
+            return pa.table({
+                "n_rows": pa.array([b.num_rows], pa.int64()),
+                "n_orphans": pa.array([int(n)], pa.int64()),
+            })
+
+        parts = ds.map_batches(_count, batch_format="pyarrow").take_all()
+        return pa.table({
+            "n_rows": pa.array([sum(p["n_rows"] for p in parts)], pa.int64()),
+            "n_orphans": pa.array([sum(p["n_orphans"] for p in parts)],
+                                  pa.int64()),
+        })
+
+    facts = (
+        ds.map_batches(_fact_counts, batch_format="pyarrow")
+        .groupby(col).aggregate(Sum("cnt", alias_name="cnt"))
+        .repartition(4)
+    )
+    orphans = facts.join(ref_keys.repartition(4), join_type="left_anti",
+                         on=(col,), right_on=(ref_col,),
+                         num_partitions=8).materialize()
+    n_total = sum(r["cnt"] for r in
+                  ds.map_batches(
+                      lambda b: pa.table({"cnt": pa.array([b.num_rows], pa.int64())}),
+                      batch_format="pyarrow").take_all())
+    n_orph = 0 if orphans.count() == 0 else sum(
+        r["cnt"] for r in orphans.take_all()
+    )
+    return pa.table({"n_rows": pa.array([n_total], pa.int64()),
+                     "n_orphans": pa.array([int(n_orph)], pa.int64())})
