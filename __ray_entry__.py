@@ -2671,6 +2671,64 @@ def _q_fk_checks(sf_dir: str):
     })
 
 
+def _q_corpus_mix(sf_dir: str):
+    """Training-mix composition report: per (source, lang) document and
+    byte counts with exact integer shares floor(x·10⁶ / total) — in-batch
+    partials, one keyed sum, totals from the same reduced rows (no second
+    scan)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "lang", "n_chars"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "source": b.column("source"),
+            "lang": b.column("lang"),
+            "n_docs": pa.array([1] * b.num_rows, pa.int64()),
+            "n_chars": pc.cast(b.column("n_chars"), pa.int64()),
+        })
+        g = pa.TableGroupBy(t, ["source", "lang"]).aggregate(
+            [("n_docs", "sum"), ("n_chars", "sum")]
+        )
+        return g.rename_columns(["source", "lang", "n_docs", "n_chars"])
+
+    counts = (
+        docs.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_chars", alias_name="n_chars"))
+        .materialize()  # group-bounded rows feed totals AND the share map
+    )
+    tot = counts.map_batches(
+        lambda b: pa.table({
+            "d": pa.array([pc.sum(b.column("n_docs")).as_py() or 0], pa.int64()),
+            "c": pa.array([pc.sum(b.column("n_chars")).as_py() or 0], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).take_all()
+    total_docs = sum(r["d"] for r in tot)
+    total_chars = sum(r["c"] for r in tot)
+
+    def _share(b: pa.Table) -> pa.Table:
+        nd = b.column("n_docs").to_numpy(zero_copy_only=False)
+        nc = b.column("n_chars").to_numpy(zero_copy_only=False)
+        return (
+            b.append_column("doc_share_e6", pa.array(
+                (nd * 1_000_000) // total_docs, pa.int64()))
+            .append_column("char_share_e6", pa.array(
+                (nc * 1_000_000) // total_chars, pa.int64()))
+        )
+
+    return counts.map_batches(_share, batch_format="pyarrow").sort(
+        ["source", "lang"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript pipelines (SURVEY.md §2 / §3)
@@ -2762,6 +2820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turns_context_windows": _q_turns_context_windows,
         "langs_by_source": _q_langs_by_source,
         "fk_checks": _q_fk_checks,
+        "corpus_mix": _q_corpus_mix,
         "doc_quantiles": _q_doc_quantiles,
         "sampled_docs": _q_sampled_docs,
         "customer_orders_join": _q_customer_orders_join,
@@ -3616,6 +3675,16 @@ def oracle_sql() -> dict[str, str]:
             "sqrt((m.n * m.ss - m.s * m.s) / (m.n * m.n)) END * 1e6 + 0.5) "
             "AS BIGINT) AS z_e6 "
             "FROM documents d JOIN m ON d.lang = m.lang ORDER BY d.doc_id"
+        ),
+        "corpus_mix": (
+            "WITH c AS (SELECT source, lang, COUNT(*)::BIGINT AS n_docs, "
+            "SUM(n_chars)::BIGINT AS n_chars FROM documents "
+            "GROUP BY source, lang), "
+            "t AS (SELECT SUM(n_docs) AS td, SUM(n_chars) AS tc FROM c) "
+            "SELECT c.source, c.lang, c.n_docs, c.n_chars, "
+            "(c.n_docs * 1000000) // t.td AS doc_share_e6, "
+            "(c.n_chars * 1000000) // t.tc AS char_share_e6 "
+            "FROM c CROSS JOIN t ORDER BY c.source, c.lang"
         ),
         "fk_checks": (
             "SELECT 'lineitem->part' AS fk, "
