@@ -497,6 +497,11 @@ def export_conversations(ds, *, key_col: str = "conv_id",
     crates/iterator/src/iterator.rs:115-346) — exporting transcripts back
     out as whole documents for downstream training-data pipelines.
 
+    NULL semantics: a NULL ``text_col`` is treated as the empty string —
+    the turn still counts toward ``n_turns`` and contributes a separator
+    to ``full_text`` (SQL mirror: ``string_agg(COALESCE(text, '') ...)``
+    with ``COUNT(*)``, NOT the NULL-skipping bare ``string_agg``).
+
     Scalable shape — a global ordered string_agg without per-row Python:
 
     1. ``sort((key, order))`` so every key's rows form contiguous runs and

@@ -38,8 +38,18 @@ def profile_table(ds, columns: list[str]):
     per requested column.  min/max are cast to strings AFTER the typed
     comparison (numeric columns compare numerically, then render)."""
 
+    def _kind(typ: pa.DataType) -> str:
+        # carried into the merge so partials re-compare in the ORIGINAL
+        # column type: a string column of digit-like values stays
+        # lexicographic and int64 > 2^53 never round-trips through float
+        if pa.types.is_integer(typ):
+            return "int"
+        if pa.types.is_floating(typ) or pa.types.is_decimal(typ):
+            return "float"
+        return "str"
+
     def _partial(batch: pa.Table) -> pa.Table:
-        names, nn, nv, mins, maxs = [], [], [], [], []
+        names, nn, nv, mins, maxs, kinds = [], [], [], [], [], []
         for c in columns:
             col = batch.column(c)
             n_null = col.null_count
@@ -47,6 +57,7 @@ def profile_table(ds, columns: list[str]):
             names.append(c)
             nn.append(n_null)
             nv.append(len(valid))
+            kinds.append(_kind(col.type))
             if len(valid):
                 mm = pc.min_max(valid)
                 mins.append(str(mm["min"].as_py()))
@@ -60,25 +71,28 @@ def profile_table(ds, columns: list[str]):
             "n_value": pa.array(nv, pa.int64()),
             "min_str": pa.array(mins, pa.string()),
             "max_str": pa.array(maxs, pa.string()),
+            "kind": pa.array(kinds, pa.string()),
         })
 
     def _merge(group: pa.Table) -> pa.Table:
         name = group.column("column")[0].as_py()
+        kind = group.column("kind")[0].as_py()
         mins = pc.drop_null(group.column("min_str"))
         maxs = pc.drop_null(group.column("max_str"))
-        # partial min/max strings re-compare as the ORIGINAL type by
-        # parsing back — numeric columns must not compare lexically
+
         def _typed_extreme(vals, biggest: bool):
             pyv = vals.to_pylist()
             if not pyv:
                 return None
-            try:
-                nums = [float(x) for x in pyv]
-                pick = max(range(len(nums)), key=nums.__getitem__) if biggest \
-                    else min(range(len(nums)), key=nums.__getitem__)
-                return pyv[pick]
-            except ValueError:
-                return max(pyv) if biggest else min(pyv)
+            if kind == "int":
+                key = [int(x) for x in pyv]        # arbitrary precision
+            elif kind == "float":
+                key = [float(x) for x in pyv]
+            else:
+                key = pyv                          # lexicographic
+            pick = max(range(len(key)), key=key.__getitem__) if biggest \
+                else min(range(len(key)), key=key.__getitem__)
+            return pyv[pick]
 
         return pa.table({
             "column": pa.array([name], pa.string()),
@@ -152,7 +166,10 @@ def check_constraints(ds, constraints: list[tuple]):
         col = spec[1]
 
         def _pairs(batch: pa.Table, col=col) -> pa.Table:
-            t = batch.select([col]).group_by([col]).aggregate([([], "count_all")])
+            # NULLs are not duplicate-able values: mirror SQL's
+            # COUNT(col) - COUNT(DISTINCT col), which ignores NULLs
+            t = batch.select([col]).drop_null()
+            t = t.group_by([col]).aggregate([([], "count_all")])
             return t.rename_columns([col, "cnt"])
 
         dup = (

@@ -14,11 +14,12 @@
   moment math uses Python ints (no int64 overflow at any scale; an
   external SQL engine uses HUGEINT).
 - :func:`table_checksum`: order-independent whole-table fingerprint —
-  XOR of per-row md5-u64 hashes over the concatenated columns, plus the
-  row count.  The anti-entropy primitive: two copies of a table compare
-  by exchanging 16 bytes.  XOR partials per batch; the driver folds one
-  (xor, count) pair per block.  md5 keeps it portable (SQL bit_xor
-  mirror); see dataset_diff for the fast-hash variant of this trade.
+  modular SUM (mod 2^64) of per-row md5-u64 hashes over the concatenated
+  columns, plus the row count.  The anti-entropy primitive: two copies of
+  a table compare by exchanging 16 bytes.  SUM partials per batch; the
+  driver folds one (sum, count) pair per block.  md5 keeps it portable
+  (SQL ``SUM(u) % 2^64`` mirror); SUM, not XOR, so paired duplicate rows
+  cannot cancel; see dataset_diff for the fast-hash variant of this trade.
 
 No reference analog; extends the engine's data-ops surface per the brief.
 """
@@ -130,10 +131,14 @@ def grouped_linreg(ds, *, group_col: str, x_col: str, y_col: str):
 
 
 def table_checksum(ds, columns: list[str]):
-    """Order-independent table fingerprint: (n_rows, xor_hash) where
-    xor_hash folds md5-u64 over each row's columns joined with US (0x1f),
-    nulls rendered as NUL (0x00).  Identical content ⇒ identical
-    checksum under ANY partitioning or row order."""
+    """Order-independent table fingerprint: (n_rows, sum_hash) where
+    sum_hash folds md5-u64 over each row's columns joined with US (0x1f)
+    with modular SUM (mod 2^64), nulls rendered as NUL (0x00).  Identical
+    content ⇒ identical checksum under ANY partitioning or row order.
+    SUM (not XOR) so duplicate rows stay checksum-visible: an XOR fold
+    cancels paired duplicates, letting distinct tables with equal row
+    counts collide ({A,A,B} vs {B,C,C}).  SQL mirror:
+    ``SUM(md5_u64)::HUGEINT % 2^64``."""
 
     def _partial(batch: pa.Table) -> pa.Table:
         cols = [pc.fill_null(pc.cast(batch.column(c), pa.string()), "\x00")
@@ -141,12 +146,12 @@ def table_checksum(ds, columns: list[str]):
         joined = cols[0] if len(cols) == 1 else pc.binary_join_element_wise(
             *cols, "\x1f"
         )
-        acc = np.uint64(0)
+        acc = 0
         for s in joined.to_pylist():
-            acc ^= np.uint64(md5_u64_str(s))
+            acc = (acc + md5_u64_str(s)) & 0xFFFFFFFFFFFFFFFF
         return pa.table({
             "n_rows": pa.array([batch.num_rows], pa.int64()),
-            "xor_hash": pa.array([int(acc)], pa.uint64()),
+            "sum_hash": pa.array([acc], pa.uint64()),
         })
 
     parts = ds.select_columns(columns).map_batches(
@@ -155,6 +160,6 @@ def table_checksum(ds, columns: list[str]):
     n = sum(p["n_rows"] for p in parts)
     acc = 0
     for p in parts:
-        acc ^= int(p["xor_hash"])
+        acc = (acc + int(p["sum_hash"])) & 0xFFFFFFFFFFFFFFFF
     return pa.table({"n_rows": pa.array([n], pa.int64()),
-                     "xor_hash": pa.array([acc], pa.uint64())})
+                     "sum_hash": pa.array([acc], pa.uint64())})

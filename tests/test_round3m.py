@@ -61,7 +61,17 @@ def test_table_checksum_order_and_partition_invariant(ray_session):
     t3 = t.set_column(1, "text", pa.array(texts[:-1] + ["tampered"]))
     changed = table_checksum(rd.from_arrow(t3), ["id", "text"])
     assert changed.column("n_rows")[0].as_py() == 50
-    assert changed.column("xor_hash")[0] != base.column("xor_hash")[0]
+    assert changed.column("sum_hash")[0] != base.column("sum_hash")[0]
+    # duplicate-sensitivity: XOR would cancel paired duplicates — the
+    # modular-SUM fold must distinguish {A,A,B} from {B,C,C}
+    a = pa.table({"id": pa.array([1, 1, 2], pa.int64()),
+                  "text": pa.array(["A", "A", "B"])})
+    b = pa.table({"id": pa.array([2, 3, 3], pa.int64()),
+                  "text": pa.array(["B", "C", "C"])})
+    ca = table_checksum(rd.from_arrow(a), ["text"])
+    cb = table_checksum(rd.from_arrow(b), ["text"])
+    assert ca.column("n_rows")[0].as_py() == cb.column("n_rows")[0].as_py() == 3
+    assert ca.column("sum_hash")[0] != cb.column("sum_hash")[0]
 
 
 def test_round3m_queries_vs_duckdb(ray_session):
