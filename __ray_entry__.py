@@ -32,6 +32,19 @@ def _turns_path(sf_dir: str) -> str:
     return ensure_turns(_sf(sf_dir))
 
 
+def _dataset_to_table(ds):
+    """Collect a SMALL (k-bounded) Dataset to one Arrow table."""
+    import pyarrow as pa
+
+    import ray
+
+    refs = ds.to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_rows]
+    if not tables:
+        return ray.get(refs[0]) if refs else pa.table({})
+    return pa.concat_tables(tables)
+
+
 _REPORT_CACHE: dict[str, Any] = {}
 
 
@@ -1858,14 +1871,27 @@ def _q_lineitem_agg(sf_dir: str):
 
 def _q_similarity(sf_dir: str):
     """Similarity report across two target halves of the synthetic turns
-    (cross-target anomaly co-occurrence, similarity.rs:16-129)."""
+    (cross-target anomaly co-occurrence, similarity.rs:16-129).
+
+    Hard-oracle shape (VERDICT r3 ask #4): the tagged+tokenized anomaly
+    rows are PERSISTED to parquet (the reference computes similarity over
+    previously *saved* reports), the co-occurrence GROUP BY then runs over
+    the persisted file — and the driver oracle re-derives the same
+    grouping from the same file with a ROW_NUMBER window +
+    COUNT(DISTINCT target:conv) in SQL."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
     from logjuicer_ray.config import PipelineConfig
     from logjuicer_ray.pipelines.report import run_report
-    from logjuicer_ray.pipelines.similarity import create_similarity
+    from logjuicer_ray.pipelines.similarity import (
+        similarity_from_tokenized,
+        tag_anomalies,
+    )
     from logjuicer_ray.pipelines.train import train
     from logjuicer_ray.sources.transcripts import read_turns
-
-    import pyarrow.compute as pc
 
     path = _turns_path(sf_dir)
     cfg = PipelineConfig(sorted_input=True)
@@ -1886,7 +1912,25 @@ def _q_similarity(sf_dir: str):
     outs = [
         run_report(_half(target, p), model, cfg)["anomalies"] for p in (0, 1)
     ]
-    sim = create_similarity(outs)
+    tokenized = tag_anomalies(outs)
+    # persist the "saved report" rows (anomaly counts are k-bounded small —
+    # 14 rows at sf0.1) in canonical order, atomically, one file
+    rows = _dataset_to_table(tokenized).sort_by(
+        [("group_key", "ascending"), ("tokens", "ascending"),
+         ("target_id", "ascending"), ("conv_id", "ascending"),
+         ("turn_idx", "ascending")]
+    )
+    sim_dir = os.path.join(os.path.dirname(path), "sim_anomalies.parquet")
+    tmp = sim_dir + f".tmp{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(rows, os.path.join(tmp, "part-00000.parquet"))
+    if os.path.exists(sim_dir):
+        import shutil
+
+        shutil.rmtree(sim_dir)
+    os.replace(tmp, sim_dir)
+    saved = rd.read_parquet(sim_dir)
+    sim = similarity_from_tokenized(saved)
     return sim.select_columns(
         ["group_key", "target_id", "conv_id", "turn_idx", "n_sources", "text"]
     )
@@ -2823,6 +2867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_tokens_docs": _q_heavy_tokens,
         "distinct_users_exact": _q_distinct_users_exact,
         "customers_without_orders": _q_customers_without_orders,
+        "similarity_report": _q_similarity,
         # no_oracle tail: genuinely non-SQL surfaces (token grammar, 260k-dim
         # hashed cosine, approximate sketches, multimodal stubs) — covered by
         # fixture/parity pytest instead of the driver hash compare.
@@ -2836,7 +2881,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_quantiles_hist": _q_lineitem_quantiles_hist,
         "multimodal_features": _q_multimodal_features,
         "distinct_users_hll": _q_distinct_users_hll,
-        "similarity_report": _q_similarity,
     }
 
 
@@ -3924,6 +3968,27 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
             "WHERE o_orderdate >= TIMESTAMP '1997-06-01') "
             "ORDER BY c_custkey"
+        ),
+        "similarity_report": (
+            # re-derives the cross-target co-occurrence GROUP BY
+            # (similarity.rs:16-129) from the SAME persisted anomaly rows
+            # the engine groups over: first occurrence per (group_key,
+            # tokens) by (target_id, conv_id, turn_idx), n_sources =
+            # COUNT(DISTINCT target:conv).  The anomaly DETECTION itself is
+            # fixture/parity-tested (non-SQL); this checks the similarity
+            # operator end-to-end.
+            "WITH a AS (SELECT * FROM read_parquet("
+            "'/tmp/logjuicer_synth/sf0.01/sim_anomalies.parquet/*.parquet')), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY group_key, tokens "
+            "ORDER BY target_id, conv_id, turn_idx) AS rn FROM a), "
+            "s AS (SELECT group_key, tokens, COUNT(DISTINCT "
+            "CAST(target_id AS VARCHAR) || ':' || conv_id)::INTEGER AS n_sources "
+            "FROM a GROUP BY group_key, tokens) "
+            "SELECT r.group_key, r.target_id, r.conv_id, r.turn_idx, "
+            "s.n_sources, r.text "
+            "FROM r JOIN s ON r.group_key = s.group_key AND r.tokens = s.tokens "
+            "WHERE r.rn = 1 "
+            "ORDER BY s.n_sources DESC, r.group_key, r.tokens"
         ),
         "heavy_tokens_docs": (
             "WITH toks AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token "

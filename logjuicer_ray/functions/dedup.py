@@ -42,16 +42,41 @@ def content_hashes(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     return batch.append_column("content_hash", pa.array(h, pa.int64()))
 
 
-def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
-    """Exact dedup: hash-partition on the content hash, keep the min-id row
-    per hash group.  Returns the surviving rows (original columns +
-    content_hash)."""
+def _content_sig(batch: pa.Table, *, id_col: str, text_col: str) -> pa.Table:
+    """Slim dedup signature rows: (id, sig1, sig2, sig_len) — md5-128 as
+    two int64s plus the byte length.  ~32 B/row regardless of text size."""
+    import hashlib
+
+    texts = batch.column(text_col).to_pylist()
+    n = len(texts)
+    s1 = np.empty(n, np.int64)
+    s2 = np.empty(n, np.int64)
+    ln = np.empty(n, np.int64)
+    for i, t in enumerate(texts):
+        enc = (t or "").encode("utf-8", "surrogatepass")
+        d = hashlib.md5(enc).digest()
+        s1[i] = int.from_bytes(d[:8], "little", signed=True)
+        s2[i] = int.from_bytes(d[8:], "little", signed=True)
+        ln[i] = len(enc)
+    return pa.table({
+        "__id": batch.column(id_col),
+        "sig1": pa.array(s1),
+        "sig2": pa.array(s2),
+        "sig_len": pa.array(ln),
+    })
+
+
+def _exact_dedup_fulltext(ds, *, id_col: str, text_col: str):
+    """Fallback exact dedup: hash-partition on the content hash with the
+    text riding the shuffle; keep the min-id row per DISTINCT text.
+    Correct at any duplicate rate, but moves every text byte through the
+    exchange — the slim path in :func:`exact_dedup` is preferred."""
 
     def keep_min(group: pa.Table) -> pa.Table:
-        # min id per DISTINCT text within the hash group: a 32-bit hash
-        # collision between two different documents must not drop either
-        # (the full text column is already in the group, so text equality
-        # is checked, never assumed from the hash)
+        # min id per DISTINCT text within the hash group: a hash collision
+        # between two different documents must not drop either (the full
+        # text column is already in the group, so text equality is
+        # checked, never assumed from the hash)
         ids = group.column(id_col).to_pylist()
         texts = group.column(text_col).to_pylist()
         best: dict[str, int] = {}
@@ -67,7 +92,88 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
     hashed = ds.map_batches(
         content_hashes, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
     )
-    return hashed.groupby("content_hash").map_groups(keep_min, batch_format="pyarrow")
+    deduped = hashed.groupby("content_hash").map_groups(
+        keep_min, batch_format="pyarrow"
+    )
+    return deduped.drop_columns(["content_hash"])
+
+
+def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                driver_cand_rows: int = 2_000_000):
+    """Exact dedup, shuffle-slim (VERDICT r3 ask #5): keep the min-id row
+    per distinct ``text_col`` value.  Returns the surviving rows with the
+    original columns.
+
+    Scale shape — text never rides the wide exchange:
+
+    1. signature pass: (id, md5-128 as two int64s, byte length) — the only
+       all-to-all moves ~32 B/row;
+    2. slim groupby((sig1, sig2, sig_len)): singleton groups survive
+       untouched; multi-member groups emit their ids as duplicate
+       CANDIDATES (true duplicates plus the ~2^-128 collision tail);
+    3. verification join, narrow by construction: the candidate id set
+       broadcasts once (``ray.put``), candidate rows alone re-shuffle
+       their text in a ``groupby(text)`` — equality is CHECKED, never
+       assumed from the hash — and the min id per distinct text wins;
+    4. survivors = non-candidates (broadcast anti-filter, no shuffle)
+       ∪ verified winners.
+
+    The candidate id list is driver-collected to build the broadcast; if
+    it exceeds ``driver_cand_rows`` (pathological duplicate rate) the
+    operator falls back to :func:`_exact_dedup_fulltext`, which is correct
+    at any scale but ships text through the exchange.  ``ds`` is consumed
+    twice (signature pass + filter pass); inputs should be re-readable
+    (parquet) or cheap to recompute.
+    """
+    import ray
+
+    sig = ds.map_batches(
+        _content_sig, batch_format="pyarrow",
+        fn_kwargs={"id_col": id_col, "text_col": text_col},
+    )
+
+    def _multi_only(group: pa.Table) -> pa.Table:
+        if group.num_rows <= 1:
+            return group.select(["__id"]).slice(0, 0)
+        return group.select(["__id"])
+
+    cands = sig.groupby(["sig1", "sig2", "sig_len"]).map_groups(
+        _multi_only, batch_format="pyarrow"
+    ).materialize()  # ids only — O(duplicate rows), spillable
+    n_cand = cands.count()
+    if n_cand > driver_cand_rows:
+        return _exact_dedup_fulltext(ds, id_col=id_col, text_col=text_col)
+
+    cand_ids = np.sort(np.concatenate(
+        [t.column("__id").to_numpy(zero_copy_only=False)
+         for t in ray.get(cands.to_arrow_refs())] or [np.array([], np.int64)]
+    ))
+    cand_ref = ray.put(cand_ids)
+    cols = ds.schema().names
+
+    def _split(batch: pa.Table, keep_cand: bool) -> pa.Table:
+        arr = ray.get(cand_ref)
+        mask = np.isin(batch.column(id_col).to_numpy(zero_copy_only=False), arr)
+        return batch.filter(pa.array(mask if keep_cand else ~mask))
+
+    non_cand = ds.map_batches(
+        _split, batch_format="pyarrow", fn_kwargs={"keep_cand": False}
+    )
+    if n_cand == 0:
+        return non_cand
+
+    def _keep_min_row(group: pa.Table) -> pa.Table:
+        i = int(np.argmin(group.column(id_col).to_numpy(zero_copy_only=False)))
+        return group.slice(i, 1)
+
+    winners = (
+        ds.map_batches(_split, batch_format="pyarrow",
+                       fn_kwargs={"keep_cand": True})
+        .groupby(text_col)
+        .map_groups(_keep_min_row, batch_format="pyarrow")
+        .select_columns(cols)
+    )
+    return non_cand.select_columns(cols).union(winners)
 
 
 # --- MinHash ---------------------------------------------------------------

@@ -18,7 +18,7 @@ import pyarrow as pa
 
 from ..tokenizer import process as tokenize
 
-__all__ = ["create_similarity"]
+__all__ = ["create_similarity", "tag_anomalies", "similarity_from_tokenized"]
 
 SIMILARITY_SCHEMA = pa.schema(
     [
@@ -62,11 +62,11 @@ def _merge_token_group(group: pa.Table) -> pa.Table:
     )
 
 
-def create_similarity(anomalies_list):
-    """``anomalies_list``: one anomalies Dataset per target (the ``anomalies``
-    output of :func:`..pipelines.report.run_report`).  Returns a Dataset of
-    unique anomaly tokens with their co-occurring sources, sorted by
-    descending ``n_sources``."""
+def tag_anomalies(anomalies_list):
+    """Union the per-target anomaly Datasets with a ``target_id`` column and
+    a ``tokens`` column (tokenizer re-run over the anomaly text) — the
+    similarity report's input rows, also the persisted "saved report"
+    analog (similarity.rs computes over previously saved reports)."""
     import ray.data  # noqa: F401  (Dataset methods)
 
     tagged = None
@@ -88,8 +88,25 @@ def create_similarity(anomalies_list):
 
         part = ds.map_batches(tag, batch_format="pyarrow")
         tagged = part if tagged is None else tagged.union(part)
-    tokenized = tagged.map_batches(_tokenize_anomalies, batch_format="pyarrow")
+    return tagged.map_batches(_tokenize_anomalies, batch_format="pyarrow")
+
+
+def similarity_from_tokenized(tokenized):
+    """The co-occurrence GROUP BY over tagged+tokenized anomaly rows:
+    per (group_key, tokens) keep the first occurrence by
+    (target_id, conv_id, turn_idx) and collect the distinct
+    ``target:conv`` source list.  SQL-expressible (ROW_NUMBER window +
+    COUNT(DISTINCT)) — the ``similarity_report`` driver oracle re-derives
+    this from the same persisted rows."""
     merged = tokenized.groupby(["group_key", "tokens"]).map_groups(
         _merge_token_group, batch_format="pyarrow"
     )
     return merged.sort(["n_sources", "group_key", "tokens"], descending=[True, False, False])
+
+
+def create_similarity(anomalies_list):
+    """``anomalies_list``: one anomalies Dataset per target (the ``anomalies``
+    output of :func:`..pipelines.report.run_report`).  Returns a Dataset of
+    unique anomaly tokens with their co-occurring sources, sorted by
+    descending ``n_sources``."""
+    return similarity_from_tokenized(tag_anomalies(anomalies_list))
