@@ -250,7 +250,16 @@ def cmd_test(args) -> int:
     _init_ray(args.num_cpus)
     from .dataset_test import test_datasets
 
-    cfg = _config_from_args(args)
+    # With no explicit config flags, pass None so each dataset dir's own
+    # config.yaml (per-job matcher analog, config.rs:224-310) drives its
+    # run; explicit --config/--ignore-pattern/--keep-duplicate override
+    # for every dir, matching the CLI's other verbs.
+    explicit = bool(
+        getattr(args, "config", None)
+        or getattr(args, "ignore_pattern", None)
+        or getattr(args, "keep_duplicate", False)
+    )
+    cfg = _config_from_args(args) if explicit else None
     failures = test_datasets(list(args.paths), cfg, quiet=args.quiet)
     return 1 if failures else 0
 

@@ -85,7 +85,14 @@ def _find_pair(path: str) -> tuple[str, str]:
 
 
 def run_dataset_dir(path: str, config=None) -> DatasetResult:
-    """Validate one dataset directory (dataset.rs:80-135)."""
+    """Validate one dataset directory (dataset.rs:80-135).
+
+    A dataset dir may carry a ``config.yaml`` (the user config analog,
+    config.rs:224-310): static target config OR a list of
+    ``{match_job, config}`` matchers.  The matcher key is the dataset
+    directory's name (the job-name analog); the first matching entry's
+    target config — ignore_patterns, skip_duplicate, excludes — drives the
+    run, exactly like per-job matchers drive a Zuul/Prow build."""
     from .config import PipelineConfig
     from .pipelines.report import run_report
     from .pipelines.train import train
@@ -100,6 +107,19 @@ def run_dataset_dir(path: str, config=None) -> DatasetResult:
         good, fail = _find_pair(path)
     except FileNotFoundError as e:
         return DatasetResult(path, ok=False, message=str(e))
+    cfg_path = os.path.join(path, "config.yaml")
+    if config is None and os.path.exists(cfg_path):
+        from .config_file import load_config
+
+        job_name = os.path.basename(os.path.normpath(path))
+        try:
+            config = load_config(cfg_path).get_target_config(
+                job_name
+            ).to_pipeline_config()
+        except Exception as e:
+            return DatasetResult(
+                path, ok=False, message=f"Failed to read config.yaml: {e}"
+            )
     config = config or PipelineConfig()
     model = train(lines_dataset(good), config)
     out = run_report(lines_dataset(fail), model, config)

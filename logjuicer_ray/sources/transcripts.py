@@ -21,7 +21,64 @@ ENGINE_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool"]
 ERRORS_BLOCK_MIB = 8
 
 
-def _default_num_blocks(path: str, block_mib: int | None = None) -> int | None:
+def _split_selectivity(path: str, split: str, *, cap_files: int = 64) -> float:
+    """Estimated fraction of rows matching ``split == value``, from parquet
+    row-group FOOTER statistics only (no data pages read; at most
+    ``cap_files`` footers, sampled evenly across the directory).
+
+    MEASURED DEAD END — kept opt-in (``GRAFT_SEL_ADJUST=1``), default OFF.
+    The hypothesis was that filtered blocks carry 1/selectivity× the
+    intended work; in fact with the sorted layout a block is either all-
+    matching or all-dropped, so heavy blocks already sit AT the 2 MiB
+    post-filter target and the adjustment just makes every block
+    1/sel× finer.  A/B at sf0.1: the 32-CPU report scan was flat
+    (26.3 → 25.8 s, noise) while train regressed ~3× (17 → 56–78 s e2e
+    train phase) because finer baseline blocks gut the per-block
+    unique-token dedup that keeps train's shuffle small."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        if os.path.isdir(path):
+            files = sorted(
+                os.path.join(path, f) for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            files = [path]
+        if not files:
+            return 1.0
+        if len(files) > cap_files:
+            step = len(files) / cap_files
+            files = [files[int(i * step)] for i in range(cap_files)]
+        matched = total = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if "split" not in idx:
+                return 1.0
+            ci = idx["split"]
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(ci)
+                n = md.row_group(rg).num_rows
+                total += n
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    matched += n // 2  # unknown: assume half
+                elif st.min == st.max:
+                    matched += n if st.min == split else 0
+                else:
+                    matched += n // 2  # boundary row group
+        if total == 0:
+            return 1.0
+        return max(matched / total, 0.0)
+    except Exception:
+        return 1.0
+
+
+def _default_num_blocks(path: str, block_mib: int | None = None,
+                        selectivity: float = 1.0) -> int | None:
     """Size-based block count, independent of the CPU count (the same job
     must produce the same block layout at any cluster size): target ~2 MiB
     of compressed parquet per block (~40k turn rows), floored at 16 for
@@ -55,7 +112,12 @@ def _default_num_blocks(path: str, block_mib: int | None = None) -> int | None:
             block_mib = int(env)
         elif block_mib is None:
             block_mib = 2
-        return max(16, size // (block_mib << 20))
+        # selectivity-adjusted: target block_mib of POST-filter bytes per
+        # block (see _split_selectivity).  Adjustment capped at 8x so a
+        # highly-selective filter cannot explode the task count; the extra
+        # tasks on the non-matching section are ~1 ms no-ops.
+        adj = min(8.0, 1.0 / max(selectivity, 1e-9))
+        return max(16, int(size * adj) // (block_mib << 20))
     except Exception:
         return None
 
@@ -67,7 +129,13 @@ def read_turns(path: str, *, split: str | None = None, columns=None, num_blocks=
     per-phase read-block target (see ``_default_num_blocks``)."""
     cols = list(columns or TURN_COLUMNS)
     if num_blocks is None:
-        num_blocks = _default_num_blocks(path, block_mib=block_mib)
+        import os as _os
+
+        sel = 1.0
+        if split is not None and _os.environ.get("GRAFT_SEL_ADJUST") == "1":
+            sel = _split_selectivity(path, split)
+        num_blocks = _default_num_blocks(path, block_mib=block_mib,
+                                         selectivity=sel)
     kwargs = {}
     if num_blocks:
         kwargs["override_num_blocks"] = num_blocks

@@ -288,13 +288,13 @@ def ensure_turns(sf: float, base_dir: str = "/tmp/logjuicer_synth") -> str:
         table = generate_turns(sf)
         tmp = path + f".tmp{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
-        rows_per_file = 500_000
+        rows_per_file = 150_000
         nfiles = max(1, (table.num_rows + rows_per_file - 1) // rows_per_file)
         for i in range(nfiles):
             part = table.slice(i * rows_per_file, rows_per_file)
             pq.write_table(
                 part, os.path.join(tmp, f"part-{i:05d}.parquet"),
-                row_group_size=131_072,
+                row_group_size=65_536,
             )
         os.replace(tmp, path)
     return path

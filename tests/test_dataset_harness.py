@@ -15,7 +15,35 @@ DIRS = sorted(d for d in glob.glob(os.path.join(DATA, "*")) if os.path.isdir(d))
 
 
 def test_fixture_dirs_exist():
-    assert len(DIRS) >= 10
+    assert len(DIRS) >= 15
+
+
+def test_matcher_config_drives_the_run(ray_session):
+    """The matcher-ignore dataset passes ONLY because its config.yaml's
+    second matcher (match_job: "matcher-.*") injects ignore_patterns —
+    with the built-in default config the noisy cache-stats / heartbeat
+    lines are extra anomalies and the expectation fails (config.rs:224-310
+    per-job matcher analog)."""
+    from logjuicer_ray.config import PipelineConfig
+
+    path = os.path.join(DATA, "matcher-ignore")
+    assert run_dataset_dir(path).ok
+    res_default = run_dataset_dir(path, PipelineConfig())
+    assert not res_default.ok
+    assert "Expect" in res_default.message or "Expected" in res_default.message
+
+
+def test_matcher_selection_order():
+    """First matching entry wins; non-matching match_job entries are
+    skipped; the catch-all tail matches any job."""
+    from logjuicer_ray.config_file import load_config
+
+    uc = load_config(os.path.join(DATA, "matcher-ignore", "config.yaml"))
+    tc = uc.get_target_config("matcher-ignore")
+    assert "cache stats hit ratio" in tc.ignore_patterns
+    other = uc.get_target_config("some-other-job")
+    assert other.ignore_patterns == []
+    assert other.skip_duplicate is False  # the catch-all entry
 
 
 def test_load_inf():
