@@ -2773,6 +2773,49 @@ def _q_corpus_mix(sf_dir: str):
     )
 
 
+def _q_fuzzy_pairs(sf_dir: str):
+    """Blocked fuzzy matching: document pairs whose normalized 32-char
+    keys are within 6 edits, searched inside deterministic
+    (prefix, length-band) blocking buckets — all-pairs edit distance
+    never runs; the DP is vectorized across the pair batch
+    (functions/fuzzy.py blocked_fuzzy_pairs)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.fuzzy import blocked_fuzzy_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return blocked_fuzzy_pairs(docs, max_dist=6)
+
+
+def _q_dup_ngram_spans(sf_dir: str):
+    """Substring-level duplication: per-doc word-8-gram positions whose
+    gram appears in another document — the n-gram-granular analog of
+    suffix-array substring dedup; two narrow keyed shuffles, the text
+    never moves (functions/fuzzy.py duplicate_ngram_spans)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.fuzzy import duplicate_ngram_spans
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return duplicate_ngram_spans(docs, n=8)
+
+
+def _q_priority_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (A-Res keys,
+    md5-derived uniforms): top-25 docs by u^(1/n_chars) — per-block top-k
+    partials, the corpus never shuffles (functions/fuzzy.py
+    priority_sample)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.fuzzy import priority_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    return priority_sample(docs, k=25, weight_col="n_chars")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # hard-oracle queries first: the driver's correctness window checks
@@ -2868,6 +2911,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_exact": _q_distinct_users_exact,
         "customers_without_orders": _q_customers_without_orders,
         "similarity_report": _q_similarity,
+        "fuzzy_pairs_docs": _q_fuzzy_pairs,
+        "dup_ngram_spans_docs": _q_dup_ngram_spans,
+        "priority_sample_docs": _q_priority_sample,
         # no_oracle tail: genuinely non-SQL surfaces (token grammar, 260k-dim
         # hashed cosine, approximate sketches, multimodal stubs) — covered by
         # fixture/parity pytest instead of the driver hash compare.
@@ -3989,6 +4035,41 @@ def oracle_sql() -> dict[str, str]:
             "FROM r JOIN s ON r.group_key = s.group_key AND r.tokens = s.tokens "
             "WHERE r.rn = 1 "
             "ORDER BY s.n_sources DESC, r.group_key, r.tokens"
+        ),
+        "fuzzy_pairs_docs": (
+            # the SAME deterministic blocking the engine applies: pairs
+            # are only compared inside (2-char prefix, length//8) buckets
+            "WITH k AS (SELECT doc_id, substr(trim(regexp_replace(lower(text), "
+            "'[^a-z0-9]+', ' ', 'g')), 1, 32) AS key FROM documents), "
+            "b AS (SELECT doc_id, key, substr(key, 1, 2) || '|' || "
+            "CAST(length(key) // 8 AS VARCHAR) AS block FROM k) "
+            "SELECT a.doc_id AS id_a, c.doc_id AS id_b, "
+            "CAST(levenshtein(a.key, c.key) AS BIGINT) AS dist "
+            "FROM b a JOIN b c ON a.block = c.block AND a.doc_id < c.doc_id "
+            "WHERE levenshtein(a.key, c.key) <= 6 ORDER BY id_a, id_b"
+        ),
+        "dup_ngram_spans_docs": (
+            # word 8-grams (whitespace-split, lowercased); a position is
+            # duplicated iff its gram occurs in >= 2 distinct docs
+            "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            "lower(text), '\\s+'), x -> x <> '') AS ws FROM documents), "
+            "g AS (SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram "
+            "FROM w, LATERAL unnest(range(1, len(ws) - 6)) t(i) "
+            "WHERE len(ws) >= 8), "
+            "d AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram) "
+            "SELECT g.doc_id, COUNT(*) AS total_grams, "
+            "CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams "
+            "FROM g JOIN d USING (gram) GROUP BY g.doc_id ORDER BY g.doc_id"
+        ),
+        "priority_sample_docs": (
+            # Efraimidis-Spirakis A-Res key u^(1/w) with the md5-derived
+            # uniform u = ((md5_u64(id) >> 11) + 0.5) / 2^53
+            "WITH keyed AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars, "
+            "pow(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT "
+            ">> 11) + 0.5) / 9007199254740992.0, 1.0 / n_chars) AS k "
+            "FROM documents WHERE n_chars > 0) "
+            "SELECT doc_id, n_chars, round(k, 6) AS sample_key FROM keyed "
+            "ORDER BY k DESC, doc_id LIMIT 25"
         ),
         "heavy_tokens_docs": (
             "WITH toks AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token "

@@ -1,0 +1,207 @@
+"""Round-4 operators: blocked fuzzy matching (edit distance), duplicate
+n-gram span detection (substring-dedup analog), and deterministic
+weighted priority sampling — each checked against a DuckDB oracle and for
+partition invariance (same answer at any block layout).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    yield con
+    con.close()
+
+
+# ---------------------------------------------------------------- kernels
+
+
+def _lev_ref(a: str, b: str) -> int:
+    # classic scalar DP, the ground truth for the vectorized kernel
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_batch_matches_scalar_dp():
+    from logjuicer_ray.functions.fuzzy import levenshtein_batch
+
+    rng = np.random.RandomState(11)
+    alphabet = list("abc 12")
+    pairs = []
+    for _ in range(300):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+        b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+        pairs.append((a, b))
+    pairs += [("", ""), ("", "abc"), ("abc", ""), ("same", "same")]
+    got = levenshtein_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    want = [_lev_ref(a, b) for a, b in pairs]
+    assert list(got) == want
+
+
+def test_levenshtein_batch_matches_duckdb(duck):
+    from logjuicer_ray.functions.fuzzy import levenshtein_batch
+
+    rng = np.random.RandomState(3)
+    alphabet = list("xy z9")
+    A = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 16)))
+         for _ in range(100)]
+    B = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 16)))
+         for _ in range(100)]
+    got = levenshtein_batch(A, B)
+    for a, b, g in zip(A, B, got):
+        w = duck.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert g == w, (a, b, g, w)
+
+
+# --------------------------------------------------------------- operators
+
+
+def _docs(columns):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet", columns=columns)
+
+
+def test_blocked_fuzzy_pairs_oracle(ray_session, duck):
+    from logjuicer_ray.functions.fuzzy import blocked_fuzzy_pairs
+
+    out = blocked_fuzzy_pairs(_docs(["doc_id", "text"]), max_dist=6).to_pandas()
+    want = duck.sql("""
+        WITH k AS (SELECT doc_id, substr(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')), 1, 32) AS key FROM documents),
+        b AS (SELECT doc_id, key, substr(key, 1, 2) || '|' ||
+              CAST(length(key) // 8 AS VARCHAR) AS block FROM k)
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+               CAST(levenshtein(a.key, c.key) AS BIGINT) AS dist
+        FROM b a JOIN b c ON a.block = c.block AND a.doc_id < c.doc_id
+        WHERE levenshtein(a.key, c.key) <= 6 ORDER BY id_a, id_b
+    """).df()
+    assert len(out) == len(want) and len(out) > 0
+    assert out.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_blocked_fuzzy_pairs_block_cap(ray_session):
+    import ray.data as rd
+
+    from logjuicer_ray.functions.fuzzy import blocked_fuzzy_pairs
+
+    # 8 identical keys in one block with a cap of 4 must refuse loudly
+    ds = rd.from_items(
+        [{"doc_id": i, "text": "same normalized key"} for i in range(8)]
+    )
+    with pytest.raises(Exception):
+        blocked_fuzzy_pairs(ds, max_block_rows=4).to_pandas()
+
+
+def test_dup_ngram_spans_oracle_and_partition_invariance(ray_session, duck):
+    import ray.data as rd
+
+    from logjuicer_ray.functions.fuzzy import duplicate_ngram_spans
+
+    want = duck.sql("""
+        WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(
+                   lower(text), '\\s+'), x -> x <> '') AS ws FROM documents),
+        g AS (SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+              FROM w, LATERAL unnest(range(1, len(ws) - 6)) t(i)
+              WHERE len(ws) >= 8),
+        d AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+        SELECT g.doc_id, COUNT(*) AS total_grams,
+               CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_grams
+        FROM g JOIN d USING (gram) GROUP BY g.doc_id ORDER BY g.doc_id
+    """).df()
+    assert (want["dup_grams"] > 0).any()  # the corpus must exercise dup spans
+    for nblocks in (1, 7):
+        docs = rd.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"],
+            override_num_blocks=nblocks,
+        )
+        out = duplicate_ngram_spans(docs, n=8).to_pandas()
+        assert out.reset_index(drop=True).astype("int64").equals(
+            want.reset_index(drop=True).astype("int64")
+        ), f"nblocks={nblocks}"
+
+
+def test_dup_ngram_spans_short_docs_emit_no_row(ray_session):
+    import ray.data as rd
+
+    from logjuicer_ray.functions.fuzzy import duplicate_ngram_spans
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": "one two three"},  # < 8 words: no grams
+            {"doc_id": 2, "text": "a b c d e f g h i"},
+            {"doc_id": 3, "text": "a b c d e f g h i"},  # full copy of 2
+        ]
+    )
+    out = duplicate_ngram_spans(ds, n=8).to_pandas()
+    assert list(out["doc_id"]) == [2, 3]
+    assert list(out["total_grams"]) == [2, 2]
+    assert list(out["dup_grams"]) == [2, 2]
+
+
+def test_priority_sample_oracle(ray_session, duck):
+    from logjuicer_ray.functions.fuzzy import priority_sample
+
+    out = priority_sample(
+        _docs(["doc_id", "n_chars"]), k=25, weight_col="n_chars"
+    ).to_pandas()
+    want = duck.sql("""
+        WITH keyed AS (
+          SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars,
+                 pow(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                 ::UBIGINT >> 11) + 0.5) / 9007199254740992.0,
+                 1.0 / n_chars) AS k
+          FROM documents WHERE n_chars > 0)
+        SELECT doc_id, n_chars, round(k, 6) AS sample_key FROM keyed
+        ORDER BY k DESC, doc_id LIMIT 25
+    """).df()
+    assert len(out) == 25
+    assert list(out["doc_id"]) == list(want["doc_id"])
+    assert np.allclose(out["sample_key"], want["sample_key"], atol=1e-9)
+
+
+def test_priority_sample_weight_bias_and_fast_mode(ray_session):
+    import ray.data as rd
+
+    from logjuicer_ray.functions.fuzzy import priority_sample
+
+    # weights 1000:1 — heavy rows must dominate the sample
+    rows = [{"doc_id": i, "w": 1000.0 if i < 50 else 1.0} for i in range(500)]
+    ds = rd.from_items(rows)
+    for mode in ("portable", "fast"):
+        out = priority_sample(ds, k=40, weight_col="w", mode=mode).to_pandas()
+        assert len(out) == 40
+        heavy = (out["doc_id"] < 50).sum()
+        assert heavy >= 35, f"mode={mode}: only {heavy}/40 heavy rows sampled"
+        # determinism: same call, same winners
+        again = priority_sample(ds, k=40, weight_col="w", mode=mode).to_pandas()
+        assert list(out["doc_id"]) == list(again["doc_id"])
+
+
+def test_priority_sample_excludes_nonpositive_weights(ray_session):
+    import ray.data as rd
+
+    from logjuicer_ray.functions.fuzzy import priority_sample
+
+    rows = [{"doc_id": 1, "w": 0.0}, {"doc_id": 2, "w": -3.0},
+            {"doc_id": 3, "w": 2.0}, {"doc_id": 4, "w": float("nan")}]
+    out = priority_sample(rd.from_items(rows), k=10, weight_col="w").to_pandas()
+    assert list(out["doc_id"]) == [3]
