@@ -3774,10 +3774,12 @@ def oracle_sql() -> dict[str, str]:
             "WITH c AS (SELECT source, lang, COUNT(*)::BIGINT AS n_docs, "
             "SUM(n_chars)::BIGINT AS n_chars FROM documents "
             "GROUP BY source, lang), "
+            # SUM(BIGINT) is HUGEINT in DuckDB and HUGEINT reaches pandas
+            # as float64 — cast the shares back to BIGINT for the compare
             "t AS (SELECT SUM(n_docs) AS td, SUM(n_chars) AS tc FROM c) "
             "SELECT c.source, c.lang, c.n_docs, c.n_chars, "
-            "(c.n_docs * 1000000) // t.td AS doc_share_e6, "
-            "(c.n_chars * 1000000) // t.tc AS char_share_e6 "
+            "CAST((c.n_docs * 1000000) // t.td AS BIGINT) AS doc_share_e6, "
+            "CAST((c.n_chars * 1000000) // t.tc AS BIGINT) AS char_share_e6 "
             "FROM c CROSS JOIN t ORDER BY c.source, c.lang"
         ),
         "fk_checks": (
