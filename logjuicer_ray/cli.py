@@ -62,6 +62,38 @@ def _config_from_args(args) -> "PipelineConfig":
     return cfg
 
 
+def _read_input(path, *, split, args, block_mib=None):
+    """Dispatch an input path: turns parquet (the engine's native table)
+    or a tarball / directory of tarballs (source.rs:95-160 analog — each
+    entry becomes a source grouped by its IndexName; the ``split`` column
+    does not exist in archives, so split filters don't apply)."""
+    from .sources.transcripts import ENGINE_COLUMNS, read_turns
+
+    if path and (
+        _is_tarball_input(path)
+        or (os.path.isdir(path) and _dir_has_tarballs(path))
+    ):
+        from .sources.archives import read_archive_lines
+
+        return read_archive_lines(
+            path, target_config=getattr(args, "_target_config", None)
+        )
+    return read_turns(path, split=split, columns=ENGINE_COLUMNS,
+                      block_mib=block_mib)
+
+
+def _is_tarball_input(path: str) -> bool:
+    from .sources.archives import is_tarball_path
+
+    return is_tarball_path(path)
+
+
+def _dir_has_tarballs(path: str) -> bool:
+    from .sources.archives import is_tarball_path
+
+    return any(is_tarball_path(f) for f in os.listdir(path))
+
+
 def _apply_source_filter(ds, args):
     """includes/excludes from the config file filter sources by conv_id
     (is_source_valid, config.rs:207-209)."""
@@ -129,13 +161,13 @@ def cmd_report(args) -> int:
         model = Model.load(args.model)
     else:
         baseline = _apply_source_filter(
-            read_turns(args.baseline or args.input, split=args.baseline_split, columns=ENGINE_COLUMNS), args
+            _read_input(args.baseline or args.input, split=args.baseline_split, args=args), args
         )
         model = train(baseline, cfg, metrics=metrics)
         if args.model:
             model.save(args.model)
     target = _apply_source_filter(
-        read_turns(args.target or args.input, split=args.target_split, columns=ENGINE_COLUMNS), args
+        _read_input(args.target or args.input, split=args.target_split, args=args), args
     )
     out = run_report(target, model, cfg, metrics=metrics)
     os.makedirs(args.out, exist_ok=True)
@@ -168,14 +200,14 @@ def cmd_errors(args) -> int:
         model = Model.load(args.model)
     elif args.baseline or args.baseline_split:
         baseline = _apply_source_filter(
-            read_turns(args.baseline or args.input, split=args.baseline_split, columns=ENGINE_COLUMNS), args
+            _read_input(args.baseline or args.input, split=args.baseline_split, args=args), args
         )
         model = train(baseline, cfg)
     from .sources.transcripts import ERRORS_BLOCK_MIB
 
     target = _apply_source_filter(
-        read_turns(args.target or args.input, split=args.target_split,
-                   columns=ENGINE_COLUMNS, block_mib=ERRORS_BLOCK_MIB), args
+        _read_input(args.target or args.input, split=args.target_split,
+                    args=args, block_mib=ERRORS_BLOCK_MIB), args
     )
     from .metrics import Metrics
 
@@ -196,7 +228,7 @@ def cmd_train(args) -> int:
     from .sources.transcripts import ENGINE_COLUMNS, read_turns
 
     cfg = _config_from_args(args)
-    baseline = read_turns(args.input, split=args.baseline_split, columns=ENGINE_COLUMNS)
+    baseline = _read_input(args.input, split=args.baseline_split, args=args)
     model = train(baseline, cfg)
     model.save(args.model)
     if not args.quiet:
