@@ -2816,6 +2816,20 @@ def _q_priority_sample(sf_dir: str):
     return priority_sample(docs, k=25, weight_col="n_chars")
 
 
+def _q_unigram_logprob(sf_dir: str):
+    """CCNet-style unigram-LM quality score: per-doc mean ln p(token)
+    from the corpus's own counts (min_count=2 smoothing) — vocab shuffle
+    moves unique tokens only, kept vocab broadcast once, per-batch Arrow
+    index_in lookup (functions/corpus.py unigram_logprob)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.corpus import unigram_logprob
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return unigram_logprob(docs, min_count=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # hard-oracle queries first: the driver's correctness window checks
@@ -2914,6 +2928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_pairs_docs": _q_fuzzy_pairs,
         "dup_ngram_spans_docs": _q_dup_ngram_spans,
         "priority_sample_docs": _q_priority_sample,
+        "unigram_logprob_docs": _q_unigram_logprob,
         # no_oracle tail: genuinely non-SQL surfaces (token grammar, 260k-dim
         # hashed cosine, approximate sketches, multimodal stubs) — covered by
         # fixture/parity pytest instead of the driver hash compare.
@@ -4062,6 +4077,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT g.doc_id, COUNT(*) AS total_grams, "
             "CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams "
             "FROM g JOIN d USING (gram) GROUP BY g.doc_id ORDER BY g.doc_id"
+        ),
+        "unigram_logprob_docs": (
+            # same tokenization as the engine (whitespace split, '' dropped);
+            # p = cnt/total with tokens under min_count=2 (and OOV)
+            # smoothing to 1/total
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(text, '\\s+')) AS token "
+            "FROM documents WHERE text IS NOT NULL), "
+            "tok AS (SELECT doc_id, token FROM toks WHERE token <> ''), "
+            "cnts AS (SELECT token, COUNT(*)::BIGINT AS cnt FROM tok GROUP BY token), "
+            "tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM cnts), "
+            "kept AS (SELECT token, cnt FROM cnts WHERE cnt >= 2) "
+            "SELECT t.doc_id, COUNT(*) AS n_tokens, "
+            "ROUND(AVG(ln(COALESCE(k.cnt, 1) / tot.total)), 4) AS avg_logprob "
+            "FROM tok t LEFT JOIN kept k USING (token) CROSS JOIN tot "
+            "GROUP BY t.doc_id ORDER BY t.doc_id"
         ),
         "priority_sample_docs": (
             # Efraimidis-Spirakis A-Res key u^(1/w) with the md5-derived

@@ -34,7 +34,7 @@ from .hashing import md5_u64_str
 __all__ = ["vocab_topk", "exact_quantiles", "grouped_quantiles", "hash_sample",
            "pack_sequences", "grouped_distinct", "chunk_documents",
            "split_assign", "export_conversations", "bigram_topk",
-           "ngram_decontaminate"]
+           "ngram_decontaminate", "unigram_logprob"]
 
 
 def _token_counts(batch: pa.Table, text_col: str) -> pa.Table:
@@ -72,6 +72,98 @@ def vocab_topk(ds, *, text_col: str = "text", k: int = 100):
 
     # limit(k) yields a single tiny block; ranking in one map is exact
     return top.repartition(1).map_batches(_rank, batch_format="pyarrow")
+
+
+def unigram_logprob(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    min_count: int = 2, round_digits: int = 4,
+                    max_vocab_rows: int = 20_000_000):
+    """Per-document unigram language-model score — the CCNet-style
+    perplexity-proxy quality signal: ``avg_logprob`` = mean over the doc's
+    whitespace tokens of ``ln(p(token))`` with ``p = cnt / total`` from
+    the corpus's own token counts; tokens below ``min_count`` (and
+    anything unseen) smooth to ``1 / total``.  Low scores flag gibberish
+    / rare-token soup, high scores flag boilerplate.
+
+    Two passes, both vectorized: (1) the existing partial-counts →
+    groupby token count (the vocab shuffle moves unique tokens only);
+    the kept vocab — hapax legomena pruned by ``min_count``, typically
+    cutting the table in half — is broadcast once via ``ray.put``;
+    (2) a per-batch Arrow ``index_in`` lookup against the broadcast
+    token array (no per-token Python), segment-mean via ``bincount`` on
+    ``list_parent_indices``.  ``max_vocab_rows`` is the documented
+    driver-side bound for the broadcast table; a corpus whose pruned
+    vocab exceeds it needs a count-threshold raise (asserted, not
+    silently truncated).
+
+    Docs with no tokens emit no row (matching the SQL GROUP BY).
+    Returns (id, n_tokens, avg_logprob) sorted by id.
+    """
+    import math
+
+    import numpy as np
+    import ray
+
+    partials = ds.map_batches(
+        lambda b: _token_counts(b, text_col), batch_format="pyarrow"
+    )
+    totals = partials.groupby("token").sum("cnt")
+    vocab_parts, total_cnt, kept_rows = [], 0, 0
+    for b in totals.iter_batches(batch_format="pyarrow"):
+        cnt = b.column("sum(cnt)")
+        total_cnt += pc.sum(cnt).as_py() or 0
+        keep = pc.greater_equal(cnt, min_count)
+        kb = b.filter(keep)
+        kept_rows += kb.num_rows
+        assert kept_rows <= max_vocab_rows, (
+            f"pruned vocab exceeds max_vocab_rows={max_vocab_rows}; "
+            f"raise min_count"
+        )
+        vocab_parts.append(pa.table({
+            "token": kb.column("token"),
+            "cnt": kb.column("sum(cnt)").cast(pa.int64()),
+        }))
+    vocab = pa.concat_tables(vocab_parts).combine_chunks()
+    vocab_ref = ray.put(vocab)
+    ln_total = math.log(float(total_cnt)) if total_cnt else 0.0
+
+    class Scorer:
+        def __init__(self):
+            v = ray.get(vocab_ref)
+            self.tokens = v.column("token").combine_chunks()
+            self.ln_cnt = np.log(
+                v.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = pc.drop_null(batch.column(text_col))
+            ids_all = batch.column(id_col).filter(
+                pc.is_valid(batch.column(text_col))
+            ).to_numpy(zero_copy_only=False)
+            lists = pc.utf8_split_whitespace(texts)
+            toks = pc.list_flatten(lists)
+            parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+            nonempty = pc.not_equal(toks, "")
+            toks = toks.filter(nonempty)
+            parents = parents[nonempty.to_numpy(zero_copy_only=False)]
+            idx = pc.index_in(toks, value_set=self.tokens)
+            valid = idx.is_valid().to_numpy(zero_copy_only=False)
+            pos = idx.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            hit = self.ln_cnt[pos] if len(self.ln_cnt) else np.zeros(len(pos))
+            # OOV smooths to cnt 1: ln(1) = 0 before the - ln(total)
+            lp = np.where(valid, hit, 0.0) - ln_total
+            n_rows = len(ids_all)
+            tok_n = np.bincount(parents, minlength=n_rows)
+            lp_sum = np.bincount(parents, weights=lp, minlength=n_rows)
+            has = tok_n > 0
+            avg = np.round(lp_sum[has] / tok_n[has], round_digits)
+            return pa.table({
+                id_col: pa.array(ids_all[has], pa.int64()),
+                "n_tokens": pa.array(tok_n[has], pa.int64()),
+                "avg_logprob": pa.array(avg, pa.float64()),
+            })
+
+    return ds.map_batches(Scorer, concurrency=(1, 8),
+                          batch_format="pyarrow").sort(id_col)
 
 
 def _quantile_pick(rows, qs: list[float]) -> dict:

@@ -205,3 +205,57 @@ def test_priority_sample_excludes_nonpositive_weights(ray_session):
             {"doc_id": 3, "w": 2.0}, {"doc_id": 4, "w": float("nan")}]
     out = priority_sample(rd.from_items(rows), k=10, weight_col="w").to_pandas()
     assert list(out["doc_id"]) == [3]
+
+
+def test_unigram_logprob_oracle_and_partition_invariance(ray_session, duck):
+    import ray.data as rd
+
+    from logjuicer_ray.functions.corpus import unigram_logprob
+
+    want = duck.sql("""
+        WITH toks AS (SELECT doc_id,
+             unnest(regexp_split_to_array(text, '\\s+')) AS token
+             FROM documents WHERE text IS NOT NULL),
+        tok AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        cnts AS (SELECT token, COUNT(*)::BIGINT AS cnt FROM tok GROUP BY token),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM cnts),
+        kept AS (SELECT token, cnt FROM cnts WHERE cnt >= 2)
+        SELECT t.doc_id, COUNT(*) AS n_tokens,
+               ROUND(AVG(ln(COALESCE(k.cnt, 1) / tot.total)), 4) AS avg_logprob
+        FROM tok t LEFT JOIN kept k USING (token) CROSS JOIN tot
+        GROUP BY t.doc_id ORDER BY t.doc_id
+    """).df()
+    for nblocks in (1, 5):
+        docs = rd.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"],
+            override_num_blocks=nblocks,
+        )
+        out = unigram_logprob(docs, min_count=2).to_pandas()
+        assert len(out) == len(want)
+        assert list(out["doc_id"]) == list(want["doc_id"])
+        assert list(out["n_tokens"]) == list(want["n_tokens"])
+        assert np.allclose(out["avg_logprob"], want["avg_logprob"], atol=2e-4)
+
+
+def test_unigram_logprob_semantics(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from logjuicer_ray.functions.corpus import unigram_logprob
+
+    # corpus: "a a a b" + "a c" + "" -> counts a=4, b=1, c=1, total=6;
+    # kept (min_count=2) = {a: 4}; b and c smooth to 1/6
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "a a a b"},
+        {"doc_id": 2, "text": "a c"},
+        {"doc_id": 3, "text": "   "},  # tokenless: no row
+    ])
+    out = unigram_logprob(ds, min_count=2).to_pandas()
+    assert list(out["doc_id"]) == [1, 2]
+    ln = math.log
+    want1 = (3 * ln(4 / 6) + ln(1 / 6)) / 4
+    want2 = (ln(4 / 6) + ln(1 / 6)) / 2
+    assert abs(out["avg_logprob"][0] - round(want1, 4)) < 1e-9
+    assert abs(out["avg_logprob"][1] - round(want2, 4)) < 1e-9
+    assert list(out["n_tokens"]) == [4, 2]
