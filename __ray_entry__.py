@@ -2830,6 +2830,49 @@ def _q_unigram_logprob(sf_dir: str):
     return unigram_logprob(docs, min_count=2)
 
 
+def _q_turns_dedup_against(sf_dir: str):
+    """Incremental corpus update: per-conversation count of TARGET lines
+    whose digit/hex-normalized form is NOT already in the baseline
+    snapshot — dedup-against-history (functions/dedup.py dedup_against:
+    old side reduced to distinct signatures, broadcast once, new side
+    filtered by one vectorized is_in, no shuffle of either corpus)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logjuicer_ray.functions.dedup import dedup_against
+
+    path = _turns_path(sf_dir)
+    pat = r"[0-9a-f]{4,}|[0-9]+"
+
+    def norm(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b.column("text"), "")
+        return pa.table({
+            "conv_id": b.column("conv_id"),
+            "turn_idx": b.column("turn_idx"),
+            "norm": pc.replace_substring_regex(t, pat, "#"),
+        })
+
+    from logjuicer_ray.sources.transcripts import read_turns
+
+    cols = ["conv_id", "turn_idx", "text"]
+    old = read_turns(path, split="baseline", columns=cols).map_batches(
+        norm, batch_format="pyarrow")
+    new = read_turns(path, split="target", columns=cols).map_batches(
+        norm, batch_format="pyarrow")
+    fresh = dedup_against(new, old, id_col="turn_idx", text_col="norm",
+                          keep_cols=["conv_id"], sort_output=False)
+    counts = fresh.groupby("conv_id").count()
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": b.column("conv_id"),
+            "n_new": b.column("count()").cast(pa.int64()),
+        })
+
+    return counts.map_batches(rename, batch_format="pyarrow").sort("conv_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # hard-oracle queries first: the driver's correctness window checks
@@ -2929,6 +2972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_spans_docs": _q_dup_ngram_spans,
         "priority_sample_docs": _q_priority_sample,
         "unigram_logprob_docs": _q_unigram_logprob,
+        "turns_dedup_against": _q_turns_dedup_against,
         # no_oracle tail: genuinely non-SQL surfaces (token grammar, 260k-dim
         # hashed cosine, approximate sketches, multimodal stubs) — covered by
         # fixture/parity pytest instead of the driver hash compare.
@@ -4077,6 +4121,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT g.doc_id, COUNT(*) AS total_grams, "
             "CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams "
             "FROM g JOIN d USING (gram) GROUP BY g.doc_id ORDER BY g.doc_id"
+        ),
+        "turns_dedup_against": (
+            # same RE2 normalization both sides (Arrow and DuckDB are both
+            # RE2); NOT IN is null-safe here because COALESCE('' ) removes
+            # nulls before the subquery
+            f"WITH o AS (SELECT DISTINCT regexp_replace(COALESCE(text, ''), "
+            f"'[0-9a-f]{{4,}}|[0-9]+', '#', 'g') AS n FROM {turns} "
+            f"WHERE split = 'baseline'), "
+            f"nw AS (SELECT conv_id, regexp_replace(COALESCE(text, ''), "
+            f"'[0-9a-f]{{4,}}|[0-9]+', '#', 'g') AS n FROM {turns} "
+            f"WHERE split = 'target') "
+            f"SELECT conv_id, COUNT(*) AS n_new FROM nw "
+            f"WHERE n NOT IN (SELECT n FROM o) "
+            f"GROUP BY conv_id ORDER BY conv_id"
         ),
         "unigram_logprob_docs": (
             # same tokenization as the engine (whitespace split, '' dropped);

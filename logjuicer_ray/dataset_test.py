@@ -75,10 +75,20 @@ def load_inf(path: str) -> dict:
     return {"anomalies": anomalies, "skip": bool(raw.get("skip", False))}
 
 
+_ARCHIVE_SUFFIXES = (".tar", ".tar.gz", ".tgz", ".tar.xz")
+
+
+def _matches_kind(name: str, kind: str) -> bool:
+    # plain text file ("x.good") or an archive pair ("x.good.tar.gz")
+    if name.endswith(kind):
+        return True
+    return any(name.endswith(kind + s) for s in _ARCHIVE_SUFFIXES)
+
+
 def _find_pair(path: str) -> tuple[str, str]:
     entries = sorted(os.listdir(path))
-    good = next((e for e in entries if e.endswith(".good")), None)
-    fail = next((e for e in entries if e.endswith(".fail")), None)
+    good = next((e for e in entries if _matches_kind(e, ".good")), None)
+    fail = next((e for e in entries if _matches_kind(e, ".fail")), None)
     if good is None or fail is None:
         raise FileNotFoundError(f"Can't find .good and .fail files in {path!r}")
     return os.path.join(path, good), os.path.join(path, fail)
@@ -121,10 +131,22 @@ def run_dataset_dir(path: str, config=None) -> DatasetResult:
                 path, ok=False, message=f"Failed to read config.yaml: {e}"
             )
     config = config or PipelineConfig()
-    model = train(lines_dataset(good), config)
-    out = run_report(lines_dataset(fail), model, config)
-    anomalies = out["anomalies"].select_columns(["turn_idx", "text"]).take_all()
-    anomalies.sort(key=lambda r: r["turn_idx"])  # report order = line order
+
+    def _load(p: str):
+        if p.endswith(_ARCHIVE_SUFFIXES):
+            from .sources.archives import read_archive_lines
+
+            return read_archive_lines(p)
+        return lines_dataset(p)
+
+    model = train(_load(good), config)
+    out = run_report(_load(fail), model, config)
+    anomalies = out["anomalies"].select_columns(
+        ["conv_id", "turn_idx", "text"]
+    ).take_all()
+    # report order = (source, line) order — one source for plain-file
+    # datasets, one per archive entry for tarball datasets
+    anomalies.sort(key=lambda r: (r["conv_id"], r["turn_idx"]))
     expected = inf["anomalies"]
     # pairwise substring check in order (assert_anomaly_includes,
     # dataset.rs:129-135), then the exact-count check

@@ -31,6 +31,7 @@ __all__ = [
     "embedding_cosine_dedup",
     "connected_components",
     "line_level_dedup",
+    "dedup_against",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -1033,3 +1034,104 @@ def line_level_dedup(lines_ds, *, conv_col: str = "conv_id",
     return kept.groupby([conv_col, turn_col]).map_groups(
         _rebuild, batch_format="pyarrow"
     )
+
+
+def dedup_against(ds_new, ds_old, *, id_col: str = "doc_id",
+                  text_col: str = "text", broadcast_keys: int = 5_000_000,
+                  keep_cols: list[str] | None = None,
+                  sort_output: bool = True):
+    """Incremental corpus update: drop rows of ``ds_new`` whose exact text
+    already exists in the prior snapshot ``ds_old`` — dedup-against-history,
+    the operation every recurring crawl/refresh pipeline runs before
+    appending to the training corpus.
+
+    Scale shape (mirrors ``check_foreign_key``'s dual path): the OLD side
+    reduces to its DISTINCT md5-128 content signatures (in-batch pre-dedup
+    + keyed groupby — bounded by unique-content cardinality, ~32 B/key;
+    old text never moves).  If the distinct-signature count fits
+    ``broadcast_keys``, the key set broadcasts once via ``ray.put`` and
+    each new batch runs one vectorized ``is_in`` — the NEW side never
+    shuffles at all.  Above the limit, survivors come from a native
+    left_anti hash join of (id, sig) rows against the reduced key set,
+    followed by the broadcast-free id semi-filter back onto the new rows.
+
+    Identity is md5-128 equality (collision odds ~n²/2⁻¹²⁸ — negligible at
+    any corpus size; unlike :func:`exact_dedup` there is no verification
+    pass because checking would ship OLD text, which this operator exists
+    to avoid).  Returns surviving new rows (``keep_cols`` or all columns),
+    sorted by ``id_col`` unless ``sort_output=False`` (callers that
+    aggregate the survivors don't need the sort).  The join fallback's id
+    semi-filter requires ``id_col`` to be unique; the broadcast path does
+    not (it never touches ids).
+    """
+    import ray
+
+    def _sig_hex(batch: pa.Table, cols: list[str] | None) -> pa.Table:
+        import hashlib
+
+        texts = batch.column(text_col).to_pylist()
+        hx = [hashlib.md5((t or "").encode("utf-8", "surrogatepass")).hexdigest()
+              for t in texts]
+        out = {"sig": pa.array(hx, pa.string())}
+        for c in cols or []:
+            out[c] = batch.column(c)
+        return pa.table(out)
+
+    old_keys = (
+        ds_old.map_batches(
+            lambda b: _sig_hex(b, None).group_by(["sig"]).aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby("sig").count()
+        .select_columns(["sig"])
+        .materialize()
+    )
+    n_keys = old_keys.count()
+    out_cols = keep_cols  # None -> all of ds_new's columns survive
+
+    if n_keys <= broadcast_keys:
+        parts = [b.column("sig") for b in old_keys.iter_batches(batch_format="pyarrow")]
+        key_ref = ray.put(
+            pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray)
+                              else p for p in parts])
+            if parts else pa.array([], pa.string())
+        )
+
+        def _filter(batch: pa.Table) -> pa.Table:
+            sig = _sig_hex(batch, None).column("sig")
+            fresh = pc.invert(pc.is_in(sig, value_set=ray.get(key_ref)))
+            kept = batch.filter(fresh)
+            return kept.select(out_cols) if out_cols else kept
+
+        out = ds_new.map_batches(_filter, batch_format="pyarrow")
+        return out.sort(id_col) if sort_output else out
+
+    # key-reduced anti-join path: only (id, sig) rows ride the exchange.
+    # repartition both key-bounded sides so no schema-less empty block
+    # reaches the join shuffle (groupby outputs can carry empty blocks
+    # whose lost schema breaks the Arrow hash join)
+    new_sigs = ds_new.map_batches(
+        lambda b: _sig_hex(b, [id_col]), batch_format="pyarrow"
+    ).repartition(16)
+    surviving = new_sigs.join(
+        old_keys.repartition(8), join_type="left_anti",
+        num_partitions=16, on=("sig",),
+    ).select_columns([id_col]).materialize()
+    # surviving ids are ≤ new rows; the id broadcast is bounded like the
+    # repo's other driver-side bounds (~160 MB of int64 at the limit)
+    assert surviving.count() <= 20_000_000, (
+        "surviving-id set too large for the id broadcast; "
+        "pre-partition the new side"
+    )
+    ids_ref = ray.put(pa.concat_arrays([
+        b.column(id_col).combine_chunks() if isinstance(b.column(id_col), pa.ChunkedArray)
+        else b.column(id_col)
+        for b in surviving.iter_batches(batch_format="pyarrow")
+    ] or [pa.array([], pa.int64())]))
+
+    def _semi(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.is_in(batch.column(id_col), value_set=ray.get(ids_ref)))
+        return kept.select(out_cols) if out_cols else kept
+
+    out = ds_new.map_batches(_semi, batch_format="pyarrow")
+    return out.sort(id_col) if sort_output else out

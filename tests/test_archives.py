@@ -164,3 +164,33 @@ def test_cli_report_over_tarballs(ray_session, archives, tmp_path):
 
     anom = pa.concat_tables(tables).to_pandas()
     assert anom["text"].str.contains("kernel panic").any()
+
+
+def test_dataset_harness_accepts_tarball_pairs(ray_session, tmp_path):
+    """A conformance dataset dir whose .good/.fail are tarballs runs the
+    same train/report/expect flow as plain text fixtures."""
+    import yaml
+
+    from logjuicer_ray.dataset_test import run_dataset_dir
+
+    d = tmp_path / "tar-dataset"
+    d.mkdir()
+    _make_archive(
+        str(d / "svc.good.tar"),
+        [("logs/service.log", "\n".join(GOOD_LINES).encode())],
+    )
+    _make_archive(
+        str(d / "svc.fail.tar.gz"),
+        [("logs/service.log", "\n".join(FAIL_LINES).encode())],
+        mode="w:gz",
+    )
+    (d / "inf.yaml").write_text(yaml.safe_dump({
+        "anomalies": [{"line": "kernel panic unable to mount root"}],
+    }))
+    res = run_dataset_dir(str(d))
+    assert res.ok, res.message
+    # a wrong expectation must fail loudly
+    (d / "inf.yaml").write_text(yaml.safe_dump({
+        "anomalies": [{"line": "this line is not in the data"}],
+    }))
+    assert not run_dataset_dir(str(d)).ok

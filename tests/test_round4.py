@@ -259,3 +259,57 @@ def test_unigram_logprob_semantics(ray_session):
     assert abs(out["avg_logprob"][0] - round(want1, 4)) < 1e-9
     assert abs(out["avg_logprob"][1] - round(want2, 4)) < 1e-9
     assert list(out["n_tokens"]) == [4, 2]
+
+
+# ---------------------------------------------------------- dedup_against
+
+
+def _snapshot_ds(rows):
+    import ray.data as rd
+
+    return rd.from_items(rows)
+
+
+def test_dedup_against_broadcast_and_join_paths_agree(ray_session):
+    from logjuicer_ray.functions.dedup import dedup_against
+
+    old = _snapshot_ds(
+        [{"doc_id": i, "text": f"shared doc {i % 10}"} for i in range(30)]
+    )
+    new = _snapshot_ds(
+        [{"doc_id": 100 + i, "text": f"shared doc {i}"} for i in range(25)]
+    )
+    # texts "shared doc 0".."shared doc 9" exist in old; 10..24 are fresh
+    want_ids = [100 + i for i in range(10, 25)]
+    bc = dedup_against(new, old).to_pandas()
+    assert list(bc["doc_id"]) == want_ids
+    jn = dedup_against(new, old, broadcast_keys=1).to_pandas()
+    assert list(jn["doc_id"]) == want_ids
+    assert list(bc.columns) == list(jn.columns)
+
+
+def test_dedup_against_empty_old_keeps_everything(ray_session):
+    from logjuicer_ray.functions.dedup import dedup_against
+
+    old = _snapshot_ds([{"doc_id": 1, "text": "x"}]).filter(
+        lambda r: False
+    )
+    new = _snapshot_ds([{"doc_id": i, "text": f"t{i}"} for i in range(5)])
+    out = dedup_against(new, old).to_pandas()
+    assert list(out["doc_id"]) == [0, 1, 2, 3, 4]
+
+
+def test_dedup_against_keep_cols_and_null_text(ray_session):
+    from logjuicer_ray.functions.dedup import dedup_against
+
+    old = _snapshot_ds([{"doc_id": 1, "text": None, "src": "a"}])
+    new = _snapshot_ds(
+        [
+            {"doc_id": 2, "text": None, "src": "b"},   # null == null ("")
+            {"doc_id": 3, "text": "", "src": "b"},      # "" == null-as-""
+            {"doc_id": 4, "text": "fresh", "src": "b"},
+        ]
+    )
+    out = dedup_against(new, old, keep_cols=["doc_id", "src"]).to_pandas()
+    assert list(out["doc_id"]) == [4]
+    assert list(out.columns) == ["doc_id", "src"]
