@@ -2830,6 +2830,22 @@ def _q_unigram_logprob(sf_dir: str):
     return unigram_logprob(docs, min_count=2)
 
 
+def _q_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup over the embeddings table (no_oracle:
+    k-means assignment is iterative, not SQL-expressible — the kernel is
+    verified by a scalar union-find reference and partition-invariance
+    pytest; deterministic across runs and cluster sizes)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.knn import semdedup
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    # τ=0.45 matches embedding_dedup's threshold for this synthetic table
+    # (cosines are diffuse; at the paper's 0.95 no pair qualifies here)
+    return semdedup(emb, n_clusters=8, tau=0.45)
+
+
 def _q_turns_dedup_against(sf_dir: str):
     """Incremental corpus update: per-conversation count of TARGET lines
     whose digit/hex-normalized form is NOT already in the baseline
@@ -2986,6 +3002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_quantiles_hist": _q_lineitem_quantiles_hist,
         "multimodal_features": _q_multimodal_features,
         "distinct_users_hll": _q_distinct_users_hll,
+        "semdedup_embeddings": _q_semdedup,
     }
 
 

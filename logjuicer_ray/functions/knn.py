@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["knn_brute_force", "knn_ivf", "kmeans_fit", "kmeans_distributed",
+__all__ = ["knn_brute_force", "knn_ivf", "kmeans_fit", "kmeans_distributed", "semdedup",
            "grouped_centroids", "quantize_embeddings"]
 
 
@@ -241,9 +241,35 @@ def kmeans_distributed(ds, *, n_clusters: int = 16, iters: int = 5,
     ``ds.map_batches(assign_fn)`` for the final labeling pass."""
     import ray
 
+    from .hashing import splitmix64
+
     n = ds.count()
-    frac = min(1.0, (sample_size * 1.25) / max(1, n))
-    sample_rows = ds.random_sample(frac, seed=seed).limit(sample_size).to_pandas()
+    # deterministic content-hash init: the sample is the sample_size rows
+    # with the smallest splitmix64(id XOR seed) — independent of block
+    # layout, read order and run history (random_sample is seeded per
+    # TASK, so its sample shifts whenever the block layout does, making
+    # k-means labels non-deterministic across runs/cluster sizes)
+    frac = (sample_size * 1.5) / max(1, n)
+    if frac >= 1.0:
+        threshold = np.uint64((1 << 64) - 1)  # keep everything
+    else:
+        threshold = np.uint64(int(frac * float(1 << 64)))
+
+    def _hash_pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        hv = splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
+        keep = hv <= threshold
+        t = batch.filter(pa.array(keep)).select([id_col, vec_col])
+        # order-preserving int64 view of the uint64 hash (flip the sign bit)
+        enc = (hv[keep] ^ np.uint64(1 << 63)).view(np.int64)
+        return t.append_column("__h", pa.array(enc))
+
+    sample_rows = (
+        ds.map_batches(_hash_pick, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["__h", id_col])
+        .head(sample_size)
+    )
     if len(sample_rows) < n_clusters:
         sample_rows = ds.limit(max(n_clusters, sample_size)).to_pandas()
     centroids = kmeans_fit(
@@ -341,3 +367,80 @@ def quantize_embeddings(ds, *, id_col: str = "vec_id",
         })
 
     return ds.map_batches(_quant, batch_format="pyarrow")
+
+
+def semdedup(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
+             n_clusters: int = 16, iters: int = 5, tau: float = 0.95,
+             seed: int = 42, max_cluster_rows: int = 100_000):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication — k-means cluster the embeddings, then inside each
+    cluster drop all but one of every group of vectors whose pairwise
+    cosine similarity reaches ``tau``.  Near-duplicate MEANING, not
+    near-duplicate text: catches paraphrases MinHash can't.
+
+    Ray shape: :func:`kmeans_distributed` (broadcast centroids, per-block
+    partials, zero shuffle per iteration) assigns clusters in the same
+    pass that routes rows; ONE keyed shuffle moves (id, vector) rows to
+    their cluster; within a cluster the similarity graph is a dense GEMM
+    (m × m, bounded by ``max_cluster_rows`` — asserted, like the fuzzy
+    blocking cap) and survivors are the min-id representative of each
+    connected component (union-find over the τ-edges — deterministic
+    under any partitioning).  At corpus scale, raise ``n_clusters`` to
+    keep clusters inside the cap; the paper's setting is k ≈ corpus/1e4.
+
+    Returns (id, cluster, kept, rep_id) sorted by id: ``kept`` marks
+    survivors, ``rep_id`` is the surviving representative of the row's
+    duplicate group (its own id for singletons/survivors).
+    """
+
+    centroids, assign_fn = kmeans_distributed(
+        ds, n_clusters=n_clusters, iters=iters, id_col=id_col,
+        vec_col=vec_col, seed=seed,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = assign_fn(batch)
+        return t.select([id_col, vec_col, "cluster"])
+
+    def dedup_cluster(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        assert m <= max_cluster_rows, (
+            f"semdedup cluster of {m} rows exceeds max_cluster_rows="
+            f"{max_cluster_rows}; raise n_clusters"
+        )
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids = ids[order]
+        vecs = _normalize(np.asarray(
+            group.column(vec_col).take(pa.array(order)).to_pylist(),
+            dtype=np.float32,
+        ))
+        # union-find over τ-edges; ids pre-sorted so root = min id
+        parent = np.arange(m)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        sim = vecs @ vecs.T
+        ia, ib = np.nonzero(np.triu(sim >= tau, k=1))
+        for a, b in zip(ia.tolist(), ib.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(m)])
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "cluster": group.column("cluster").take(pa.array(order)),
+            "kept": pa.array(roots == np.arange(m)),
+            "rep_id": pa.array(ids[roots], pa.int64()),
+        })
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(dedup_cluster, batch_format="pyarrow")
+        .sort(id_col)
+    )

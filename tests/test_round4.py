@@ -313,3 +313,55 @@ def test_dedup_against_keep_cols_and_null_text(ray_session):
     out = dedup_against(new, old, keep_cols=["doc_id", "src"]).to_pandas()
     assert list(out["doc_id"]) == [4]
     assert list(out.columns) == ["doc_id", "src"]
+
+
+# --------------------------------------------------------------- semdedup
+
+
+def test_semdedup_known_duplicate_groups(ray_session):
+    import ray.data as rd
+
+    from logjuicer_ray.functions.knn import semdedup
+
+    rng = np.random.RandomState(5)
+    # two well-separated base directions, 4 near-copies of each, plus
+    # 12 far-apart singletons
+    rows = []
+    base_a = rng.randn(32); base_b = -base_a + rng.randn(32) * 3
+    for i in range(4):
+        rows.append({"vec_id": i, "embedding": (base_a + rng.randn(32) * 0.01).tolist()})
+    for i in range(4, 8):
+        rows.append({"vec_id": i, "embedding": (base_b + rng.randn(32) * 0.01).tolist()})
+    for i in range(8, 20):
+        rows.append({"vec_id": i, "embedding": rng.randn(32).tolist()})
+    out = semdedup(rd.from_items(rows), n_clusters=4, tau=0.95).to_pandas()
+    assert len(out) == 20
+    g_a = out[out["vec_id"] < 4]
+    g_b = out[(out["vec_id"] >= 4) & (out["vec_id"] < 8)]
+    # each near-copy group keeps exactly its min id
+    assert g_a["kept"].sum() == 1 and bool(out.loc[out["vec_id"] == 0, "kept"].iloc[0])
+    assert (g_a["rep_id"] == 0).all()
+    assert g_b["kept"].sum() == 1 and bool(out.loc[out["vec_id"] == 4, "kept"].iloc[0])
+    assert (g_b["rep_id"] == 4).all()
+    singles = out[out["vec_id"] >= 8]
+    assert singles["kept"].all()
+    assert (singles["rep_id"] == singles["vec_id"]).all()
+
+
+def test_semdedup_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from logjuicer_ray.functions.knn import semdedup
+
+    base = None
+    for par in (1, 6):
+        ds = rd.read_parquet(
+            "/root/testdata/sf0.001/embeddings.parquet",
+            columns=["vec_id", "embedding"], override_num_blocks=par,
+        )
+        out = semdedup(ds, n_clusters=8, tau=0.9).to_pandas()
+        key = list(zip(out["vec_id"], out["kept"], out["rep_id"]))
+        if base is None:
+            base = key
+        else:
+            assert key == base
