@@ -78,6 +78,16 @@ def _read_input(path, *, split, args, block_mib=None):
         return read_archive_lines(
             path, target_config=getattr(args, "_target_config", None)
         )
+    if path:
+        from .sources.journal import is_journal_path
+
+        if is_journal_path(path) or (
+            os.path.isdir(path)
+            and any(is_journal_path(f) for f in os.listdir(path))
+        ):
+            from .sources.journal import read_journal_lines
+
+            return read_journal_lines(path)
     return read_turns(path, split=split, columns=ENGINE_COLUMNS,
                       block_mib=block_mib)
 
@@ -198,7 +208,10 @@ def cmd_errors(args) -> int:
     model = None
     if args.model and os.path.exists(os.path.join(args.model, "manifest.json")):
         model = Model.load(args.model)
-    elif args.baseline or args.baseline_split:
+    elif args.baseline or (args.input and args.baseline_split):
+        # errors-with-model needs a baseline SOURCE: an explicit --baseline
+        # or a --input table carrying the baseline split.  A --target-only
+        # run (e.g. a single .journal file) scans without a model.
         baseline = _apply_source_filter(
             _read_input(args.baseline or args.input, split=args.baseline_split, args=args), args
         )

@@ -69,6 +69,16 @@ def _decompress_member(name: str, data: bytes) -> bytes:
 
 
 def _entry_rows(url: str, data: bytes, max_entry_bytes: int):
+    from .journal import is_journal_path, journal_lines
+
+    if is_journal_path(url.rsplit("&sub=", 1)[-1].split("?entry=", 1)[-1]):
+        # a .journal member inside an archive parses as a binary journal
+        # (source.rs:34 dispatches by entry suffix, not container)
+        try:
+            lines = [line for line, _pos in journal_lines(io.BytesIO(data))]
+        except (ValueError, EOFError):
+            lines = []  # not actually a journal / truncated: no rows
+        return url, lines
     if len(data) > max_entry_bytes:
         cut = data.rfind(b"\n", 0, max_entry_bytes)
         data = data[: cut + 1 if cut >= 0 else max_entry_bytes]
