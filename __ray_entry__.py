@@ -2830,6 +2830,19 @@ def _q_unigram_logprob(sf_dir: str):
     return unigram_logprob(docs, min_count=2)
 
 
+def _q_entropy_docs(sf_dir: str):
+    """Per-doc character Shannon entropy (nats, 4 decimals) — gibberish /
+    binary-spill quality signal; stateless vectorized map (functions/text.py
+    char_entropy_batch)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.text import add_char_entropy
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return add_char_entropy(docs).sort("doc_id")
+
+
 def _q_semdedup(sf_dir: str):
     """SemDeDup semantic dedup over the embeddings table (no_oracle:
     k-means assignment is iterative, not SQL-expressible — the kernel is
@@ -2989,6 +3002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_sample_docs": _q_priority_sample,
         "unigram_logprob_docs": _q_unigram_logprob,
         "turns_dedup_against": _q_turns_dedup_against,
+        "entropy_docs": _q_entropy_docs,
         # no_oracle tail: genuinely non-SQL surfaces (token grammar, 260k-dim
         # hashed cosine, approximate sketches, multimodal stubs) — covered by
         # fixture/parity pytest instead of the driver hash compare.
@@ -4152,6 +4166,18 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT conv_id, COUNT(*) AS n_new FROM nw "
             f"WHERE n NOT IN (SELECT n FROM o) "
             f"GROUP BY conv_id ORDER BY conv_id"
+        ),
+        "entropy_docs": (
+            # codepoint-level split (RE2 empty pattern) — NULL/empty text
+            # docs produce no rows, matching the engine's skip
+            "WITH ch AS (SELECT doc_id, unnest(regexp_split_to_array(text, '')) "
+            "AS c FROM documents WHERE text IS NOT NULL AND text <> ''), "
+            "cnt AS (SELECT doc_id, c, COUNT(*)::DOUBLE AS n FROM ch "
+            "GROUP BY doc_id, c), "
+            "tot AS (SELECT doc_id, SUM(n) AS t FROM cnt GROUP BY doc_id) "
+            "SELECT cnt.doc_id, ROUND(-SUM((n / t) * ln(n / t)), 4) "
+            "AS char_entropy FROM cnt JOIN tot USING (doc_id) "
+            "GROUP BY cnt.doc_id ORDER BY cnt.doc_id"
         ),
         "unigram_logprob_docs": (
             # same tokenization as the engine (whitespace split, '' dropped);

@@ -25,6 +25,8 @@ __all__ = [
     "add_fingerprints",
     "add_redaction",
     "add_repetition",
+    "char_entropy_batch",
+    "add_char_entropy",
 ]
 
 # default PII scrub chain (training-data hygiene): applied IN ORDER, each
@@ -246,3 +248,38 @@ def add_lang_id(ds, **kw):
 
 def add_fingerprints(ds, **kw):
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow", fn_kwargs=kw)
+
+
+def char_entropy_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       round_digits: int = 4) -> pa.Table:
+    """Per-document Shannon entropy over characters (nats) — the classic
+    gibberish / binary-spill / single-char-spam signal: natural text sits
+    ~2.5-4.5, base64 blobs and padded junk sit far outside.  Codepoint
+    counting per doc is a numpy ``unique`` over the utf-32 view (no
+    per-char Python).  Docs with NULL or empty text emit no row (the SQL
+    unnest produces no rows for them).
+    """
+    import numpy as np
+
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    out_id, out_e = [], []
+    for doc_id, t in zip(ids, texts):
+        if not t:
+            continue
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        counts = np.unique(cp, return_counts=True)[1].astype(np.float64)
+        p = counts / counts.sum()
+        out_id.append(doc_id)
+        out_e.append(round(float(-(p * np.log(p)).sum()), round_digits))
+    return pa.table({
+        id_col: pa.array(out_id, pa.int64()),
+        "char_entropy": pa.array(out_e, pa.float64()),
+    })
+
+
+def add_char_entropy(ds, **kw):
+    return ds.map_batches(
+        lambda b: char_entropy_batch(b, **kw), batch_format="pyarrow"
+    )

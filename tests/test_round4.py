@@ -365,3 +365,39 @@ def test_semdedup_partition_invariance(ray_session):
             base = key
         else:
             assert key == base
+
+
+def test_char_entropy_oracle_and_semantics(ray_session, duck):
+    import math
+
+    import ray.data as rd
+
+    from logjuicer_ray.functions.text import add_char_entropy
+
+    # hand-computed: "aab" -> p = (2/3, 1/3); empty/None -> no row
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "aab"},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": None},
+        {"doc_id": 4, "text": "zzzz"},  # single symbol: entropy 0
+    ])
+    out = add_char_entropy(ds).sort("doc_id").to_pandas()
+    assert list(out["doc_id"]) == [1, 4]
+    want = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+    assert abs(out["char_entropy"][0] - round(want, 4)) < 1e-9
+    assert out["char_entropy"][1] == 0.0
+
+    docs = _docs(["doc_id", "text"])
+    got = add_char_entropy(docs).sort("doc_id").to_pandas()
+    oracle = duck.sql("""
+        WITH ch AS (SELECT doc_id, unnest(regexp_split_to_array(text, ''))
+             AS c FROM documents WHERE text IS NOT NULL AND text <> ''),
+        cnt AS (SELECT doc_id, c, COUNT(*)::DOUBLE AS n FROM ch
+                GROUP BY doc_id, c),
+        tot AS (SELECT doc_id, SUM(n) AS t FROM cnt GROUP BY doc_id)
+        SELECT cnt.doc_id, ROUND(-SUM((n / t) * ln(n / t)), 4)
+        AS char_entropy FROM cnt JOIN tot USING (doc_id)
+        GROUP BY cnt.doc_id ORDER BY cnt.doc_id
+    """).df()
+    assert list(got["doc_id"]) == list(oracle["doc_id"])
+    assert np.allclose(got["char_entropy"], oracle["char_entropy"], atol=2e-4)
