@@ -62,13 +62,78 @@ def _config_from_args(args) -> "PipelineConfig":
     return cfg
 
 
+def _is_url(path) -> bool:
+    return bool(path) and (path.startswith("http://") or path.startswith("https://"))
+
+
+def _fetcher_from_args(args):
+    from .sources.remote import HttpFetcher, LocalMirrorFetcher
+
+    mirror = getattr(args, "mirror", None)
+    return LocalMirrorFetcher(mirror) if mirror else HttpFetcher()
+
+
+def _read_url(url, *, args, role: str = "file"):
+    """Remote input: classify the URL (zuul build / prow view / httpdir
+    directory / single file, urls.rs:10-22), discover its file list on
+    the driver (metadata-plane), then read the files with one Ray task
+    each (sources/remote.py)."""
+    from .sources.remote import content_from_url, read_url_lines, sources_for_content
+
+    fetcher = _fetcher_from_args(args)
+    kind, obj = content_from_url(url, fetcher)
+    prefix, files = sources_for_content(kind, obj, fetcher)
+    return read_url_lines(
+        files, prefix, fetcher,
+        role=role, target_config=getattr(args, "_target_config", None),
+    )
+
+
+def _discover_remote_baseline(url, args):
+    """No --baseline/--model with a zuul/prow target URL: discover the
+    best SUCCESS build of the same job to train on (the reference's
+    auto-baseline flow, zuul.rs:156-176 / prow.rs:131-152)."""
+    from .sources.remote import (
+        content_from_url,
+        read_url_lines,
+        sources_for_content,
+        zuul_discover_baselines,
+        prow_discover_baselines,
+    )
+
+    fetcher = _fetcher_from_args(args)
+    kind, obj = content_from_url(url, fetcher)
+    if kind == "zuul":
+        baselines = zuul_discover_baselines(obj, fetcher)
+    elif kind == "prow":
+        baselines = prow_discover_baselines(obj, fetcher)
+    else:
+        return None
+    if not baselines:
+        raise SystemExit(f"no baseline found for {url}")
+    datasets = []
+    for b in baselines:
+        prefix, files = sources_for_content(kind, b, fetcher)
+        datasets.append(
+            read_url_lines(files, prefix, fetcher,
+                           target_config=getattr(args, "_target_config", None))
+        )
+    ds = datasets[0]
+    for other in datasets[1:]:
+        ds = ds.union(other)
+    return ds
+
+
 def _read_input(path, *, split, args, block_mib=None):
-    """Dispatch an input path: turns parquet (the engine's native table)
-    or a tarball / directory of tarballs (source.rs:95-160 analog — each
+    """Dispatch an input path: turns parquet (the engine's native table),
+    a tarball / directory of tarballs (source.rs:95-160 analog — each
     entry becomes a source grouped by its IndexName; the ``split`` column
-    does not exist in archives, so split filters don't apply)."""
+    does not exist in archives, so split filters don't apply), or a
+    remote URL (zuul/prow/httpdir)."""
     from .sources.transcripts import ENGINE_COLUMNS, read_turns
 
+    if _is_url(path):
+        return _read_url(path, args=args)
     if path and (
         _is_tarball_input(path)
         or (os.path.isdir(path) and _dir_has_tarballs(path))
@@ -170,9 +235,15 @@ def cmd_report(args) -> int:
     if args.model and os.path.exists(os.path.join(args.model, "manifest.json")):
         model = Model.load(args.model)
     else:
-        baseline = _apply_source_filter(
-            _read_input(args.baseline or args.input, split=args.baseline_split, args=args), args
-        )
+        if not (args.baseline or args.input) and _is_url(args.target):
+            baseline = _discover_remote_baseline(args.target, args)
+            if baseline is None:
+                raise SystemExit(f"--baseline required for {args.target}")
+        else:
+            baseline = _read_input(
+                args.baseline or args.input, split=args.baseline_split, args=args
+            )
+        baseline = _apply_source_filter(baseline, args)
         model = train(baseline, cfg, metrics=metrics)
         if args.model:
             model.save(args.model)
@@ -328,6 +399,11 @@ def main(argv=None) -> int:
         sp.add_argument("--keep-duplicate", action="store_true")
         sp.add_argument("--config", help="user config file (.yaml/.json)")
         sp.add_argument("--job-name", default="", help="job name matched against the config file's matcher entries")
+        sp.add_argument(
+            "--mirror",
+            help="serve http(s):// inputs from this local directory tree "
+                 "(root/<host>/<path>) instead of the network",
+        )
         sp.add_argument(
             "--sorted-input",
             action="store_true",
