@@ -153,8 +153,26 @@ def _read_input(path, *, split, args, block_mib=None):
             from .sources.journal import read_journal_lines
 
             return read_journal_lines(path)
+    if path and _is_raw_path(path):
+        # plain log file or directory of raw log files
+        # (files.rs:12-22 content_from_path / :59-68 dir_iter analog)
+        from .sources.rawfiles import read_file_lines
+
+        return read_file_lines(
+            path, target_config=getattr(args, "_target_config", None)
+        )
     return read_turns(path, split=split, columns=ENGINE_COLUMNS,
                       block_mib=block_mib)
+
+
+def _is_raw_path(path: str) -> bool:
+    """A local non-parquet file, or a directory containing no parquet
+    parts (tarballs and journals are dispatched before this check)."""
+    if os.path.isfile(path):
+        return not path.endswith(".parquet")
+    if os.path.isdir(path):
+        return not any(f.endswith(".parquet") for f in os.listdir(path))
+    return False
 
 
 def _is_tarball_input(path: str) -> bool:
@@ -239,6 +257,21 @@ def cmd_report(args) -> int:
             baseline = _discover_remote_baseline(args.target, args)
             if baseline is None:
                 raise SystemExit(f"--baseline required for {args.target}")
+        elif (
+            not (args.baseline or args.input)
+            and args.target
+            and os.path.isfile(args.target)
+        ):
+            # rotated-file baseline discovery (files.rs:25-31): the
+            # implicit baseline of service.log is service.log.0
+            from .sources.rawfiles import rotated_baseline_path
+
+            rotated = rotated_baseline_path(args.target)
+            if rotated is None:
+                raise SystemExit(
+                    f"no baseline: {args.target}.0 not found (pass --baseline)"
+                )
+            baseline = _read_input(rotated, split=args.baseline_split, args=args)
         else:
             baseline = _read_input(
                 args.baseline or args.input, split=args.baseline_split, args=args
