@@ -48,10 +48,19 @@ def _dataset_to_table(ds):
 _REPORT_CACHE: dict[str, Any] = {}
 
 
+def _session_stamp() -> str:
+    """Changes whenever ray.shutdown()+init happens in this process — the
+    exact event that invalidates cached Datasets (their object refs die
+    with the session)."""
+    import ray
+
+    return ray.get_runtime_context().get_job_id() if ray.is_initialized() else ""
+
+
 def _report_outputs(sf_dir: str):
-    out = _REPORT_CACHE.get(sf_dir)
-    if out is not None:
-        return out
+    cached = _REPORT_CACHE.get(sf_dir)
+    if cached is not None and cached[0] == _session_stamp():
+        return cached[1]
     from logjuicer_ray.config import PipelineConfig
     from logjuicer_ray.pipelines.report import run_report
     from logjuicer_ray.pipelines.train import train
@@ -62,7 +71,7 @@ def _report_outputs(sf_dir: str):
     cfg = PipelineConfig(sorted_input=True)
     model = train(base, cfg)
     out = run_report(target, model, cfg)
-    _REPORT_CACHE[sf_dir] = out
+    _REPORT_CACHE[sf_dir] = (_session_stamp(), out)
     return out
 
 

@@ -488,10 +488,14 @@ def main(argv=None) -> int:
     sp.set_defaults(fn=cmd_test)
 
     args = p.parse_args(argv)
-    rc = args.fn(args)
     import ray
 
-    if ray.is_initialized():
+    # Only tear down a Ray session this invocation created: shutting down a
+    # pre-existing session would invalidate the caller's live object refs
+    # (e.g. a test harness or notebook that owns the session).
+    owns_session = not ray.is_initialized()
+    rc = args.fn(args)
+    if owns_session and ray.is_initialized():
         ray.shutdown()
     return rc
 
