@@ -393,6 +393,264 @@ def cmd_similarity(args) -> int:
     return 0
 
 
+def cmd_zuul_build(args) -> int:
+    """In-CI mode (``logjuicer zuul-build LOG_ROOT --api-url URL``,
+    model.rs:344-355): the target is the LOCAL build directory (the
+    executor's log_root, walked like any raw dir); the build identity
+    comes from ``zuul-info/inventory.yaml``; baselines are discovered
+    through the Zuul API and read remotely."""
+    _init_ray(args.num_cpus)
+    from .pipelines.report import run_report
+    from .pipelines.train import train
+    from .sources.rawfiles import read_file_lines
+    from .sources.remote import (
+        read_url_lines,
+        zuul_build_from_inventory,
+        zuul_discover_baselines,
+        zuul_sources,
+    )
+
+    inv_path = os.path.join(args.log_root, "zuul-info", "inventory.yaml")
+    with open(inv_path) as f:
+        build = zuul_build_from_inventory(args.api_url, f.read())
+    if not getattr(args, "job_name", ""):
+        # config matchers resolve against the build's own job name
+        args.job_name = build.job_name
+    cfg = _config_from_args(args)
+    fetcher = _fetcher_from_args(args)
+    baselines = zuul_discover_baselines(build, fetcher)
+    if not baselines:
+        raise SystemExit(f"no baseline found for {build.job_name}")
+    tc = getattr(args, "_target_config", None)
+    datasets = []
+    for b in baselines:
+        prefix, files = zuul_sources(b, fetcher)
+        datasets.append(read_url_lines(files, prefix, fetcher, target_config=tc))
+    baseline_ds = datasets[0]
+    for other in datasets[1:]:
+        baseline_ds = baseline_ds.union(other)
+    model = train(_apply_source_filter(baseline_ds, args), cfg)
+    target = _apply_source_filter(read_file_lines(args.log_root, target_config=tc), args)
+    out = run_report(target, model, cfg)
+    os.makedirs(args.out, exist_ok=True)
+    summary = _write_outputs(
+        out, args.out,
+        inputs=[args.log_root] + [b.log_url for b in baselines],
+        extra_summary={"baselines": [b.uuid for b in baselines]},
+    )
+    if not args.quiet:
+        _print_anomalies(out["anomalies"])
+        print(json.dumps(summary))
+    return 0
+
+
+def cmd_download_logs(args) -> int:
+    """``logjuicer download-logs DEST URL`` (cli/src/downloader.rs:21-37):
+    resolve the url's source list, then fetch each file to
+    ``DEST/<relative path>`` with a small worker pool (local-disk fan-in —
+    a single-node utility by construction, like the reference's
+    ThreadPool(5))."""
+    from concurrent.futures import ThreadPoolExecutor
+    from urllib.parse import unquote
+
+    from .sources.remote import content_from_url, sources_for_content
+
+    fetcher = _fetcher_from_args(args)
+    kind, obj = content_from_url(args.url, fetcher)
+    prefix, files = sources_for_content(kind, obj, fetcher)
+
+    def fetch_one(url: str) -> str | None:
+        data = fetcher.get(url)
+        if data is None:
+            return None
+        path = os.path.join(args.dest, unquote(url[prefix:]))
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(data)
+        if not args.quiet:
+            print(f"Fetching {url} to {path}")
+        return path
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        written = [p for p in pool.map(fetch_one, files) if p]
+    if not args.quiet:
+        print(json.dumps({"files": len(written)}))
+    return 0
+
+
+def cmd_check_model(args) -> int:
+    """``logjuicer check-model --model DIR [--max-age DAYS]``
+    (cli/src/main.rs:285-320): exit 1 when the model is unreadable or
+    older than the given age."""
+    from .state.model import Model
+
+    try:
+        model = Model.load(args.model)
+    except Exception as e:
+        print(f"invalid model: {e}", file=sys.stderr)
+        return 1
+    if args.max_age is not None:
+        if model.is_stale([], max_age_s=args.max_age * 86400.0):
+            print(f"model is older than {args.max_age} days", file=sys.stderr)
+            return 1
+    if not args.quiet:
+        print(
+            json.dumps(
+                {
+                    "created_at": model.created_at,
+                    "groups": {k: v.index.nrows for k, v in sorted(model.indexes.items())},
+                }
+            )
+        )
+    return 0
+
+
+def cmd_read_report(args) -> int:
+    """``logjuicer read-report DIR`` (main.rs ReadReport): print a saved
+    report's anomalies."""
+    _init_ray(args.num_cpus)
+    from .pipelines.report import load_report
+
+    try:
+        rep = load_report(args.dir)
+    except FileNotFoundError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    if not args.quiet:
+        _print_anomalies(rep["anomalies"])
+        print(json.dumps({name: ds.count() for name, ds in rep.items()}))
+    return 0
+
+
+def cmd_filter_report(args) -> int:
+    """``logjuicer filter-report`` (main.rs:707-719, filter.rs:150-166):
+    drop target-report anomalies already present in baseline reports.
+    Baseline anomaly lines build one token index per IndexName
+    (filter.rs:15-31); each target conversation re-scores against its
+    group's index (ansible sources also check the before-context)."""
+    _init_ray(args.num_cpus)
+    from .filtering import filter_anomalies, is_ansible_conv
+    from .index_name import group_key
+    from .pipelines.report import load_report
+    from .sinks import write_sink
+    from .tokenizer import process as tokenize
+    from .vectorize import build_index
+
+    import pyarrow as pa
+
+    # 1. index the baseline reports' anomaly lines per group
+    tokens_by_key: dict[str, list[str]] = {}
+    for d in args.baselines:
+        try:
+            rep = load_report(d)
+        except FileNotFoundError:
+            continue  # baseline report had no anomalies: nothing to index
+        for row in rep["anomalies"].iter_rows():
+            key = group_key(row["role"], row["tool"])
+            tokens_by_key.setdefault(key, []).append(tokenize(row["text"]))
+    indexes = {k: build_index(v) for k, v in tokens_by_key.items()}
+
+    # 2. re-score the target's anomalies conversation by conversation
+    target = load_report(args.target_report)
+    if "anomalies" not in target:
+        raise SystemExit(f"no anomalies sink under {args.target_report}")
+    by_conv: dict[str, list[dict]] = {}
+    for row in target["anomalies"].iter_rows():
+        by_conv.setdefault(row["conv_id"], []).append(row)
+    kept: list[dict] = []
+    for conv, rows in sorted(by_conv.items()):
+        index = indexes.get(group_key(rows[0]["role"], rows[0]["tool"]))
+        if index is None:
+            kept.extend(rows)  # no baseline for this group: keep everything
+        else:
+            kept.extend(
+                filter_anomalies(index, rows, check_before=is_ansible_conv(conv))
+            )
+
+    os.makedirs(args.out, exist_ok=True)
+    import ray.data as rd
+
+    schema = pa.schema(
+        zip(target["anomalies"].schema().names, target["anomalies"].schema().types)
+    )
+    if kept:
+        table = pa.table(
+            {n: pa.array([r[n] for r in kept], schema.field(n).type) for n in schema.names}
+        )
+    else:
+        table = schema.empty_table()
+    manifest = write_sink(
+        rd.from_arrow(table), os.path.join(args.out, "anomalies"),
+        inputs=[args.target_report] + list(args.baselines),
+    )
+    total = sum(len(v) for v in by_conv.values())
+    if not args.quiet:
+        print(json.dumps({"kept": manifest["rows"], "dropped": total - manifest["rows"]}))
+    return 0
+
+
+def cmd_http_ls(args) -> int:
+    """``logjuicer http-ls URL`` (main.rs:329-333): print every file url
+    under an autoindex tree (request cap 20000 like the reference)."""
+    from .sources.remote import httpdir_list
+
+    files, errors = httpdir_list(args.url, _fetcher_from_args(args), request_max=20000)
+    for f in files:
+        print(f)
+    for e in errors:
+        print(e, file=sys.stderr)
+    return 1 if errors else 0
+
+
+def cmd_debug_groups(args) -> int:
+    """``logjuicer debug-groups`` (main.rs DebugGroups): per-group line
+    counts of a target input."""
+    _init_ray(args.num_cpus)
+    from .index_name import group_key
+
+    ds = _read_input(args.target, split=args.target_split, args=args)
+    counts = ds.groupby(["role", "tool"]).count().take_all()
+    for row in sorted(counts, key=lambda r: (r["role"], r["tool"])):
+        print(f"{group_key(row['role'], row['tool'])}: {row['count()']}")
+    return 0
+
+
+def cmd_debug_tokenizer(args) -> int:
+    from .tokenizer import process as tokenize
+
+    print(tokenize(args.line))
+    return 0
+
+
+def cmd_debug_indexname(args) -> int:
+    from .index_name import index_name_from_path
+
+    print(index_name_from_path(args.path))
+    return 0
+
+
+def cmd_debug_model(args) -> int:
+    return cmd_check_model(args)
+
+
+def cmd_debug_config(args) -> int:
+    """``logjuicer debug-config JOB FILE LINE`` (main.rs DebugConfig):
+    show what the matched config decides for a file path and a line."""
+    from .config_file import load_config
+
+    user = load_config(args.config)
+    tc = user.get_target_config(args.job)
+    print(
+        json.dumps(
+            {
+                "file_valid": tc.is_fp_valid(args.file),
+                "line_ignored": tc.is_ignored_line(args.line),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_test(args) -> int:
     """Dataset conformance verb (``logjuicer test DIR...``,
     cli/src/dataset.rs:39-78): exit 1 when any dataset fails."""
@@ -478,6 +736,69 @@ def main(argv=None) -> int:
     sp.add_argument("--ignore-pattern", action="append")
     sp.add_argument("--keep-duplicate", action="store_true")
     sp.set_defaults(fn=cmd_similarity)
+
+    sp = sub.add_parser("zuul-build", parents=[parent], help="in-CI mode: local log_root target, API-discovered baseline")
+    sp.add_argument("log_root", help="the zuul.executor.log_root directory")
+    sp.add_argument("--api-url", required=True, help="Zuul API url to fetch baselines")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--mirror")
+    sp.add_argument("--ignore-pattern", action="append")
+    sp.add_argument("--keep-duplicate", action="store_true")
+    sp.add_argument("--config", help="user config file (.yaml/.json)")
+    sp.add_argument("--job-name", default="")
+    sp.set_defaults(fn=cmd_zuul_build)
+
+    sp = sub.add_parser("download-logs", parents=[parent], help="download a url's files to a directory")
+    sp.add_argument("dest")
+    sp.add_argument("url")
+    sp.add_argument("--mirror")
+    sp.set_defaults(fn=cmd_download_logs)
+
+    sp = sub.add_parser("check-model", parents=[parent], help="validate a pre-built model")
+    sp.add_argument("--model", required=True)
+    sp.add_argument("--max-age", type=float, help="maximum model age in days")
+    sp.set_defaults(fn=cmd_check_model)
+
+    sp = sub.add_parser("read-report", parents=[parent], help="print a saved report's anomalies")
+    sp.add_argument("dir")
+    sp.set_defaults(fn=cmd_read_report)
+
+    sp = sub.add_parser("filter-report", parents=[parent], help="drop target anomalies present in baseline reports")
+    sp.add_argument("--baselines", nargs="+", required=True, help="saved baseline report dirs")
+    sp.add_argument("--target-report", required=True, help="saved target report dir")
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_filter_report)
+
+    sp = sub.add_parser("http-ls", parents=[parent], help="list httpdir urls")
+    sp.add_argument("url")
+    sp.add_argument("--mirror")
+    sp.set_defaults(fn=cmd_http_ls)
+
+    sp = sub.add_parser("debug-groups", parents=[parent], help="per-group line counts of a target")
+    sp.add_argument("--target", required=True)
+    sp.add_argument("--target-split", default="target")
+    sp.add_argument("--mirror")
+    sp.set_defaults(fn=cmd_debug_groups)
+
+    sp = sub.add_parser("debug-tokenizer", parents=[parent], help="tokenize a single line")
+    sp.add_argument("line")
+    sp.set_defaults(fn=cmd_debug_tokenizer)
+
+    sp = sub.add_parser("debug-indexname", parents=[parent], help="index name of a path")
+    sp.add_argument("path")
+    sp.set_defaults(fn=cmd_debug_indexname)
+
+    sp = sub.add_parser("debug-model", parents=[parent], help="print a saved model's manifest")
+    sp.add_argument("--model", required=True)
+    sp.add_argument("--max-age", type=float)
+    sp.set_defaults(fn=cmd_debug_model)
+
+    sp = sub.add_parser("debug-config", parents=[parent], help="what the matched config decides for a file and line")
+    sp.add_argument("job")
+    sp.add_argument("file")
+    sp.add_argument("line")
+    sp.add_argument("--config", required=True)
+    sp.set_defaults(fn=cmd_debug_config)
 
     sp = sub.add_parser("test", parents=[parent], help="validate good/fail dataset dirs (logjuicer test analog)")
     sp.add_argument("paths", nargs="+", help="dataset directories (*.good, *.fail, inf.yaml)")
