@@ -2839,6 +2839,21 @@ def _q_unigram_logprob(sf_dir: str):
     return unigram_logprob(docs, min_count=2)
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): per-doc
+    ``log p_target - log p_raw`` under Laplace-smoothed hashed
+    unigram+bigram histograms (target domain = ``lang == 'en'``);
+    one bucket groupby (≤4096 rows on the driver), λ broadcast once,
+    shuffle-free scoring pass (functions/selection.py)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.selection import dsir_logratio
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    return dsir_logratio(docs, num_buckets=4096, mode="portable")
+
+
 def _q_entropy_docs(sf_dir: str):
     """Per-doc character Shannon entropy (nats, 4 decimals) — gibberish /
     binary-spill quality signal; stateless vectorized map (functions/text.py
@@ -3012,6 +3027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob_docs": _q_unigram_logprob,
         "turns_dedup_against": _q_turns_dedup_against,
         "entropy_docs": _q_entropy_docs,
+        "dsir_weights_docs": _q_dsir_weights,
         # no_oracle tail: genuinely non-SQL surfaces (token grammar, 260k-dim
         # hashed cosine, approximate sketches, multimodal stubs) — covered by
         # fixture/parity pytest instead of the driver hash compare.
@@ -4203,6 +4219,33 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(AVG(ln(COALESCE(k.cnt, 1) / tot.total)), 4) AS avg_logprob "
             "FROM tok t LEFT JOIN kept k USING (token) CROSS JOIN tot "
             "GROUP BY t.doc_id ORDER BY t.doc_id"
+        ),
+        "dsir_weights_docs": (
+            # DSIR log importance weight: Laplace-smoothed hashed
+            # unigram+bigram histograms, target = lang 'en', 4096 buckets;
+            # bucket = md5-u64(gram) % 4096 (portable hash, hashing.py);
+            # '' tokens dropped BEFORE bigram pairing; list slice is
+            # 1-based and range() is exclusive-stop in DuckDB
+            "WITH toks AS (SELECT doc_id, lang, "
+            "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l "
+            "FROM documents WHERE text IS NOT NULL), "
+            "uni AS (SELECT doc_id, lang, unnest(l) AS g FROM toks), "
+            "bi AS (SELECT doc_id, lang, l[i] || ' ' || l[i + 1] AS g "
+            "FROM toks, LATERAL unnest(range(1, len(l))) AS t(i)), "
+            "grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi), "
+            "hashed AS (SELECT doc_id, lang, CAST(('0x' || substr(md5(g), 1, 16))"
+            "::UBIGINT % 4096 AS BIGINT) AS b FROM grams), "
+            "cnts AS (SELECT b, COUNT(*)::BIGINT AS raw_cnt, "
+            "(COUNT(*) FILTER (WHERE lang = 'en'))::BIGINT AS tgt_cnt "
+            "FROM hashed GROUP BY b), "
+            "tots AS (SELECT CAST(SUM(raw_cnt) AS DOUBLE) AS rt, "
+            "CAST(SUM(tgt_cnt) AS DOUBLE) AS tt FROM cnts), "
+            "lam AS (SELECT b, ln((tgt_cnt + 1) / (tt + 4096.0)) - "
+            "ln((raw_cnt + 1) / (rt + 4096.0)) AS lw FROM cnts, tots) "
+            "SELECT h.doc_id, COUNT(*) AS n_grams, "
+            "ROUND(SUM(lam.lw), 4) AS log_weight "
+            "FROM hashed h JOIN lam USING (b) "
+            "GROUP BY h.doc_id ORDER BY h.doc_id"
         ),
         "priority_sample_docs": (
             # Efraimidis-Spirakis A-Res key u^(1/w) with the md5-derived

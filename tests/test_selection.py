@@ -1,0 +1,96 @@
+"""DSIR importance-weight tests (functions/selection.py).
+
+The hard value oracle runs in the auto-discovered parity sweep
+(test_oracle_order_parity.py picks up ``dsir_weights_docs``); here we test
+the semantics, partition invariance, and the fast hash mode.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from logjuicer_ray.functions.selection import dsir_logratio
+
+
+def _docs_table():
+    """Target docs ('en') share a distinctive vocabulary; raw docs don't."""
+    rows = []
+    for i in range(30):
+        rows.append((i, "alpha beta gamma delta alpha beta", "en"))
+    for i in range(30, 90):
+        rows.append((i, "noise random filler junk words here", "de"))
+    # a raw-domain doc that LOOKS like the target: should score high
+    rows.append((90, "alpha beta gamma delta", "fr"))
+    # an empty-text and a NULL-text doc: no output row
+    rows.append((91, "", "en"))
+    rows.append((92, None, "en"))
+    ids, texts, langs = zip(*rows)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    })
+
+
+@pytest.fixture(scope="module")
+def weights(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs_table())
+    return dsir_logratio(ds, num_buckets=512).to_pandas()
+
+
+def test_dsir_target_lookalikes_score_high(weights):
+    w = weights.set_index("doc_id")["log_weight"]
+    # docs made of target-domain grams outrank raw-domain docs
+    assert w.loc[0] > w.loc[40]
+    assert w.loc[90] > w.loc[40]  # lookalike wins despite lang='fr'
+    # target-vocab docs get positive weights, raw-only docs negative
+    assert w.loc[0] > 0 > w.loc[40]
+
+
+def test_dsir_no_row_for_empty_docs(weights):
+    assert 91 not in set(weights["doc_id"])
+    assert 92 not in set(weights["doc_id"])
+    assert len(weights) == 91
+
+
+def test_dsir_ngram_count(weights):
+    # 6 tokens -> 6 unigrams + 5 bigrams
+    row = weights[weights["doc_id"] == 0].iloc[0]
+    assert row["n_grams"] == 11
+    # 4 tokens -> 4 + 3
+    assert weights[weights["doc_id"] == 90].iloc[0]["n_grams"] == 7
+
+
+def test_dsir_partition_invariance(ray_session, weights):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs_table()).repartition(7)
+    again = dsir_logratio(ds, num_buckets=512).to_pandas()
+    assert (again["doc_id"].values == weights["doc_id"].values).all()
+    assert (again["n_grams"].values == weights["n_grams"].values).all()
+    assert np.allclose(again["log_weight"], weights["log_weight"], atol=1e-9)
+
+
+def test_dsir_fast_mode(ray_session, weights):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs_table())
+    fast = dsir_logratio(ds, num_buckets=512, mode="fast").to_pandas()
+    # same docs and gram counts; weights use a different hash family but
+    # must carry the same signal
+    assert (fast["doc_id"].values == weights["doc_id"].values).all()
+    assert (fast["n_grams"].values == weights["n_grams"].values).all()
+    w = fast.set_index("doc_id")["log_weight"]
+    assert w.loc[0] > 0 > w.loc[40]
+    # deterministic across runs
+    again = dsir_logratio(
+        rd.from_arrow(_docs_table()), num_buckets=512, mode="fast"
+    ).to_pandas()
+    assert np.allclose(again["log_weight"], fast["log_weight"], atol=1e-12)
+
+
+def test_dsir_bad_mode():
+    with pytest.raises(ValueError):
+        dsir_logratio(None, mode="nope")
