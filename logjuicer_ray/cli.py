@@ -615,6 +615,25 @@ def cmd_debug_groups(args) -> int:
     return 0
 
 
+def cmd_debug_iterator(args) -> int:
+    """``logjuicer debug-iterator PATH`` (main.rs:346-366): print every
+    source under a raw path (file / dir / tarball) as ``[source]`` headers
+    followed by ``ordinal | text`` lines — shows exactly what the line
+    iterator feeds the tokenizer (sub-line splits, decompression, tarball
+    entries).  Debug utility: materializes on the driver by design."""
+    _init_ray(args.num_cpus)
+    from .sources.rawfiles import read_file_lines
+
+    ds = read_file_lines(args.path)
+    prev = None
+    for row in ds.sort(["conv_id", "turn_idx"]).iter_rows():
+        if row["conv_id"] != prev:
+            prev = row["conv_id"]
+            print(f"[{prev}]")
+        print(f"{row['turn_idx']} | {row['text']}")
+    return 0
+
+
 def cmd_debug_tokenizer(args) -> int:
     from .tokenizer import process as tokenize
 
@@ -779,6 +798,10 @@ def main(argv=None) -> int:
     sp.add_argument("--target-split", default="target")
     sp.add_argument("--mirror")
     sp.set_defaults(fn=cmd_debug_groups)
+
+    sp = sub.add_parser("debug-iterator", parents=[parent], help="print a raw path's line-iterator output")
+    sp.add_argument("path")
+    sp.set_defaults(fn=cmd_debug_iterator)
 
     sp = sub.add_parser("debug-tokenizer", parents=[parent], help="tokenize a single line")
     sp.add_argument("line")

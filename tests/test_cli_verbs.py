@@ -144,6 +144,20 @@ def test_debug_groups(ray_session, capsys):
 # stateless debug verbs
 
 
+def test_debug_iterator(ray_session, tmp_path, capsys):
+    import gzip
+
+    d = tmp_path / "logs"
+    os.makedirs(d)
+    (d / "a.log").write_text("first line\nsecond line\n")
+    with gzip.open(d / "b.log.gz", "wt") as f:
+        f.write("zipped line\n")
+    assert main(["debug-iterator", str(d)]) == 0
+    out = capsys.readouterr().out
+    assert f"[{d}/a.log]" in out and "0 | first line" in out
+    assert "1 | second line" in out and "0 | zipped line" in out
+
+
 def test_debug_tokenizer(capsys):
     assert main(["debug-tokenizer", "error at 10:00:00 id=0xdeadbeef"]) == 0
     out = capsys.readouterr().out
