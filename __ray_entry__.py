@@ -2854,6 +2854,19 @@ def _q_dsir_weights(sf_dir: str):
     return dsir_logratio(docs, num_buckets=4096, mode="portable")
 
 
+def _q_epoch_shuffle(sf_dir: str):
+    """Deterministic training-epoch shuffle: seeded md5 key + exact global
+    row_number (functions/selection.py epoch_shuffle over
+    functions/rank.global_rank) — identical order under any partitioning,
+    resumable mid-epoch by position."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.selection import epoch_shuffle
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return epoch_shuffle(docs, seed=7, mode="portable")
+
+
 def _q_entropy_docs(sf_dir: str):
     """Per-doc character Shannon entropy (nats, 4 decimals) — gibberish /
     binary-spill quality signal; stateless vectorized map (functions/text.py
@@ -3028,6 +3041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turns_dedup_against": _q_turns_dedup_against,
         "entropy_docs": _q_entropy_docs,
         "dsir_weights_docs": _q_dsir_weights,
+        "epoch_shuffle_docs": _q_epoch_shuffle,
         # no_oracle tail: genuinely non-SQL surfaces (token grammar, 260k-dim
         # hashed cosine, approximate sketches, multimodal stubs) — covered by
         # fixture/parity pytest instead of the driver hash compare.
@@ -4246,6 +4260,16 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(lam.lw), 4) AS log_weight "
             "FROM hashed h JOIN lam USING (b) "
             "GROUP BY h.doc_id ORDER BY h.doc_id"
+        ),
+        "epoch_shuffle_docs": (
+            # seeded 53-bit md5 key (same convention as priority_sample's
+            # uniforms) + exact global row_number
+            "WITH keyed AS (SELECT doc_id, "
+            "CAST((('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 16))"
+            "::UBIGINT >> 11) AS BIGINT) AS shuffle_key FROM documents) "
+            "SELECT doc_id, shuffle_key, "
+            "ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS epoch_pos "
+            "FROM keyed ORDER BY epoch_pos"
         ),
         "priority_sample_docs": (
             # Efraimidis-Spirakis A-Res key u^(1/w) with the md5-derived

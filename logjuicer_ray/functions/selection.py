@@ -51,7 +51,7 @@ import pyarrow.compute as pc
 
 from .hashing import TokenHasher, splitmix64
 
-__all__ = ["dsir_logratio"]
+__all__ = ["dsir_logratio", "epoch_shuffle"]
 
 _POLY_BASE = np.uint64(1099511628211)  # FNV-64 prime as the combine base
 
@@ -220,3 +220,53 @@ def dsir_logratio(ds, *, id_col: str = "doc_id", text_col: str = "text",
     return ds.map_batches(
         Scorer, concurrency=(1, 8), batch_format="pyarrow"
     ).sort(id_col)
+
+
+def epoch_shuffle(ds, *, id_col: str = "doc_id", seed: int = 0,
+                  mode: str = "portable", n_buckets: int = 64):
+    """Deterministic global shuffle for one training epoch: every row gets
+    a seeded hash key and an exact global ``epoch_pos`` (1-based
+    row_number over ``(shuffle_key, id)``).
+
+    Unlike ``Dataset.random_shuffle`` — whose output order depends on the
+    block layout — the ordering here is a pure function of (seed, id), so
+    it is identical under any partitioning, resumable mid-epoch (a reader
+    can seek to ``epoch_pos > N``), and recomputable by an external
+    system.  A thin composition of existing pieces by design: the seeded
+    key is one vectorized ``map_batches`` and the position comes from
+    ``functions/rank.global_rank`` (range-partition + histogram offsets —
+    a distributed exchange, not a driver sort; driver cost O(n_buckets)).
+
+    ``mode="portable"``: key = md5-u64(f"{seed}:{id}") >> 11 (53-bit, so
+    DuckDB float arithmetic is exact; same convention as
+    ``priority_sample``) — SQL-recomputable, the oracle path.
+    ``mode="fast"``: SplitMix64(id XOR seed) >> 11, fully vectorized.
+
+    Returns (id, shuffle_key, epoch_pos) sorted by epoch_pos.
+    """
+    from .hashing import md5_u64_str
+    from .rank import global_rank
+
+    if mode not in ("portable", "fast"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def _key(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if mode == "portable":
+            k = np.fromiter(
+                (md5_u64_str(f"{seed}:{i}") >> 11 for i in ids),
+                dtype=np.int64, count=len(ids),
+            )
+        else:
+            k = (
+                splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
+                >> np.uint64(11)
+            ).astype(np.int64)
+        return batch.append_column("shuffle_key", pa.array(k, pa.int64()))
+
+    keyed = ds.map_batches(_key, batch_format="pyarrow")
+    ranked = global_rank(
+        keyed, value_col="shuffle_key", tie_col=id_col,
+        descending=False, n_buckets=n_buckets, rank_col="epoch_pos",
+    )
+    return ranked.sort("epoch_pos")

@@ -94,3 +94,50 @@ def test_dsir_fast_mode(ray_session, weights):
 def test_dsir_bad_mode():
     with pytest.raises(ValueError):
         dsir_logratio(None, mode="nope")
+
+
+# ---------------------------------------------------------------------------
+# epoch_shuffle
+
+
+def test_epoch_shuffle_is_permutation(ray_session):
+    import ray.data as rd
+
+    from logjuicer_ray.functions.selection import epoch_shuffle
+
+    ids = pa.table({"doc_id": pa.array(range(200), pa.int64())})
+    out = epoch_shuffle(rd.from_arrow(ids), seed=7).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(200))
+    assert list(out["epoch_pos"]) == list(range(1, 201))
+    # the order is actually shuffled, not identity
+    assert list(out["doc_id"]) != list(range(200))
+    # position follows the key order
+    assert list(out["shuffle_key"]) == sorted(out["shuffle_key"])
+
+
+def test_epoch_shuffle_partition_invariant_and_seeded(ray_session):
+    import ray.data as rd
+
+    from logjuicer_ray.functions.selection import epoch_shuffle
+
+    ids = pa.table({"doc_id": pa.array(range(200), pa.int64())})
+    a = epoch_shuffle(rd.from_arrow(ids), seed=7).to_pandas()
+    b = epoch_shuffle(rd.from_arrow(ids).repartition(9), seed=7).to_pandas()
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    c = epoch_shuffle(rd.from_arrow(ids), seed=8).to_pandas()
+    assert list(a["doc_id"]) != list(c["doc_id"])
+
+
+def test_epoch_shuffle_fast_mode(ray_session):
+    import ray.data as rd
+
+    from logjuicer_ray.functions.selection import epoch_shuffle
+
+    ids = pa.table({"doc_id": pa.array(range(200), pa.int64())})
+    f1 = epoch_shuffle(rd.from_arrow(ids), seed=7, mode="fast").to_pandas()
+    f2 = epoch_shuffle(
+        rd.from_arrow(ids).repartition(5), seed=7, mode="fast"
+    ).to_pandas()
+    assert list(f1["doc_id"]) == list(f2["doc_id"])
+    assert sorted(f1["doc_id"]) == list(range(200))
+    assert list(f1["epoch_pos"]) == list(range(1, 201))
