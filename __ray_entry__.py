@@ -2867,6 +2867,23 @@ def _q_epoch_shuffle(sf_dir: str):
     return epoch_shuffle(docs, seed=7, mode="portable")
 
 
+def _q_mix_corpora(sf_dir: str):
+    """Deterministic weighted corpus interleave (domain-mixing recipe):
+    per-source seeded shuffle rank, then proportional round-robin by
+    (rank - 0.5) / weight — sources outside the recipe are dropped
+    (functions/selection.py mix_corpora over
+    functions/rank.grouped_global_rank + global_rank)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.selection import mix_corpora
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    return mix_corpora(
+        docs, weights={"src0": 0.5, "src1": 0.3, "src2": 0.2}, seed=7,
+    )
+
+
 def _q_entropy_docs(sf_dir: str):
     """Per-doc character Shannon entropy (nats, 4 decimals) — gibberish /
     binary-spill quality signal; stateless vectorized map (functions/text.py
@@ -3042,6 +3059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entropy_docs": _q_entropy_docs,
         "dsir_weights_docs": _q_dsir_weights,
         "epoch_shuffle_docs": _q_epoch_shuffle,
+        "mix_corpora_docs": _q_mix_corpora,
         # no_oracle tail: genuinely non-SQL surfaces (token grammar, 260k-dim
         # hashed cosine, approximate sketches, multimodal stubs) — covered by
         # fixture/parity pytest instead of the driver hash compare.
@@ -4260,6 +4278,23 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(lam.lw), 4) AS log_weight "
             "FROM hashed h JOIN lam USING (b) "
             "GROUP BY h.doc_id ORDER BY h.doc_id"
+        ),
+        "mix_corpora_docs": (
+            # per-source seeded rank, then proportional round-robin
+            # (rank - 0.5) / weight; weights cast to DOUBLE so the
+            # interleave key is the same IEEE double as the engine's
+            "WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), "
+            "('src2', 0.2)), "
+            "keyed AS (SELECT doc_id, d.source, wt, "
+            "CAST((('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 16))"
+            "::UBIGINT >> 11) AS BIGINT) AS k "
+            "FROM documents d JOIN w USING (source)), "
+            "r AS (SELECT doc_id, source, wt, ROW_NUMBER() OVER "
+            "(PARTITION BY source ORDER BY k, doc_id) AS rank_in_source "
+            "FROM keyed) "
+            "SELECT doc_id, source, rank_in_source, ROW_NUMBER() OVER "
+            "(ORDER BY (rank_in_source - 0.5) / CAST(wt AS DOUBLE), doc_id) "
+            "AS mix_pos FROM r ORDER BY mix_pos"
         ),
         "epoch_shuffle_docs": (
             # seeded 53-bit md5 key (same convention as priority_sample's

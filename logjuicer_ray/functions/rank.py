@@ -40,19 +40,21 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["global_rank"]
+__all__ = ["global_rank", "grouped_global_rank"]
 
 
 def global_rank(ds, *, value_col: str, tie_col: str, descending: bool = True,
                 ntile: int | None = None, n_buckets: int = 64,
-                rank_col: str = "rnk"):
+                rank_col: str = "rnk", keep_cols: list | None = None):
     """Exact global ``row_number()`` (and optional ``ntile``) over
     ``(value_col [desc], tie_col asc)``.  ``tie_col`` values must be
     unique.  Returns the input columns plus ``rank_col`` (int64, 1-based)
-    and, if ``ntile`` is given, ``bucket`` (int64, 1-based)."""
+    and, if ``ntile`` is given, ``bucket`` (int64, 1-based).
+    ``keep_cols``: extra payload columns to carry through the exchange
+    (default none — rank over the narrowest possible rows)."""
     from ray.data.aggregate import Max, Min
 
-    ds = ds.select_columns([tie_col, value_col])
+    ds = ds.select_columns([tie_col, value_col] + list(keep_cols or []))
     mm = ds.aggregate(Min(value_col), Max(value_col))
     lo, hi = mm[f"min({value_col})"], mm[f"max({value_col})"]
     if lo is None:
@@ -115,5 +117,95 @@ def global_rank(ds, *, value_col: str, tie_col: str, descending: bool = True,
     return (
         ds.map_batches(_tag, batch_format="pyarrow")
         .groupby("bucket")
+        .map_groups(_rank_group, batch_format="pyarrow")
+    )
+
+
+def grouped_global_rank(ds, *, part_col: str, value_col: str, tie_col: str,
+                        descending: bool = True, n_buckets: int = 64,
+                        rank_col: str = "rnk", max_parts: int = 100_000):
+    """Exact ``row_number() OVER (PARTITION BY part_col ORDER BY value
+    [DESC], tie ASC)`` — the partitioned form of ``global_rank``.
+
+    Same three-step range-partition scheme, with the histogram and the
+    offsets keyed by ``(part, bucket)``: the cut points stay GLOBAL (any
+    monotone cut set is correct per partition too, since equal values
+    still never straddle a cut), the driver holds one offsets array per
+    part (``n_parts × n_buckets`` ints — ``max_parts`` is the documented
+    bound: ``part_col`` must be low-cardinality, e.g. corpus sources or
+    shard labels, not a per-row key), and the keyed exchange groups by
+    ``(part, bucket)`` so a hot part still spreads over ``n_buckets``
+    groups.  ``tie_col`` must be unique within a part.
+
+    Returns (part, tie, value) + ``rank_col`` (int64, 1-based per part).
+    """
+    from ray.data.aggregate import Max, Min
+
+    ds = ds.select_columns([part_col, tie_col, value_col])
+    mm = ds.aggregate(Min(value_col), Max(value_col))
+    lo, hi = mm[f"min({value_col})"], mm[f"max({value_col})"]
+    if lo is None:
+        return ds.map_batches(
+            lambda b: b.append_column(rank_col, pa.array([], pa.int64())),
+            batch_format="pyarrow",
+        )
+    cuts = np.linspace(float(lo), float(hi), n_buckets + 1)[1:-1]
+
+    def _bucket_of(vals: np.ndarray) -> np.ndarray:
+        b = np.searchsorted(cuts, vals, side="right")
+        return (len(cuts) - b) if descending else b
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False).astype(float)
+        buckets = _bucket_of(vals)
+        # per-(part, bucket) counts via a tiny in-batch group_by
+        t = pa.table({
+            "part": batch.column(part_col),
+            "bucket": pa.array(buckets.astype(np.int64), pa.int64()),
+        })
+        g = t.group_by(["part", "bucket"]).aggregate([([], "count_all")])
+        return g.rename_columns(["part", "bucket", "cnt"])
+
+    per_pb = (
+        ds.map_batches(_hist, batch_format="pyarrow")
+        .groupby(["part", "bucket"])
+        .sum("cnt")
+    )
+    # driver state: n_parts × n_buckets rows, independent of data size
+    counts: dict = {}
+    for r in per_pb.take_all():
+        counts.setdefault(r["part"], np.zeros(n_buckets, np.int64))[
+            r["bucket"]
+        ] = r["sum(cnt)"]
+    assert len(counts) <= max_parts, (
+        f"{len(counts)} parts exceeds max_parts={max_parts}; "
+        f"grouped_global_rank needs a low-cardinality part_col"
+    )
+    offsets = {
+        p: np.concatenate([[0], np.cumsum(c)[:-1]]) for p, c in counts.items()
+    }
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False).astype(float)
+        return batch.append_column(
+            "bucket", pa.array(_bucket_of(vals).astype(np.int64), pa.int64())
+        )
+
+    def _rank_group(group: pa.Table) -> pa.Table:
+        part = group.column(part_col)[0].as_py()
+        b = int(group.column("bucket")[0].as_py())
+        idx = pc.sort_indices(group, sort_keys=[
+            (value_col, "descending" if descending else "ascending"),
+            (tie_col, "ascending"),
+        ])
+        g = group.take(idx)
+        rnk = offsets[part][b] + np.arange(1, g.num_rows + 1, dtype=np.int64)
+        return g.drop_columns(["bucket"]).append_column(
+            rank_col, pa.array(rnk, pa.int64())
+        )
+
+    return (
+        ds.map_batches(_tag, batch_format="pyarrow")
+        .groupby([part_col, "bucket"])
         .map_groups(_rank_group, batch_format="pyarrow")
     )

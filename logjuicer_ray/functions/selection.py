@@ -51,7 +51,7 @@ import pyarrow.compute as pc
 
 from .hashing import TokenHasher, splitmix64
 
-__all__ = ["dsir_logratio", "epoch_shuffle"]
+__all__ = ["dsir_logratio", "epoch_shuffle", "mix_corpora"]
 
 _POLY_BASE = np.uint64(1099511628211)  # FNV-64 prime as the combine base
 
@@ -270,3 +270,87 @@ def epoch_shuffle(ds, *, id_col: str = "doc_id", seed: int = 0,
         descending=False, n_buckets=n_buckets, rank_col="epoch_pos",
     )
     return ranked.sort("epoch_pos")
+
+
+def mix_corpora(ds, *, id_col: str = "doc_id", source_col: str = "source",
+                weights: dict | None = None, seed: int = 0,
+                mode: str = "portable", n_buckets: int = 64):
+    """Deterministic weighted interleave of corpora — the data-mixing
+    recipe step of a training pipeline (domain weights à la The Pile /
+    DoReMi): a source with weight ``w`` occupies every ``1/w``-th slot of
+    the output order, exactly and reproducibly.
+
+    Sources absent from ``weights`` are dropped (the recipe IS the
+    filter).  Construction: (1) each kept row gets the seeded hash key of
+    ``epoch_shuffle``; (2) ``rank_in_source`` = exact per-source
+    row_number over that key (functions/rank.grouped_global_rank — one
+    keyed exchange, driver state n_sources × n_buckets ints, so
+    ``source_col`` must be low-cardinality); (3) the interleave key is
+    ``(rank_in_source - 0.5) / weight`` — proportional round-robin — and
+    (4) ``mix_pos`` = global row_number over it (functions/rank.
+    global_rank).  Every step is a pure function of (seed, id, weights):
+    partition-invariant, resumable, and SQL-recomputable in portable mode
+    (float division of an integer rank is IEEE-identical across engines).
+
+    Returns (id, source, rank_in_source, mix_pos) sorted by mix_pos.
+    """
+    from .hashing import md5_u64_str
+    from .rank import global_rank, grouped_global_rank
+
+    if not weights:
+        raise ValueError("weights: non-empty {source: weight} required")
+    if mode not in ("portable", "fast"):
+        raise ValueError(f"unknown mode {mode!r}")
+    wmap = {k: float(v) for k, v in weights.items()}
+    allowed = pa.array(sorted(wmap), pa.string())
+
+    def _recipe_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch.column(source_col), value_set=allowed)
+        )
+
+    kept = ds.map_batches(_recipe_filter, batch_format="pyarrow")
+
+    def _key(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if mode == "portable":
+            k = np.fromiter(
+                (md5_u64_str(f"{seed}:{i}") >> 11 for i in ids),
+                dtype=np.int64, count=len(ids),
+            )
+        else:
+            k = (
+                splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
+                >> np.uint64(11)
+            ).astype(np.int64)
+        return batch.append_column("shuffle_key", pa.array(k, pa.int64()))
+
+    ranked = grouped_global_rank(
+        kept.map_batches(_key, batch_format="pyarrow"),
+        part_col=source_col, value_col="shuffle_key", tie_col=id_col,
+        descending=False, n_buckets=n_buckets, rank_col="rank_in_source",
+    )
+
+    def _mix_key(batch: pa.Table) -> pa.Table:
+        src = batch.column(source_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        w_dict = np.array(
+            [wmap[s] for s in enc.dictionary.to_pylist()], np.float64
+        )
+        w = w_dict[enc.indices.to_numpy(zero_copy_only=False)]
+        rnk = batch.column("rank_in_source").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "mix_key", pa.array((rnk - 0.5) / w, pa.float64())
+        )
+
+    mixed = global_rank(
+        ranked.map_batches(_mix_key, batch_format="pyarrow"),
+        value_col="mix_key", tie_col=id_col, descending=False,
+        n_buckets=n_buckets, rank_col="mix_pos",
+        keep_cols=[source_col, "rank_in_source"],
+    )
+    return mixed.select_columns(
+        [id_col, source_col, "rank_in_source", "mix_pos"]
+    ).sort("mix_pos")

@@ -141,3 +141,84 @@ def test_epoch_shuffle_fast_mode(ray_session):
     assert list(f1["doc_id"]) == list(f2["doc_id"])
     assert sorted(f1["doc_id"]) == list(range(200))
     assert list(f1["epoch_pos"]) == list(range(1, 201))
+
+
+# ---------------------------------------------------------------------------
+# grouped_global_rank + mix_corpora
+
+
+def test_grouped_global_rank_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from logjuicer_ray.functions.rank import grouped_global_rank
+
+    rng = np.random.default_rng(3)
+    n = 500
+    t = pa.table({
+        "grp": pa.array([f"g{int(x)}" for x in rng.integers(0, 4, n)]),
+        "id": pa.array(range(n), pa.int64()),
+        "val": pa.array(rng.integers(0, 50, n), pa.int64()),
+    })
+    out = grouped_global_rank(
+        rd.from_arrow(t).repartition(7), part_col="grp", value_col="val",
+        tie_col="id", descending=True, rank_col="rnk",
+    ).to_pandas().sort_values(["grp", "rnk"]).reset_index(drop=True)
+    df = t.to_pandas()
+    df["rnk"] = (
+        df.sort_values(["val", "id"], ascending=[False, True])
+        .groupby("grp").cumcount() + 1
+    )
+    want = df.sort_values(["grp", "rnk"]).reset_index(drop=True)
+    assert (out["id"].values == want["id"].values).all()
+    assert (out["rnk"].values == want["rnk"].values).all()
+
+
+def _mix_table():
+    rows = []
+    for i in range(300):
+        rows.append((i, f"src{i % 5}"))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+    })
+
+
+def test_mix_corpora_proportions_and_determinism(ray_session):
+    import ray.data as rd
+
+    from logjuicer_ray.functions.selection import mix_corpora
+
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    out = mix_corpora(rd.from_arrow(_mix_table()), weights=weights,
+                      seed=7).to_pandas()
+    # recipe filter: src3/src4 dropped entirely
+    assert set(out["source"]) == set(weights)
+    assert len(out) == 180  # 60 docs per kept source
+    assert list(out["mix_pos"]) == list(range(1, 181))
+    # proportional round-robin: in any window ~10/0.5-wide, source shares
+    # track the weights; check the first 60 slots: ~30/18/12
+    head = out.head(60)["source"].value_counts()
+    assert abs(head.get("src0", 0) - 30) <= 2
+    assert abs(head.get("src1", 0) - 18) <= 2
+    assert abs(head.get("src2", 0) - 12) <= 2
+    # partition invariance
+    again = mix_corpora(rd.from_arrow(_mix_table()).repartition(11),
+                        weights=weights, seed=7).to_pandas()
+    assert list(out["doc_id"]) == list(again["doc_id"])
+
+
+def test_mix_corpora_fast_mode_and_validation(ray_session):
+    import ray.data as rd
+
+    from logjuicer_ray.functions.selection import mix_corpora
+
+    weights = {"src0": 0.5, "src1": 0.5}
+    f = mix_corpora(rd.from_arrow(_mix_table()), weights=weights, seed=7,
+                    mode="fast").to_pandas()
+    assert len(f) == 120
+    # equal weights: strict alternation window property
+    assert set(f.head(2)["source"]) == {"src0", "src1"}
+    with pytest.raises(ValueError):
+        mix_corpora(None, weights={})
+    with pytest.raises(ValueError):
+        mix_corpora(None, weights={"a": 1.0}, mode="nope")
