@@ -29,6 +29,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .text import split_whitespace
+
 from .hashing import md5_u64_str
 
 __all__ = ["vocab_topk", "exact_quantiles", "grouped_quantiles", "hash_sample",
@@ -39,7 +41,7 @@ __all__ = ["vocab_topk", "exact_quantiles", "grouped_quantiles", "hash_sample",
 
 def _token_counts(batch: pa.Table, text_col: str) -> pa.Table:
     toks = pc.list_flatten(
-        pc.utf8_split_whitespace(pc.drop_null(batch.column(text_col)))
+        split_whitespace(pc.drop_null(batch.column(text_col)))
     )
     toks = toks.filter(pc.not_equal(toks, ""))
     vc = toks.value_counts()
@@ -139,7 +141,7 @@ def unigram_logprob(ds, *, id_col: str = "doc_id", text_col: str = "text",
             ids_all = batch.column(id_col).filter(
                 pc.is_valid(batch.column(text_col))
             ).to_numpy(zero_copy_only=False)
-            lists = pc.utf8_split_whitespace(texts)
+            lists = split_whitespace(texts)
             toks = pc.list_flatten(lists)
             parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
             nonempty = pc.not_equal(toks, "")
@@ -437,7 +439,7 @@ def tfidf_topk(ds, *, id_col: str = "doc_id", text_col: str = "text", k: int = 3
     from .topk import topk_per_group
 
     def _tf(batch: pa.Table) -> pa.Table:
-        toks_list = pc.utf8_split_whitespace(batch.column(text_col))
+        toks_list = split_whitespace(batch.column(text_col))
         flat = pc.list_flatten(toks_list)
         parent = pc.list_parent_indices(toks_list)
         ids = batch.column(id_col).take(parent)
@@ -683,7 +685,7 @@ def bigram_topk(ds, *, text_col: str = "text", k: int = 100):
     import numpy as np
 
     def _bigram_counts(batch: pa.Table) -> pa.Table:
-        toks_list = pc.utf8_split_whitespace(pc.drop_null(batch.column(text_col)))
+        toks_list = split_whitespace(pc.drop_null(batch.column(text_col)))
         flat = pc.list_flatten(toks_list)
         if isinstance(flat, pa.ChunkedArray):
             flat = flat.combine_chunks()
@@ -731,7 +733,7 @@ def _word_shingles(batch: pa.Table, *, id_col: str, text_col: str, n: int):
     one ``binary_join_element_wise`` — no Python over rows or grams."""
     import numpy as np
 
-    toks_list = pc.utf8_split_whitespace(pc.fill_null(batch.column(text_col), ""))
+    toks_list = split_whitespace(pc.fill_null(batch.column(text_col), ""))
     flat = pc.list_flatten(toks_list)
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()

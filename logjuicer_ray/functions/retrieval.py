@@ -29,6 +29,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .text import split_whitespace
+
 __all__ = ["bm25_topk", "rrf_fuse"]
 
 
@@ -46,7 +48,7 @@ def bm25_topk(ds, query_tokens: list[str], *, id_col: str = "doc_id",
     term_arr = pa.array(terms, pa.string())
 
     def _tok(batch: pa.Table):
-        toks_list = pc.utf8_split_whitespace(pc.fill_null(batch.column(text_col), ""))
+        toks_list = split_whitespace(pc.fill_null(batch.column(text_col), ""))
         flat = pc.list_flatten(toks_list)
         if isinstance(flat, pa.ChunkedArray):
             flat = flat.combine_chunks()

@@ -50,6 +50,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .hashing import TokenHasher, splitmix64
+from .text import split_whitespace
 
 __all__ = ["dsir_logratio", "epoch_shuffle", "mix_corpora"]
 
@@ -60,9 +61,7 @@ def _doc_grams(batch: pa.Table, text_col: str):
     """Flattened (grams, parent_row_index) for unigrams + bigrams of each
     row's whitespace tokens; rows with NULL text contribute nothing but
     keep their row index so parents align with the batch."""
-    lists = pc.utf8_split_whitespace(
-        pc.fill_null(batch.column(text_col), "")
-    )
+    lists = split_whitespace(pc.fill_null(batch.column(text_col), ""))
     toks = pc.list_flatten(lists)
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()

@@ -25,6 +25,7 @@ import pyarrow as pa
 
 from ..arrow_util import dict_codes
 from .hashing import md5_u64_str
+from .text import split_whitespace
 
 __all__ = ["HllSketch", "hll_count_distinct", "grouped_hll_distinct",
            "heavy_hitters", "histogram_quantiles"]
@@ -133,7 +134,7 @@ def heavy_hitters(ds, *, text_col: str = "text", k: int = 32):
 
     def _block_sketch(batch: pa.Table) -> pa.Table:
         toks = pc.list_flatten(
-            pc.utf8_split_whitespace(pc.drop_null(batch.column(text_col)))
+            split_whitespace(pc.drop_null(batch.column(text_col)))
         )
         toks = toks.filter(pc.not_equal(toks, ""))
         vc = toks.value_counts()
@@ -170,7 +171,7 @@ def heavy_hitters(ds, *, text_col: str = "text", k: int = 32):
 
     def _recount(batch: pa.Table) -> pa.Table:
         toks = pc.list_flatten(
-            pc.utf8_split_whitespace(pc.drop_null(batch.column(text_col)))
+            split_whitespace(pc.drop_null(batch.column(text_col)))
         )
         toks = toks.filter(pc.is_in(toks, value_set=cand_arr))
         vc = toks.value_counts()

@@ -13,6 +13,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = [
+    "split_whitespace",
     "token_count_batch",
     "quality_batch",
     "lang_id_batch",
@@ -28,6 +29,29 @@ __all__ = [
     "char_entropy_batch",
     "add_char_entropy",
 ]
+
+def split_whitespace(arr):
+    """Whitespace tokenization with DuckDB ``regexp_split('\\s+')``
+    parity: collapse ASCII whitespace runs to one space (RE2 replace),
+    trim, then split on the exact ``' '`` byte.
+
+    Deliberately NOT ``pc.utf8_split_whitespace``: that kernel was
+    observed returning alignment-dependent wrong pieces for
+    whitespace-only strings inside Ray workers (pyarrow 16.1:
+    ``'   '`` → ``['', ' ']`` under some buffer layouts), which
+    poisoned corpus token counts.  The replace + exact-byte
+    ``split_pattern`` path is layout-independent, and RE2's ASCII
+    ``\\s`` matches the SQL oracles' semantics exactly (the unicode
+    split kernel did not).  Empty / whitespace-only strings yield
+    ``['']`` — callers filter ``''`` tokens, as before.
+    """
+    import pyarrow.compute as pc
+
+    collapsed = pc.utf8_trim(
+        pc.replace_substring_regex(arr, r"\s+", " "), " "
+    )
+    return pc.split_pattern(collapsed, " ")
+
 
 # default PII scrub chain (training-data hygiene): applied IN ORDER, each
 # pattern sees the previous pattern's output — identical semantics to a
@@ -190,7 +214,7 @@ def repetition_batch(batch: pa.Table, *, id_col: str = "doc_id",
 
     n_rows = len(batch)
     texts = pc.fill_null(batch.column(text_col), "")
-    lists = pc.utf8_split_whitespace(texts)
+    lists = split_whitespace(texts)
     if isinstance(lists, pa.ChunkedArray):
         lists = lists.combine_chunks()
     flat = pc.list_flatten(lists)

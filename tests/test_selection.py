@@ -222,3 +222,46 @@ def test_mix_corpora_fast_mode_and_validation(ray_session):
         mix_corpora(None, weights={})
     with pytest.raises(ValueError):
         mix_corpora(None, weights={"a": 1.0}, mode="nope")
+
+
+# ---------------------------------------------------------------------------
+# split_whitespace regression (alignment-dependent Arrow kernel fault)
+
+
+def test_split_whitespace_edge_cases():
+    from logjuicer_ray.functions.text import split_whitespace
+
+    arr = pa.array(["a a a b", "a c", "   ", " x  y ", "", "a\tb\nc", None])
+    got = split_whitespace(arr).to_pylist()
+    assert got == [
+        ["a", "a", "a", "b"], ["a", "c"], [""], ["x", "y"], [""],
+        ["a", "b", "c"], None,
+    ]
+    # sliced/offset layouts give identical answers (the utf8 whitespace
+    # kernel did not: '   ' -> ['', ' '] under some worker buffer layouts)
+    s = arr.slice(2, 3)
+    assert split_whitespace(s).to_pylist() == [[""], ["x", "y"], [""]]
+
+
+def test_unigram_logprob_single_block_whitespace_doc(ray_session):
+    """Regression: a whitespace-only doc in a merged single block used to
+    nondeterministically leak a ' ' token into the vocabulary (total 7
+    instead of 6), shifting every score."""
+    import math
+
+    import ray.data as rd
+
+    from logjuicer_ray.functions.corpus import unigram_logprob
+
+    items = [
+        {"doc_id": 1, "text": "a a a b"},
+        {"doc_id": 2, "text": "a c"},
+        {"doc_id": 3, "text": "   "},
+    ]
+    for trial in range(5):
+        out = unigram_logprob(
+            rd.from_items(items).repartition(1), min_count=2
+        ).to_pandas()
+        assert list(out["doc_id"]) == [1, 2]
+        want1 = round((3 * math.log(4 / 6) + math.log(1 / 6)) / 4, 4)
+        assert abs(out["avg_logprob"][0] - want1) < 1e-9
