@@ -677,7 +677,7 @@ def bigram_topk(ds, *, text_col: str = "text", k: int = 100):
     1-based ``rank`` — the 2-gram analog of :func:`vocab_topk` for
     language-model corpus statistics.
 
-    Vectorized bigram construction: one ``utf8_split_whitespace`` per
+    Vectorized bigram construction: one ``split_whitespace`` per
     batch, adjacency from ``list_parent_indices`` (tokens i, i+1 form a
     bigram iff they share a parent document), the pair join as one
     ``binary_join_element_wise``.  Per-batch value_counts partials mean the
