@@ -19,8 +19,11 @@ def test_tokenizer_total_and_deterministic(line):
     t2 = process(line)
     assert t1 == t2
     assert isinstance(t1, str)
-    # no raw ASCII digits survive tokenization (basis of the memo cache)
-    assert not any(c.isascii() and c.isdigit() for c in t1), (line, t1)
+    # no raw ASCII digits survive tokenization (basis of the memo cache) —
+    # except inside the %BASE64 placeholder literal, the one digit-bearing
+    # placeholder the reference emits (tokenizer.rs:473)
+    survivors = t1.replace("%BASE64", "")
+    assert not any(c.isascii() and c.isdigit() for c in survivors), (line, t1)
     unordered_key(t1)  # total as well
 
 
