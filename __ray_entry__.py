@@ -2897,6 +2897,43 @@ def _q_entropy_docs(sf_dir: str):
     return add_char_entropy(docs).sort("doc_id")
 
 
+def _q_bpe_pair_counts(sf_dir: str):
+    """BPE iteration-0 pair histogram (Sennrich et al. 2016,
+    arXiv:1508.07909): top-50 adjacent symbol pairs over the char-split +
+    end-marker word-frequency table — the counting kernel the merge loop
+    is built on, with a hard substr-CTE oracle (functions/bpe.py
+    initial_pair_counts; corpus touched once, pair partials dict-combined
+    per batch, one two-key groupby)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.bpe import initial_pair_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    out = initial_pair_counts(docs)
+    return (
+        out.sort(["pair_count", "lhs", "rhs"],
+                 descending=[True, False, False])
+        .limit(50)
+    )
+
+
+def _q_bpe_merges(sf_dir: str):
+    """BPE merge table: 40 merges trained over the documents corpus
+    (no_oracle: the merge loop is iterative, not SQL-expressible — verified
+    against a naive sequential reference implementation plus
+    driver/distributed path equality and partition invariance in
+    tests/test_bpe.py; deterministic tie-break = highest count then
+    lexically smallest pair)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.bpe import bpe_train
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    return bpe_train(docs, num_merges=40, min_count=2)
+
+
 def _q_semdedup(sf_dir: str):
     """SemDeDup semantic dedup over the embeddings table (no_oracle:
     k-means assignment is iterative, not SQL-expressible — the kernel is
@@ -3060,6 +3097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights_docs": _q_dsir_weights,
         "epoch_shuffle_docs": _q_epoch_shuffle,
         "mix_corpora_docs": _q_mix_corpora,
+        "bpe_pair_counts_docs": _q_bpe_pair_counts,
         # no_oracle tail: genuinely non-SQL surfaces (token grammar, 260k-dim
         # hashed cosine, approximate sketches, multimodal stubs) — covered by
         # fixture/parity pytest instead of the driver hash compare.
@@ -3074,6 +3112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _q_multimodal_features,
         "distinct_users_hll": _q_distinct_users_hll,
         "semdedup_embeddings": _q_semdedup,
+        "bpe_merges_docs": _q_bpe_merges,
     }
 
 
@@ -4295,6 +4334,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, rank_in_source, ROW_NUMBER() OVER "
             "(ORDER BY (rank_in_source - 0.5) / CAST(wt AS DOUBLE), doc_id) "
             "AS mix_pos FROM r ORDER BY mix_pos"
+        ),
+        "bpe_pair_counts_docs": (
+            # BPE iteration-0 pairs: each word's adjacent char pairs plus a
+            # final (last_char, '</w>') pair, weighted by word frequency;
+            # DuckDB zips the two equal-length unnests positionally
+            "WITH toks AS (SELECT unnest(list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w "
+            "FROM documents WHERE text IS NOT NULL), "
+            "wc AS (SELECT w, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY w), "
+            "inner_pairs AS (SELECT "
+            "unnest(list_transform(range(1, length(w)), i -> substr(w, i, 1))) AS lhs, "
+            "unnest(list_transform(range(1, length(w)), i -> substr(w, i+1, 1))) AS rhs, "
+            "cnt FROM wc WHERE length(w) >= 2), "
+            "all_pairs AS (SELECT * FROM inner_pairs UNION ALL "
+            "SELECT substr(w, length(w), 1) AS lhs, '</w>' AS rhs, cnt FROM wc) "
+            "SELECT lhs, rhs, SUM(cnt)::BIGINT AS pair_count FROM all_pairs "
+            "GROUP BY lhs, rhs ORDER BY pair_count DESC, lhs, rhs LIMIT 50"
         ),
         "epoch_shuffle_docs": (
             # seeded 53-bit md5 key (same convention as priority_sample's
