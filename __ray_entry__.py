@@ -2918,6 +2918,31 @@ def _q_bpe_pair_counts(sf_dir: str):
     )
 
 
+def _q_docs_jsonl_roundtrip(sf_dir: str):
+    """Training-export interchange roundtrip: documents → resumable
+    JSON-Lines sink (atomic tmp-dir + manifest with per-partition lineage,
+    sinks.write_jsonl_sink) → read back (sources/jsonl.read_jsonl) — the
+    hard oracle proves the sink/source pair is lossless for int64 and
+    string columns including multi-space text."""
+    import os
+
+    import ray.data as rd
+
+    from logjuicer_ray.sinks import write_jsonl_sink
+    from logjuicer_ray.sources.jsonl import read_jsonl
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    # per-process cache: repeated calls in one session resume; a fresh
+    # process always rewrites (no stale cross-version cache)
+    sink = (f"/tmp/logjuicer_jsonl/{os.path.basename(sf_dir.rstrip('/'))}"
+            f"-{os.getpid()}/documents")
+    write_jsonl_sink(docs, sink, inputs=[f"{sf_dir}/documents.parquet"])
+    return read_jsonl(sink).sort("doc_id")
+
+
 def _q_bpe_merges(sf_dir: str):
     """BPE merge table: 40 merges trained over the documents corpus
     (no_oracle: the merge loop is iterative, not SQL-expressible — verified
@@ -3098,6 +3123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle_docs": _q_epoch_shuffle,
         "mix_corpora_docs": _q_mix_corpora,
         "bpe_pair_counts_docs": _q_bpe_pair_counts,
+        "docs_jsonl_roundtrip": _q_docs_jsonl_roundtrip,
         # no_oracle tail: genuinely non-SQL surfaces (token grammar, 260k-dim
         # hashed cosine, approximate sketches, multimodal stubs) — covered by
         # fixture/parity pytest instead of the driver hash compare.
@@ -4351,6 +4377,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT substr(w, length(w), 1) AS lhs, '</w>' AS rhs, cnt FROM wc) "
             "SELECT lhs, rhs, SUM(cnt)::BIGINT AS pair_count FROM all_pairs "
             "GROUP BY lhs, rhs ORDER BY pair_count DESC, lhs, rhs LIMIT 50"
+        ),
+        "docs_jsonl_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents "
+            "ORDER BY doc_id"
         ),
         "epoch_shuffle_docs": (
             # seeded 53-bit md5 key (same convention as priority_sample's

@@ -14,7 +14,7 @@ import os
 import shutil
 import time
 
-__all__ = ["write_sink", "sink_finished", "read_manifest"]
+__all__ = ["write_sink", "write_jsonl_sink", "sink_finished", "read_manifest"]
 
 MANIFEST = "manifest.json"
 
@@ -61,6 +61,51 @@ def write_sink(ds, path: str, *, inputs=None, extra=None, resume: bool = True) -
     manifest = {
         "rows": rows,
         "schema": names,
+        "inputs": inputs or [],
+        "wall_time_s": round(time.monotonic() - t0, 3),
+        "partitions": partitions,
+    }
+    if extra:
+        manifest.update(extra)
+    with open(os.path.join(tmp, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+    return manifest
+
+
+def write_jsonl_sink(ds, path: str, *, inputs=None, extra=None,
+                     resume: bool = True) -> dict:
+    """JSON-Lines variant of :func:`write_sink` — the training-export
+    interchange format (one JSON object per line, one shard file per
+    block via ``ds.write_json``).  Same atomic tmp-dir + rename protocol,
+    same manifest schema (rows / schema / per-partition lineage), same
+    ``resume=True`` skip of a finished sink."""
+    if resume and sink_finished(path):
+        return read_manifest(path)
+    tmp = path + ".inprogress"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    t0 = time.monotonic()
+    schema = ds.schema()
+    ds.write_json(tmp)
+    part_files = [f for f in sorted(os.listdir(tmp)) if f.endswith(".json")]
+    partitions = []
+    rows = 0
+    for f in part_files:
+        fp = os.path.join(tmp, f)
+        with open(fp, "rb") as fh:
+            n = sum(1 for _ in fh)
+        partitions.append(
+            {"file": f, "rows": n, "bytes": os.path.getsize(fp)}
+        )
+        rows += n
+    manifest = {
+        "rows": rows,
+        "schema": list(schema.names),
+        "format": "jsonl",
         "inputs": inputs or [],
         "wall_time_s": round(time.monotonic() - t0, 3),
         "partitions": partitions,
