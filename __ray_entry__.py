@@ -2943,6 +2943,41 @@ def _q_docs_jsonl_roundtrip(sf_dir: str):
     return read_jsonl(sink).sort("doc_id")
 
 
+def _q_docs_quality_band(sf_dir: str):
+    """Middle-band quality filter: keep documents whose token count sits
+    between the global 10th and 90th percentile — exact distributed
+    PERCENT_RANK (functions/quality.py percentile_band over
+    functions/rank.global_rank: range-partition histogram, O(64) driver
+    ints, one keyed exchange), band applied as a stateless vectorized
+    filter on the ranked stream."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logjuicer_ray.functions.quality import percentile_band
+    from logjuicer_ray.functions.text import split_whitespace
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        lists = split_whitespace(pc.fill_null(b.column("text"), ""))
+        flat = pc.list_flatten(lists)
+        par = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        cnt = np.zeros(b.num_rows, np.int64)
+        np.add.at(cnt, par, ok.astype(np.int64))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pa.array(cnt, pa.int64()),
+        })
+
+    scored = docs.map_batches(score, batch_format="pyarrow")
+    return percentile_band(scored, value_col="n_tokens", tie_col="doc_id",
+                           lo=0.1, hi=0.9).sort("rnk")
+
+
 def _q_bpe_merges(sf_dir: str):
     """BPE merge table: 40 merges trained over the documents corpus
     (no_oracle: the merge loop is iterative, not SQL-expressible — verified
@@ -3124,6 +3159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_corpora_docs": _q_mix_corpora,
         "bpe_pair_counts_docs": _q_bpe_pair_counts,
         "docs_jsonl_roundtrip": _q_docs_jsonl_roundtrip,
+        "docs_quality_band": _q_docs_quality_band,
         # no_oracle tail: genuinely non-SQL surfaces (token grammar, 260k-dim
         # hashed cosine, approximate sketches, multimodal stubs) — covered by
         # fixture/parity pytest instead of the driver hash compare.
@@ -4381,6 +4417,19 @@ def oracle_sql() -> dict[str, str]:
         "docs_jsonl_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents "
             "ORDER BY doc_id"
+        ),
+        "docs_quality_band": (
+            # PERCENT_RANK over a unique (n_tokens, doc_id) ordering is
+            # exactly (row_number-1)/(n-1) — the engine's IEEE division
+            "WITH scored AS (SELECT doc_id, CAST(len(list_filter("
+            "regexp_split_to_array(COALESCE(text, ''), '\\s+'), "
+            "x -> x <> '')) AS BIGINT) AS n_tokens FROM documents), "
+            "r AS (SELECT doc_id, n_tokens, "
+            "ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS rnk, "
+            "PERCENT_RANK() OVER (ORDER BY n_tokens, doc_id) AS pct_rank "
+            "FROM scored) "
+            "SELECT doc_id, n_tokens, rnk, pct_rank FROM r "
+            "WHERE pct_rank >= 0.1 AND pct_rank <= 0.9 ORDER BY rnk"
         ),
         "epoch_shuffle_docs": (
             # seeded 53-bit md5 key (same convention as priority_sample's

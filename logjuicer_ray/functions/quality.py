@@ -30,7 +30,40 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["profile_table", "check_constraints", "grouped_histogram",
-           "check_foreign_key"]
+           "check_foreign_key", "percentile_band"]
+
+
+def percentile_band(ds, *, value_col: str, tie_col: str,
+                    lo: float, hi: float, descending: bool = False,
+                    keep_cols: list | None = None):
+    """Keep rows whose exact global percentile rank over
+    ``(value_col, tie_col)`` lies in ``[lo, hi]`` — the middle-band
+    quality-filter recipe (drop the worst tail AND the
+    suspiciously-perfect head; cf. the percentile filtering used by
+    CCNet/Gopher-style curation).
+
+    ``pct_rank = (row_number - 1) / (n - 1)``, identical to SQL
+    ``PERCENT_RANK()`` with a unique tie-break, computed from the exact
+    distributed rank (:func:`~logjuicer_ray.functions.rank.global_rank`:
+    range-partition histogram, O(n_buckets) driver state, one keyed
+    exchange).  The corpus never concentrates anywhere; the band filter is
+    a stateless vectorized map over the ranked stream.  Returns the input
+    columns plus ``rnk`` (1-based) and ``pct_rank`` (float64, unrounded —
+    the same IEEE division SQL performs)."""
+    from .rank import global_rank
+
+    n = ds.count()
+    ranked = global_rank(ds, value_col=value_col, tie_col=tie_col,
+                         descending=descending, keep_cols=keep_cols)
+    denom = float(max(n - 1, 1))
+
+    def _band(b: pa.Table) -> pa.Table:
+        rnk = b.column("rnk").to_numpy(zero_copy_only=False)
+        pct = (rnk - 1) / denom
+        t = b.append_column("pct_rank", pa.array(pct, pa.float64()))
+        return t.filter(pa.array((pct >= lo) & (pct <= hi)))
+
+    return ranked.map_batches(_band, batch_format="pyarrow")
 
 
 def profile_table(ds, columns: list[str]):
