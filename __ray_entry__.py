@@ -2884,6 +2884,26 @@ def _q_mix_corpora(sf_dir: str):
     )
 
 
+def _q_mix_temperature(sf_dir: str):
+    """Temperature-scaled domain mixing (count^tau smoothing, the
+    multilingual sampling recipe): weights from one small source-count
+    groupby (functions/selection.py temperature_weights, tau=0.5), then
+    the same deterministic proportional interleave as mix_corpora_docs —
+    small domains upweighted relative to raw share, every position a pure
+    function of (seed, id, counts)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.selection import (
+        mix_corpora,
+        temperature_weights,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    w = temperature_weights(docs, tau=0.5)
+    return mix_corpora(docs, weights=w, seed=7)
+
+
 def _q_entropy_docs(sf_dir: str):
     """Per-doc character Shannon entropy (nats, 4 decimals) — gibberish /
     binary-spill quality signal; stateless vectorized map (functions/text.py
@@ -3160,6 +3180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts_docs": _q_bpe_pair_counts,
         "docs_jsonl_roundtrip": _q_docs_jsonl_roundtrip,
         "docs_quality_band": _q_docs_quality_band,
+        "mix_temperature_docs": _q_mix_temperature,
         # no_oracle tail: genuinely non-SQL surfaces (token grammar, 260k-dim
         # hashed cosine, approximate sketches, multimodal stubs) — covered by
         # fixture/parity pytest instead of the driver hash compare.
@@ -4430,6 +4451,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM scored) "
             "SELECT doc_id, n_tokens, rnk, pct_rank FROM r "
             "WHERE pct_rank >= 0.1 AND pct_rank <= 0.9 ORDER BY rnk"
+        ),
+        "mix_temperature_docs": (
+            # w_s = count_s^0.5 (unnormalized — the interleave key is
+            # scale-invariant); same md5 shuffle key and proportional
+            # round-robin as mix_corpora_docs
+            "WITH w AS (SELECT source, pow(COUNT(*), 0.5) AS wt "
+            "FROM documents GROUP BY source), "
+            "keyed AS (SELECT doc_id, d.source, wt, "
+            "CAST((('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 16))"
+            "::UBIGINT >> 11) AS BIGINT) AS k "
+            "FROM documents d JOIN w USING (source)), "
+            "r AS (SELECT doc_id, source, wt, ROW_NUMBER() OVER "
+            "(PARTITION BY source ORDER BY k, doc_id) AS rank_in_source "
+            "FROM keyed) "
+            "SELECT doc_id, source, rank_in_source, ROW_NUMBER() OVER "
+            "(ORDER BY (rank_in_source - 0.5) / wt, doc_id) AS mix_pos "
+            "FROM r ORDER BY mix_pos"
         ),
         "epoch_shuffle_docs": (
             # seeded 53-bit md5 key (same convention as priority_sample's

@@ -52,7 +52,8 @@ import pyarrow.compute as pc
 from .hashing import TokenHasher, splitmix64
 from .text import split_whitespace
 
-__all__ = ["dsir_logratio", "epoch_shuffle", "mix_corpora"]
+__all__ = ["dsir_logratio", "epoch_shuffle", "mix_corpora",
+           "temperature_weights"]
 
 _POLY_BASE = np.uint64(1099511628211)  # FNV-64 prime as the combine base
 
@@ -269,6 +270,20 @@ def epoch_shuffle(ds, *, id_col: str = "doc_id", seed: int = 0,
         descending=False, n_buckets=n_buckets, rank_col="epoch_pos",
     )
     return ranked.sort("epoch_pos")
+
+
+def temperature_weights(ds, *, source_col: str = "source",
+                        tau: float = 0.5) -> dict:
+    """Temperature-scaled domain weights for :func:`mix_corpora`:
+    ``w_s = count_s ** tau`` — the multilingual/multi-domain sampling
+    smoother (count^(1/T) upweights small domains relative to their raw
+    share; ``tau=1`` reproduces proportional-to-size, ``tau=0`` uniform).
+    One small groupby(count) — driver state is n_sources rows.  Weights
+    are left unnormalized: the interleave key ``(rank - 0.5) / w`` is
+    invariant to scaling every weight by the same constant, and the raw
+    ``pow`` is what an external SQL engine recomputes bit-for-bit."""
+    counts = ds.groupby(source_col).count().take_all()
+    return {r[source_col]: float(r["count()"]) ** tau for r in counts}
 
 
 def mix_corpora(ds, *, id_col: str = "doc_id", source_col: str = "source",

@@ -265,3 +265,31 @@ def test_unigram_logprob_single_block_whitespace_doc(ray_session):
         assert list(out["doc_id"]) == [1, 2]
         want1 = round((3 * math.log(4 / 6) + math.log(1 / 6)) / 4, 4)
         assert abs(out["avg_logprob"][0] - want1) < 1e-9
+
+
+def test_temperature_weights_smooths_small_domains(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from logjuicer_ray.functions.selection import (
+        mix_corpora,
+        temperature_weights,
+    )
+
+    # 90 'big' docs vs 10 'small' docs
+    t = pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "source": pa.array(["big"] * 90 + ["small"] * 10, pa.string()),
+    })
+    ds = rd.from_arrow(t)
+    w = temperature_weights(ds, tau=0.5)
+    assert w == {"big": 90 ** 0.5, "small": 10 ** 0.5}
+    # tau=1 reproduces proportional-to-size; tau=0 uniform
+    assert temperature_weights(ds, tau=1.0) == {"big": 90.0, "small": 10.0}
+    assert temperature_weights(ds, tau=0.0) == {"big": 1.0, "small": 1.0}
+    # under tau=0.5 the small domain appears EARLIER/more densely in the
+    # head of the mix than its raw 10% share: first 20 positions hold
+    # >= 4 small docs (10/(sqrt(90)/sqrt(10)) ≈ 1:3 ratio, not 1:9)
+    mixed = mix_corpora(ds, weights=w, seed=3).take(20)
+    n_small = sum(1 for r in mixed if r["source"] == "small")
+    assert n_small >= 4, n_small
