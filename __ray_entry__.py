@@ -2963,6 +2963,22 @@ def _q_docs_jsonl_roundtrip(sf_dir: str):
     return read_jsonl(sink).sort("doc_id")
 
 
+def _q_strip_dup_spans(sf_dir: str):
+    """Duplicate-span REMOVAL (Lee et al. 2022 substring-dedup analog at
+    n-gram granularity): every token position covered by a word 5-gram
+    occurring ≥2 times corpus-wide is dropped (functions/fuzzy.py
+    strip_duplicate_spans — gram-count groupby, duplicated grams broadcast
+    once, one vectorized is_in + numpy window dilation per batch; corpus
+    text never shuffles)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.fuzzy import strip_duplicate_spans
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return strip_duplicate_spans(docs, n=5, min_count=2)
+
+
 def _q_docs_quality_band(sf_dir: str):
     """Middle-band quality filter: keep documents whose token count sits
     between the global 10th and 90th percentile — exact distributed
@@ -3181,6 +3197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jsonl_roundtrip": _q_docs_jsonl_roundtrip,
         "docs_quality_band": _q_docs_quality_band,
         "mix_temperature_docs": _q_mix_temperature,
+        "strip_dup_spans_docs": _q_strip_dup_spans,
         # no_oracle tail: genuinely non-SQL surfaces (token grammar, 260k-dim
         # hashed cosine, approximate sketches, multimodal stubs) — covered by
         # fixture/parity pytest instead of the driver hash compare.
@@ -4451,6 +4468,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM scored) "
             "SELECT doc_id, n_tokens, rnk, pct_rank FROM r "
             "WHERE pct_rank >= 0.1 AND pct_rank <= 0.9 ORDER BY rnk"
+        ),
+        "strip_dup_spans_docs": (
+            # positions covered by a >=2x corpus-wide 5-gram are removed;
+            # survivors re-joined in position order
+            "WITH docs AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(COALESCE(text, ''), '\\s+'), "
+            "x -> x <> '') AS arr FROM documents), "
+            "grams AS (SELECT doc_id, unnest(range(len(arr) - 4)) AS s, "
+            "unnest(list_transform(range(len(arr) - 4), "
+            "s -> array_to_string(arr[s+1:s+5], ' '))) AS gram "
+            "FROM docs WHERE len(arr) >= 5), "
+            "dup AS (SELECT gram FROM grams GROUP BY gram "
+            "HAVING COUNT(*) >= 2), "
+            "cov AS (SELECT DISTINCT g.doc_id, g.s + t.o AS p "
+            "FROM grams g JOIN dup USING (gram) "
+            "CROSS JOIN (SELECT unnest(range(5)) AS o) AS t(o)), "
+            "pos AS (SELECT doc_id, unnest(range(len(arr))) AS p, "
+            "unnest(arr) AS tok FROM docs WHERE len(arr) >= 1) "
+            "SELECT pos.doc_id, COALESCE(string_agg(tok, ' ' "
+            "ORDER BY pos.p) FILTER (WHERE cov.p IS NULL), '') AS clean_text, "
+            "CAST(COUNT(cov.p) AS BIGINT) AS n_removed "
+            "FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id "
+            "AND pos.p = cov.p "
+            "GROUP BY pos.doc_id ORDER BY pos.doc_id"
         ),
         "mix_temperature_docs": (
             # w_s = count_s^0.5 (unnormalized — the interleave key is

@@ -39,6 +39,7 @@ from .hashing import md5_u64_str
 __all__ = [
     "blocked_fuzzy_pairs",
     "duplicate_ngram_spans",
+    "strip_duplicate_spans",
     "priority_sample",
     "levenshtein_batch",
 ]
@@ -184,6 +185,122 @@ def blocked_fuzzy_pairs(
         .map_groups(pairs_in_block, batch_format="pyarrow")
     )
     return out.sort(["id_a", "id_b"])
+
+
+def strip_duplicate_spans(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_count: int = 2,
+    driver_dup_rows: int = 5_000_000,
+):
+    """Remove duplicated text spans from every document: any word
+    ``n``-gram occurring at least ``min_count`` times corpus-wide (across
+    documents AND repeats within one document) is duplicated, and every
+    token position covered by a duplicated gram occurrence is dropped —
+    the n-gram-granular removal analog of suffix-array substring dedup
+    (Lee et al. 2022, arXiv:2107.06499; detection counterpart:
+    :func:`duplicate_ngram_spans`).
+
+    Distributed shape:
+
+    1. **Count pass**: grams pre-reduced per batch to ``(gram, cnt)``
+       partials, one gram-keyed groupby sum, filter ``cnt >= min_count``.
+       The duplicated-gram list is collected (bounded by
+       ``driver_dup_rows`` — raises beyond it; the 100-TB path swaps the
+       exact broadcast set for the repo's bloom semi-join,
+       functions/joins.py) and broadcast ONCE via ``ray.put``.
+    2. **Strip pass**: per batch the doc's grams are rebuilt and matched
+       with one vectorized ``pc.is_in`` against the broadcast set; the
+       covered-position mask is dilated by the window width with numpy
+       fancy indexing (a gram never crosses a doc boundary, so the
+       flattened dilation is segment-safe); uncovered tokens are
+       re-joined.  The corpus text never shuffles.
+
+    Tokens are whitespace words (``''`` dropped); ``clean_text`` joins
+    survivors with single spaces.  Docs with zero tokens emit no row
+    (SQL GROUP-BY-over-positions semantics).  Returns
+    ``(id, clean_text, n_removed)`` sorted by id.
+    """
+    import ray
+
+    ws_re = re.compile(r"\s+")
+
+    def _doc_grams(text: str):
+        words = [w for w in ws_re.split(text or "") if w]
+        if len(words) < n:
+            return words, []
+        joined = " ".join(words)
+        offsets = np.cumsum([0] + [len(w) + 1 for w in words])
+        return words, [
+            joined[offsets[i]: offsets[i + n] - 1]
+            for i in range(len(words) - n + 1)
+        ]
+
+    def gram_partials(batch: pa.Table) -> pa.Table:
+        acc: dict[str, int] = {}
+        for text in batch.column(text_col).to_pylist():
+            for g in _doc_grams(text)[1]:
+                acc[g] = acc.get(g, 0) + 1
+        return pa.table({
+            "gram": pa.array(list(acc.keys()), pa.string()),
+            "cnt": pa.array(list(acc.values()), pa.int64()),
+        })
+
+    dup = (
+        ds.map_batches(gram_partials, batch_format="pyarrow")
+        .groupby("gram")
+        .sum("cnt")
+        .filter(lambda r: r["sum(cnt)"] >= min_count)
+    )
+    n_dup = dup.count()
+    if n_dup > driver_dup_rows:
+        raise ValueError(
+            f"{n_dup} duplicated grams exceed driver_dup_rows="
+            f"{driver_dup_rows}; use a bloom-filter semi-join "
+            "(functions/joins.py) for corpora this repetitive"
+        )
+    dup_list = [r["gram"] for r in dup.take_all()]
+    dup_ref = ray.put(pa.array(dup_list, pa.string()))
+
+    def strip(batch: pa.Table) -> pa.Table:
+        dup_set = ray.get(dup_ref)
+        out_id, out_text, out_removed = [], [], []
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        per_doc = [_doc_grams(t) for t in texts]
+        all_grams = [g for _, grams in per_doc for g in grams]
+        if all_grams:
+            hit = pc.is_in(
+                pa.array(all_grams, pa.string()), value_set=dup_set
+            ).to_numpy(zero_copy_only=False)
+        else:
+            hit = np.zeros(0, dtype=bool)
+        gi = 0
+        for doc_id, (words, grams) in zip(ids, per_doc):
+            if not words:
+                continue
+            covered = np.zeros(len(words), dtype=bool)
+            if grams:
+                starts = np.nonzero(hit[gi: gi + len(grams)])[0]
+                gi += len(grams)
+                if len(starts):
+                    covered[
+                        (starts[:, None] + np.arange(n)).ravel()
+                    ] = True
+            keep = [w for w, c in zip(words, covered) if not c]
+            out_id.append(doc_id)
+            out_text.append(" ".join(keep))
+            out_removed.append(int(covered.sum()))
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "clean_text": pa.array(out_text, pa.string()),
+            "n_removed": pa.array(out_removed, pa.int64()),
+        })
+
+    return ds.map_batches(strip, batch_format="pyarrow").sort(id_col)
 
 
 def duplicate_ngram_spans(
