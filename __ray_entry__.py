@@ -2963,6 +2963,22 @@ def _q_docs_jsonl_roundtrip(sf_dir: str):
     return read_jsonl(sink).sort("doc_id")
 
 
+def _q_embedding_covariance(sf_dir: str):
+    """Distributed PCA sufficient statistic: exact e6-quantized integer
+    second moments of the embedding table, upper triangle (i, j, Σqᵢqⱼ)
+    with Σqᵢ on the diagonal and n on (0,0) — one int64 GEMM per batch,
+    one O(dim²)-row groupby; embeddings never shuffle (functions/pca.py
+    moment_partials; the eigensolve/projection on top is pytest-verified
+    in tests/test_pca.py)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.pca import moment_partials
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return moment_partials(emb).sort(["i", "j"])
+
+
 def _q_strip_dup_spans(sf_dir: str):
     """Duplicate-span REMOVAL (Lee et al. 2022 substring-dedup analog at
     n-gram granularity): every token position covered by a word 5-gram
@@ -3198,6 +3214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_band": _q_docs_quality_band,
         "mix_temperature_docs": _q_mix_temperature,
         "strip_dup_spans_docs": _q_strip_dup_spans,
+        "embedding_covariance": _q_embedding_covariance,
         # no_oracle tail: genuinely non-SQL surfaces (token grammar, 260k-dim
         # hashed cosine, approximate sketches, multimodal stubs) — covered by
         # fixture/parity pytest instead of the driver hash compare.
@@ -4468,6 +4485,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM scored) "
             "SELECT doc_id, n_tokens, rnk, pct_rank FROM r "
             "WHERE pct_rank >= 0.1 AND pct_rank <= 0.9 ORDER BY rnk"
+        ),
+        "embedding_covariance": (
+            # e6-floor quantization makes every moment an exact BIGINT;
+            # n rides the (0,0) row, first moments ride the diagonal
+            "WITH e AS (SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q "
+            "FROM embeddings), "
+            "ix AS (SELECT vec_id, unnest(q) AS v, "
+            "unnest(range(len(q))) AS i FROM e) "
+            "SELECT a.i AS i, b.i AS j, "
+            "CAST(SUM(a.v * b.v) AS BIGINT) AS sxy, "
+            "CAST(CASE WHEN a.i = b.i THEN SUM(a.v) ELSE 0 END AS BIGINT) AS sx, "
+            "CAST(CASE WHEN a.i = 0 AND b.i = 0 THEN COUNT(*) ELSE 0 END "
+            "AS BIGINT) AS n "
+            "FROM ix a JOIN ix b ON a.vec_id = b.vec_id AND b.i >= a.i "
+            "GROUP BY a.i, b.i ORDER BY i, j"
         ),
         "strip_dup_spans_docs": (
             # positions covered by a >=2x corpus-wide 5-gram are removed;
