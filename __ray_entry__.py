@@ -2963,6 +2963,20 @@ def _q_docs_jsonl_roundtrip(sf_dir: str):
     return read_jsonl(sink).sort("doc_id")
 
 
+def _q_normalized_docs(sf_dir: str):
+    """CCNet-style normalization for dedup keys (lowercase, digits → 0,
+    whitespace collapsed, trimmed) — stateless vectorized Arrow RE2
+    kernels, the same chain an external SQL engine applies
+    (functions/text.py normalize_text_batch)."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.text import add_normalized_text
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return add_normalized_text(docs).sort("doc_id")
+
+
 def _q_embedding_covariance(sf_dir: str):
     """Distributed PCA sufficient statistic: exact e6-quantized integer
     second moments of the embedding table, upper triangle (i, j, Σqᵢqⱼ)
@@ -3215,6 +3229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_temperature_docs": _q_mix_temperature,
         "strip_dup_spans_docs": _q_strip_dup_spans,
         "embedding_covariance": _q_embedding_covariance,
+        "normalized_docs": _q_normalized_docs,
         # no_oracle tail: genuinely non-SQL surfaces (token grammar, 260k-dim
         # hashed cosine, approximate sketches, multimodal stubs) — covered by
         # fixture/parity pytest instead of the driver hash compare.
@@ -4485,6 +4500,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM scored) "
             "SELECT doc_id, n_tokens, rnk, pct_rank FROM r "
             "WHERE pct_rank >= 0.1 AND pct_rank <= 0.9 ORDER BY rnk"
+        ),
+        "normalized_docs": (
+            "WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace("
+            "lower(COALESCE(text, '')), '[0-9]', '0', 'g'), "
+            "'\\s+', ' ', 'g')) AS norm_text FROM documents) "
+            "SELECT doc_id, norm_text, "
+            "CAST(length(norm_text) AS BIGINT) AS n_chars_norm "
+            "FROM n ORDER BY doc_id"
         ),
         "embedding_covariance": (
             # e6-floor quantization makes every moment an exact BIGINT;

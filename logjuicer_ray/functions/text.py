@@ -28,6 +28,8 @@ __all__ = [
     "add_repetition",
     "char_entropy_batch",
     "add_char_entropy",
+    "normalize_text_batch",
+    "add_normalized_text",
 ]
 
 def split_whitespace(arr):
@@ -306,4 +308,30 @@ def char_entropy_batch(batch: pa.Table, *, id_col: str = "doc_id",
 def add_char_entropy(ds, **kw):
     return ds.map_batches(
         lambda b: char_entropy_batch(b, **kw), batch_format="pyarrow"
+    )
+
+
+def normalize_text_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                         text_col: str = "text") -> pa.Table:
+    """CCNet-style text normalization for dedup keys (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.1, simplified to the RE2/SQL-mirrorable core):
+    lowercase, every ASCII digit → ``0``, whitespace runs collapsed to one
+    space, trimmed.  Fully vectorized Arrow kernels — no per-row Python.
+    Returns (id, norm_text, n_chars_norm)."""
+    import pyarrow.compute as pc
+
+    t = pc.fill_null(batch.column(text_col), "")
+    t = pc.utf8_lower(t)
+    t = pc.replace_substring_regex(t, "[0-9]", "0")
+    t = pc.utf8_trim(pc.replace_substring_regex(t, r"\s+", " "), " ")
+    return pa.table({
+        id_col: batch.column(id_col),
+        "norm_text": t,
+        "n_chars_norm": pc.utf8_length(t).cast(pa.int64()),
+    })
+
+
+def add_normalized_text(ds, **kw):
+    return ds.map_batches(
+        lambda b: normalize_text_batch(b, **kw), batch_format="pyarrow"
     )
