@@ -2963,6 +2963,34 @@ def _q_docs_jsonl_roundtrip(sf_dir: str):
     return read_jsonl(sink).sort("doc_id")
 
 
+def _q_docs_union_by_name(sf_dir: str):
+    """Schema-drift ingest: two parquet shards written by 'different
+    pipeline versions' (even docs carry (doc_id, text, lang), odd docs
+    (doc_id, lang, source) in a different column order) read back as ONE
+    Dataset with the union-by-name schema, missing columns null-filled
+    (sources/parquet_union.read_parquet_union — footer-only planning,
+    per-shard pruned reads, lazy union)."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from logjuicer_ray.sources.parquet_union import read_parquet_union
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "lang", "source"])
+    root = (f"/tmp/logjuicer_union/{os.path.basename(sf_dir.rstrip('/'))}"
+            f"-{os.getpid()}")
+    os.makedirs(root, exist_ok=True)
+    even = pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)
+    pq.write_table(t.filter(even).select(["doc_id", "text", "lang"]),
+                   f"{root}/shard_v1.parquet")
+    pq.write_table(
+        t.filter(pc.invert(even)).select(["doc_id", "lang", "source"]),
+        f"{root}/shard_v2.parquet")
+    return read_parquet_union([root]).sort("doc_id")
+
+
 def _q_normalized_docs(sf_dir: str):
     """CCNet-style normalization for dedup keys (lowercase, digits → 0,
     whitespace collapsed, trimmed) — stateless vectorized Arrow RE2
@@ -3230,6 +3258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_dup_spans_docs": _q_strip_dup_spans,
         "embedding_covariance": _q_embedding_covariance,
         "normalized_docs": _q_normalized_docs,
+        "docs_union_by_name": _q_docs_union_by_name,
         # no_oracle tail: genuinely non-SQL surfaces (token grammar, 260k-dim
         # hashed cosine, approximate sketches, multimodal stubs) — covered by
         # fixture/parity pytest instead of the driver hash compare.
@@ -4500,6 +4529,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM scored) "
             "SELECT doc_id, n_tokens, rnk, pct_rank FROM r "
             "WHERE pct_rank >= 0.1 AND pct_rank <= 0.9 ORDER BY rnk"
+        ),
+        "docs_union_by_name": (
+            # the union-by-name read reconstructs exactly this projection:
+            # even shard lacks source, odd shard lacks text
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 2 = 0 THEN text END AS text, lang, "
+            "CASE WHEN doc_id % 2 = 1 THEN source END AS source "
+            "FROM documents ORDER BY doc_id"
         ),
         "normalized_docs": (
             "WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace("

@@ -14,7 +14,8 @@ import os
 import shutil
 import time
 
-__all__ = ["write_sink", "write_jsonl_sink", "sink_finished", "read_manifest"]
+__all__ = ["write_sink", "write_jsonl_sink", "compact_sink",
+           "sink_finished", "read_manifest"]
 
 MANIFEST = "manifest.json"
 
@@ -118,3 +119,32 @@ def write_jsonl_sink(ds, path: str, *, inputs=None, extra=None,
         shutil.rmtree(path)
     os.replace(tmp, path)
     return manifest
+
+
+def compact_sink(path: str, *, target_mb: float = 128.0) -> dict:
+    """Compact a parquet sink's small part files into
+    ``ceil(total_bytes / target_mb)`` larger ones — the periodic
+    maintenance pass every long-running partitioned layout needs (many
+    small incremental writes degrade read parallelism and metadata cost
+    at 100-TB scale).  Streams through ``read_parquet`` →
+    ``repartition`` → the same atomic tmp-dir + manifest protocol
+    (``write_sink`` with ``resume=False``); the new manifest records the
+    old file count under ``compacted_from`` for lineage."""
+    import math
+
+    import ray.data as rd
+
+    files = [f for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+    if not files:
+        raise FileNotFoundError(f"no parquet part files under {path}")
+    total = sum(os.path.getsize(os.path.join(path, f)) for f in files)
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    if n_out >= len(files):
+        return read_manifest(path) if sink_finished(path) else {
+            "rows": None, "skipped": "already compact"}
+    ds = rd.read_parquet([os.path.join(path, f) for f in files])
+    return write_sink(
+        ds.repartition(n_out), path, resume=False,
+        inputs=[path],
+        extra={"compacted_from": len(files)},
+    )
