@@ -2963,6 +2963,34 @@ def _q_docs_jsonl_roundtrip(sf_dir: str):
     return read_jsonl(sink).sort("doc_id")
 
 
+def _q_docs_bundle_roundtrip(sf_dir: str):
+    """Single-file binary artifact roundtrip (the Cap'n Proto codec
+    analog, codec.rs:33-331 / report.rs:198-237): documents → one
+    zstd-compressed Arrow-IPC bundle (report_codec.write_report_bundle,
+    magic + versioned footer + lazy section index) → read back ONLY the
+    requested section — the hard oracle proves the codec is lossless for
+    int64 and string columns."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from logjuicer_ray.report_codec import (
+        read_report_bundle,
+        write_report_bundle,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "lang", "source", "n_chars"])
+    path = (f"/tmp/logjuicer_bundle/{os.path.basename(sf_dir.rstrip('/'))}"
+            f"-{os.getpid()}/docs.bundle.gz")
+    write_report_bundle(path, {"documents": t.sort_by("doc_id"),
+                               "counts": t.group_by("lang").aggregate(
+                                   [("doc_id", "count")])},
+                        kind="export", meta={"table": "documents"})
+    tables, _footer = read_report_bundle(path, sections=["documents"])
+    return tables["documents"]
+
+
 def _q_docs_union_by_name(sf_dir: str):
     """Schema-drift ingest: two parquet shards written by 'different
     pipeline versions' (even docs carry (doc_id, text, lang), odd docs
@@ -3259,6 +3287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": _q_embedding_covariance,
         "normalized_docs": _q_normalized_docs,
         "docs_union_by_name": _q_docs_union_by_name,
+        "docs_bundle_roundtrip": _q_docs_bundle_roundtrip,
         # no_oracle tail: genuinely non-SQL surfaces (token grammar, 260k-dim
         # hashed cosine, approximate sketches, multimodal stubs) — covered by
         # fixture/parity pytest instead of the driver hash compare.
@@ -4536,6 +4565,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, "
             "CASE WHEN doc_id % 2 = 0 THEN text END AS text, lang, "
             "CASE WHEN doc_id % 2 = 1 THEN source END AS source "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "docs_bundle_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars "
             "FROM documents ORDER BY doc_id"
         ),
         "normalized_docs": (

@@ -295,6 +295,10 @@ def cmd_report(args) -> int:
             "run_time_s": round(time.monotonic() - t0, 2),
         },
     )
+    if getattr(args, "bundle", None):
+        from .report_codec import save_report_bundle
+
+        save_report_bundle(out, args.bundle, meta={"summary": summary})
     if not args.quiet:
         _print_anomalies(out["anomalies"])
         print(json.dumps(summary))
@@ -333,6 +337,11 @@ def cmd_errors(args) -> int:
     os.makedirs(args.out, exist_ok=True)
     metrics.write(args.out)
     summary = _write_outputs(out, args.out, inputs=[args.input or args.target])
+    if getattr(args, "bundle", None):
+        from .report_codec import save_report_bundle
+
+        save_report_bundle(out, args.bundle, kind="errors",
+                           meta={"summary": summary})
     if not args.quiet:
         _print_anomalies(out["anomalies"])
         print(json.dumps(summary))
@@ -367,11 +376,10 @@ def cmd_similarity(args) -> int:
 
     cfg = _config_from_args(args)
     if getattr(args, "from_reports", None):
-        # consume SAVED report sinks (load_report round-trip) instead of
+        # consume SAVED reports (sink dirs or bundle files) instead of
         # recomputing each target's report
-        from .pipelines.report import load_report
-
-        anomalies = [load_report(d)["anomalies"] for d in args.from_reports]
+        anomalies = [_load_saved_report(d)["anomalies"]
+                     for d in args.from_reports]
     else:
         # reference flow (cli/src/main.rs:463-513): train on the first
         # target's baselines, one report per target, then the merge
@@ -505,20 +513,34 @@ def cmd_check_model(args) -> int:
     return 0
 
 
-def cmd_read_report(args) -> int:
-    """``logjuicer read-report DIR`` (main.rs ReadReport): print a saved
-    report's anomalies."""
-    _init_ray(args.num_cpus)
+def _load_saved_report(path: str) -> dict:
+    """Dispatch a saved-report path: a sink DIRECTORY loads via the
+    parquet manifests (load_report), a FILE is a single-artifact bundle
+    (report_codec, the report.rs:214-237 load analog — .gz handled)."""
+    if os.path.isfile(path):
+        from .report_codec import load_report_bundle
+
+        return load_report_bundle(path)
     from .pipelines.report import load_report
 
+    return load_report(path)
+
+
+def cmd_read_report(args) -> int:
+    """``logjuicer read-report DIR|FILE`` (main.rs ReadReport): print a
+    saved report's anomalies from a sink dir or a bundle file."""
+    _init_ray(args.num_cpus)
+    from .report_codec import BundleError
+
     try:
-        rep = load_report(args.dir)
-    except FileNotFoundError as e:
+        rep = _load_saved_report(args.dir)
+    except (FileNotFoundError, BundleError) as e:
         print(str(e), file=sys.stderr)
         return 1
     if not args.quiet:
         _print_anomalies(rep["anomalies"])
-        print(json.dumps({name: ds.count() for name, ds in rep.items()}))
+        print(json.dumps({name: ds.count() for name, ds in rep.items()
+                          if hasattr(ds, "count")}))
     return 0
 
 
@@ -531,7 +553,6 @@ def cmd_filter_report(args) -> int:
     _init_ray(args.num_cpus)
     from .filtering import filter_anomalies, is_ansible_conv
     from .index_name import group_key
-    from .pipelines.report import load_report
     from .sinks import write_sink
     from .tokenizer import process as tokenize
     from .vectorize import build_index
@@ -542,7 +563,7 @@ def cmd_filter_report(args) -> int:
     tokens_by_key: dict[str, list[str]] = {}
     for d in args.baselines:
         try:
-            rep = load_report(d)
+            rep = _load_saved_report(d)
         except FileNotFoundError:
             continue  # baseline report had no anomalies: nothing to index
         for row in rep["anomalies"].iter_rows():
@@ -551,7 +572,7 @@ def cmd_filter_report(args) -> int:
     indexes = {k: build_index(v) for k, v in tokens_by_key.items()}
 
     # 2. re-score the target's anomalies conversation by conversation
-    target = load_report(args.target_report)
+    target = _load_saved_report(args.target_report)
     if "anomalies" not in target:
         raise SystemExit(f"no anomalies sink under {args.target_report}")
     by_conv: dict[str, list[dict]] = {}
@@ -726,6 +747,12 @@ def main(argv=None) -> int:
             help="treat embedded newlines in a turn's text as record "
                  "boundaries (BytesLines parity); turn_idx becomes the "
                  "per-conversation line ordinal",
+        )
+        sp.add_argument(
+            "--bundle",
+            help="also save the report as ONE binary bundle file "
+                 "(Arrow-IPC sections + zstd; .gz suffix gzips the whole "
+                 "container — the report.rs:198-237 single-artifact analog)",
         )
 
     sp = sub.add_parser("report", parents=[parent], help="diff target against baseline (logjuicer diff analog)")
