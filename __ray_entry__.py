@@ -2991,6 +2991,45 @@ def _q_docs_bundle_roundtrip(sf_dir: str):
     return tables["documents"]
 
 
+def _q_markup_stripped(sf_dir: str):
+    """Web-corpus text extraction (the crawled-HTML → training-text
+    curation step): deterministic markup is synthesized around each
+    document's escaped text (tags, a script block, a style block, a
+    comment, entities), then functions/text.strip_markup_batch recovers
+    clean text with vectorized RE2 kernels.  The oracle rebuilds the SAME
+    markup and strips it with DuckDB's independent RE2 chain — two
+    implementations must agree on every output string."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logjuicer_ray.functions.text import strip_markup_batch
+
+    def make_html(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        esc = pc.replace_substring(
+            pc.replace_substring(pc.fill_null(batch.column("text"), ""),
+                                 "&", "&amp;"),
+            "<", "&lt;")
+        ids = pc.cast(batch.column("doc_id"), pa.string())
+        html = pc.binary_join_element_wise(
+            pa.array(["<html><head><style>p{margin:0}</style></head>"
+                      "<body><!-- gen --><script>var n="] * len(ids)),
+            ids,
+            pa.array([";</script><p class=\"doc\">"] * len(ids)),
+            esc,
+            pa.array(["</p><br></body></html>"] * len(ids)),
+            "")
+        return pa.table({"doc_id": batch.column("doc_id"), "text": html})
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return (docs.map_batches(make_html, batch_format="pyarrow")
+                .map_batches(strip_markup_batch, batch_format="pyarrow")
+                .sort("doc_id"))
+
+
 def _q_docs_union_by_name(sf_dir: str):
     """Schema-drift ingest: two parquet shards written by 'different
     pipeline versions' (even docs carry (doc_id, text, lang), odd docs
@@ -3288,6 +3327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_docs": _q_normalized_docs,
         "docs_union_by_name": _q_docs_union_by_name,
         "docs_bundle_roundtrip": _q_docs_bundle_roundtrip,
+        "markup_stripped_docs": _q_markup_stripped,
         # no_oracle tail: genuinely non-SQL surfaces (token grammar, 260k-dim
         # hashed cosine, approximate sketches, multimodal stubs) — covered by
         # fixture/parity pytest instead of the driver hash compare.
@@ -4570,6 +4610,32 @@ def oracle_sql() -> dict[str, str]:
         "docs_bundle_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars "
             "FROM documents ORDER BY doc_id"
+        ),
+        "markup_stripped_docs": (
+            # rebuild the SAME synthetic markup, then strip with DuckDB's
+            # independent RE2 chain (entity decode with ampersand last)
+            "WITH h AS (SELECT doc_id, "
+            "'<html><head><style>p{margin:0}</style></head>"
+            "<body><!-- gen --><script>var n=' || doc_id || "
+            "';</script><p class=\"doc\">' || "
+            "replace(replace(COALESCE(text,''),'&','&amp;'),'<','&lt;') || "
+            "'</p><br></body></html>' AS html FROM documents), "
+            "s AS (SELECT doc_id, trim(regexp_replace("
+            "replace(replace(replace(replace(replace(replace("
+            "regexp_replace(regexp_replace("
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            "html, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'), "
+            "'(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'), "
+            "'(?is)<script\\b[^>]*>.*$', ' ', 'g'), "
+            "'(?is)<style\\b[^>]*>.*$', ' ', 'g'), "
+            "'(?s)<!--.*?-->', ' ', 'g'), "
+            "'<[^>]*>', ' ', 'g'), "
+            "'&lt;','<'),'&gt;','>'),'&quot;','\"'),'&#39;',chr(39)),"
+            "'&nbsp;',' '),'&amp;','&'), "
+            "'\\s+', ' ', 'g')) AS clean_text FROM h) "
+            "SELECT doc_id, clean_text, "
+            "CAST(length(clean_text) AS BIGINT) AS n_chars_clean "
+            "FROM s ORDER BY doc_id"
         ),
         "normalized_docs": (
             "WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace("

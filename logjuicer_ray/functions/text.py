@@ -335,3 +335,61 @@ def add_normalized_text(ds, **kw):
     return ds.map_batches(
         lambda b: normalize_text_batch(b, **kw), batch_format="pyarrow"
     )
+
+
+# -------------------------------------------------------------- markup strip
+
+_ENTITY_MAP = (
+    # named entities first; ampersand LAST so "&amp;lt;" decodes to the
+    # literal "&lt;" (single-pass HTML-unescape semantics)
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                       text_col: str = "text") -> pa.Table:
+    """Markup-to-text extraction — the web-corpus curation step that turns
+    crawled HTML into training text: drop ``<script>``/``<style>`` blocks
+    INCLUDING their content, drop comments, drop remaining tags, decode
+    the standard entities (ampersand last, single-pass semantics), and
+    collapse whitespace.  Fully vectorized Arrow RE2 kernels (inline
+    ``(?is)`` flags — RE2 has no backreferences, so script and style get
+    separate patterns); no per-row Python.  Returns
+    ``(id, clean_text, n_chars_clean)``.
+
+    Heuristic by design (like any regex-level extractor): unclosed
+    script/style blocks strip to the end of the document, and exotic
+    numeric entities pass through — both acceptable for corpus curation
+    and exactly mirrorable in the SQL oracle."""
+    import pyarrow.compute as pc
+
+    t = pc.fill_null(batch.column(text_col), "")
+    t = pc.replace_substring_regex(
+        t, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    t = pc.replace_substring_regex(
+        t, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    # unclosed blocks strip to end-of-document (never leak JS/CSS into
+    # training text)
+    t = pc.replace_substring_regex(t, r"(?is)<script\b[^>]*>.*$", " ")
+    t = pc.replace_substring_regex(t, r"(?is)<style\b[^>]*>.*$", " ")
+    t = pc.replace_substring_regex(t, r"(?s)<!--.*?-->", " ")
+    t = pc.replace_substring_regex(t, r"<[^>]*>", " ")
+    for src, dst in _ENTITY_MAP:
+        t = pc.replace_substring(t, src, dst)
+    t = pc.utf8_trim(pc.replace_substring_regex(t, r"\s+", " "), " ")
+    return pa.table({
+        id_col: batch.column(id_col),
+        "clean_text": t,
+        "n_chars_clean": pc.utf8_length(t).cast(pa.int64()),
+    })
+
+
+def add_stripped_markup(ds, **kw):
+    return ds.map_batches(
+        lambda b: strip_markup_batch(b, **kw), batch_format="pyarrow"
+    )
