@@ -3030,6 +3030,34 @@ def _q_markup_stripped(sf_dir: str):
                 .sort("doc_id"))
 
 
+def _q_corpus_overlap(sf_dir: str):
+    """Corpus-overlap audit (the pre-merge dataset redundancy check):
+    exact distinct-text Jaccard / containment between two deterministic
+    sub-corpora of documents (A = doc_id % 3 != 0, B = doc_id % 2 = 0).
+    Only 16-byte hash rows shuffle (functions/overlap.corpus_overlap);
+    ratios are exact integer e6 floors."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.overlap import corpus_overlap
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def _mod_filter(mod: int, keep_rem_nonzero: bool):
+        def f(batch):
+            import numpy as np
+            import pyarrow as pa
+
+            ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+            mask = (ids % mod != 0) if keep_rem_nonzero else (ids % mod == 0)
+            return batch.filter(pa.array(mask))
+        return f
+
+    a = docs.map_batches(_mod_filter(3, True), batch_format="pyarrow")
+    b = docs.map_batches(_mod_filter(2, False), batch_format="pyarrow")
+    return corpus_overlap(a, b, key_col="text")
+
+
 def _q_docs_union_by_name(sf_dir: str):
     """Schema-drift ingest: two parquet shards written by 'different
     pipeline versions' (even docs carry (doc_id, text, lang), odd docs
@@ -3328,6 +3356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_union_by_name": _q_docs_union_by_name,
         "docs_bundle_roundtrip": _q_docs_bundle_roundtrip,
         "markup_stripped_docs": _q_markup_stripped,
+        "corpus_overlap_docs": _q_corpus_overlap,
         # no_oracle tail: genuinely non-SQL surfaces (token grammar, 260k-dim
         # hashed cosine, approximate sketches, multimodal stubs) — covered by
         # fixture/parity pytest instead of the driver hash compare.
@@ -4610,6 +4639,20 @@ def oracle_sql() -> dict[str, str]:
         "docs_bundle_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars "
             "FROM documents ORDER BY doc_id"
+        ),
+        "corpus_overlap_docs": (
+            "WITH a AS (SELECT DISTINCT COALESCE(text,'') AS t "
+            "FROM documents WHERE doc_id % 3 != 0), "
+            "b AS (SELECT DISTINCT COALESCE(text,'') AS t "
+            "FROM documents WHERE doc_id % 2 = 0), "
+            "c AS (SELECT (SELECT COUNT(*) FROM a) AS na, "
+            "(SELECT COUNT(*) FROM b) AS nb, "
+            "(SELECT COUNT(*) FROM a JOIN b USING(t)) AS nc) "
+            "SELECT na AS n_a, nb AS n_b, nc AS n_common, "
+            "na + nb - nc AS n_union, "
+            "(nc * 1000000) // (na + nb - nc) AS jaccard_e6, "
+            "(nc * 1000000) // na AS containment_a_e6, "
+            "(nc * 1000000) // nb AS containment_b_e6 FROM c"
         ),
         "markup_stripped_docs": (
             # rebuild the SAME synthetic markup, then strip with DuckDB's
