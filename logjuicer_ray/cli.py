@@ -396,6 +396,14 @@ def cmd_similarity(args) -> int:
         os.path.join(args.out, "similarity"),
         inputs=list(getattr(args, "from_reports", None) or args.inputs or []),
     )
+    if getattr(args, "bundle", None):
+        # SimilarityReport::save analog (report.rs:240-255): the merged
+        # matrix as one binary artifact
+        from .report_codec import save_report_bundle
+
+        save_report_bundle({"similarity": sim}, args.bundle,
+                           kind="similarity",
+                           meta={"similarity_rows": manifest["rows"]})
     if not args.quiet:
         print(json.dumps({"similarity_rows": manifest["rows"]}))
     return 0
@@ -776,9 +784,14 @@ def main(argv=None) -> int:
     sp.add_argument(
         "--from-reports",
         nargs="+",
-        help="saved report output dirs (anomalies/ sinks) to merge instead of recomputing",
+        help="saved reports (sink dirs or bundle files) to merge instead of recomputing",
     )
     sp.add_argument("--out", required=True)
+    sp.add_argument(
+        "--bundle",
+        help="also save the similarity matrix as ONE binary bundle file "
+             "(SimilarityReport::save analog, report.rs:240-255)",
+    )
     sp.add_argument("--ignore-pattern", action="append")
     sp.add_argument("--keep-duplicate", action="store_true")
     sp.set_defaults(fn=cmd_similarity)

@@ -177,3 +177,38 @@ def test_cli_bundle_and_read_report(work):
     for name in ("anomalies", "reports", "unknown"):
         if name in summary["sinks"]:
             assert counts[name] == summary["sinks"][name]
+
+
+def test_similarity_bundle_roundtrip(ray_session, tmp_path):
+    """similarity --from-reports <bundle> --bundle: consumes a report
+    bundle as input AND saves the merged matrix as its own bundle
+    (SimilarityReport::save analog)."""
+    from logjuicer_ray.cli import main
+    from logjuicer_ray.report_codec import load_report_bundle
+    from logjuicer_ray.synth import ensure_turns
+
+    path = ensure_turns(0.0003)
+    out = tmp_path / "rep"
+    rep_bundle = str(tmp_path / "rep.bundle")
+    rc = main(["report", "--input", path, "--out", str(out),
+               "--bundle", rep_bundle, "--quiet"])
+    assert rc == 0
+
+    sim_out = tmp_path / "sim"
+    sim_bundle = str(tmp_path / "sim.bundle.gz")
+    rc = main(["similarity", "--from-reports", rep_bundle, str(out),
+               "--out", str(sim_out), "--bundle", sim_bundle, "--quiet"])
+    assert rc == 0
+
+    back = load_report_bundle(sim_bundle)
+    assert back["_meta"]["kind"] == "similarity"
+    import ray.data as rd
+
+    sink_files = [
+        os.path.join(sim_out, "similarity", f)
+        for f in sorted(os.listdir(sim_out / "similarity"))
+        if f.endswith(".parquet")
+    ]
+    sink_rows = rd.read_parquet(sink_files).count()
+    assert back["similarity"].count() == sink_rows
+    assert back["_meta"]["meta"]["similarity_rows"] == sink_rows
