@@ -496,6 +496,42 @@ def _q_knn_ivf(sf_dir: str):
     )
 
 
+def _q_knn_ivf_index(sf_dir: str):
+    """PERSISTED IVF index queried in exact mode (nprobe = n_clusters):
+    build writes hive-partitioned vectors (``cluster=K/``) + a centroids
+    bundle; query reads ONLY the probed partitions' files — read-level
+    pruning is the 100-TB search pattern (functions/knn.write_ivf_index /
+    knn_ivf_index).  Exact mode must reproduce brute force bit-for-bit —
+    same SQL oracle as ``knn_bruteforce``."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logjuicer_ray.functions.knn import knn_ivf_index, write_ivf_index
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qrows = _first_query_rows(emb, 3)
+    queries_m = np.asarray(list(qrows["embedding"]), dtype=np.float32)
+    idx = (f"/tmp/logjuicer_ivf/{os.path.basename(sf_dir.rstrip('/'))}"
+           f"-{os.getpid()}")
+    if not os.path.exists(os.path.join(idx, "centroids.bundle")):
+        write_ivf_index(emb, idx, n_clusters=16)
+    out = knn_ivf_index(idx, queries_m, k=5, nprobe=16).to_pandas()
+    qids = list(qrows["vec_id"])
+    out["query_vec_id"] = out["query_id"].map(lambda i: qids[i])
+    out["cosine_e4"] = np.floor(out["cosine"] * 10000.0 + 0.5).astype("int64")
+    return pa.table(
+        {
+            "query_vec_id": pa.array(out["query_vec_id"], pa.int64()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "cosine_e4": pa.array(out["cosine_e4"], pa.int64()),
+        }
+    )
+
+
 def _q_kmeans_docs(sf_dir: str):
     """Distributed spherical k-means over the embeddings table (iterative
     Lloyd's: broadcast centroids, per-block partial sums, no shuffle) —
@@ -3357,6 +3393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bundle_roundtrip": _q_docs_bundle_roundtrip,
         "markup_stripped_docs": _q_markup_stripped,
         "corpus_overlap_docs": _q_corpus_overlap,
+        "knn_ivf_index": _q_knn_ivf_index,
         # no_oracle tail: genuinely non-SQL surfaces (token grammar, 260k-dim
         # hashed cosine, approximate sketches, multimodal stubs) — covered by
         # fixture/parity pytest instead of the driver hash compare.
@@ -3943,6 +3980,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         # IVF in exact mode (nprobe = n_clusters) must equal brute force
         "knn_ivf": (
+            "WITH q AS (SELECT vec_id AS query_vec_id, embedding AS qe "
+            "FROM embeddings ORDER BY vec_id LIMIT 3), "
+            "sims AS (SELECT q.query_vec_id, e.vec_id, "
+            "list_cosine_similarity(q.qe, e.embedding) AS cs "
+            "FROM q CROSS JOIN embeddings e), "
+            "ranked AS (SELECT query_vec_id, vec_id, cs, "
+            "row_number() OVER (PARTITION BY query_vec_id ORDER BY cs DESC, vec_id) AS rn "
+            "FROM sims) "
+            "SELECT query_vec_id, vec_id, "
+            "CAST(FLOOR(cs * 10000.0 + 0.5) AS BIGINT) AS cosine_e4 "
+            "FROM ranked WHERE rn <= 5 ORDER BY query_vec_id, cosine_e4 DESC, vec_id"
+        ),
+        # persisted-index exact mode must equal brute force too
+        "knn_ivf_index": (
             "WITH q AS (SELECT vec_id AS query_vec_id, embedding AS qe "
             "FROM embeddings ORDER BY vec_id LIMIT 3), "
             "sims AS (SELECT q.query_vec_id, e.vec_id, "

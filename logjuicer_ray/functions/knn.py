@@ -16,7 +16,8 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["knn_brute_force", "knn_ivf", "kmeans_fit", "kmeans_distributed", "semdedup",
-           "grouped_centroids", "quantize_embeddings"]
+           "grouped_centroids", "quantize_embeddings", "write_ivf_index",
+           "load_ivf_centroids", "probed_cluster_dirs", "knn_ivf_index"]
 
 
 def grouped_centroids(ds, *, group_col: str, vec_col: str = "embedding"):
@@ -444,3 +445,145 @@ def semdedup(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
         .map_groups(dedup_cluster, batch_format="pyarrow")
         .sort(id_col)
     )
+
+
+# ------------------------------------------------------- persistent IVF index
+
+def write_ivf_index(ds, path: str, *, n_clusters: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    sample_size: int = 4096, seed: int = 42) -> dict:
+    """Build and PERSIST an IVF index: the vector table re-written as
+    hive-partitioned parquet (``vectors/cl=K/``) plus a centroids bundle
+    (report_codec single-file artifact).  The 100-TB query pattern this
+    buys: probing is **read-level pruning** — a query opens only its
+    ``nprobe`` clusters' files; the other partitions are never read.
+    Build cost is one assignment pass + one partitioned write; the
+    cluster id is stored BOTH as the partition key and as a regular
+    ``cl`` column so readers do not depend on hive-path inference.
+
+    Returns the centroid-bundle footer (carries n_clusters / dim /
+    metric in ``meta``)."""
+    import os
+
+    import ray
+
+    from ..report_codec import write_report_bundle
+
+    n = ds.count()
+    frac = min(1.0, (sample_size * 1.25) / max(1, n))
+    sample_rows = ds.random_sample(frac, seed=seed).limit(sample_size).to_pandas()
+    if len(sample_rows) < n_clusters:
+        sample_rows = ds.limit(max(n_clusters, sample_size)).to_pandas()
+    sample = np.asarray(list(sample_rows[vec_col]), dtype=np.float32)
+    centroids = kmeans_fit(sample, n_clusters=n_clusters, seed=seed)
+    cents_ref = ray.put(centroids)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        cents = _ray.get(cents_ref)
+        vecs = _normalize(np.asarray(batch.column(vec_col).to_pylist(),
+                                     dtype=np.float32))
+        cl = np.argmax(vecs @ cents.T, axis=1).astype(np.int32)
+        batch = batch.append_column("cl", pa.array(cl, pa.int32()))
+        return batch.append_column("cluster", pa.array(cl, pa.int32()))
+
+    os.makedirs(path, exist_ok=True)
+    (ds.map_batches(_assign, batch_format="pyarrow")
+       .write_parquet(os.path.join(path, "vectors"),
+                      partition_cols=["cluster"]))
+    dim = int(centroids.shape[1])
+    return write_report_bundle(
+        os.path.join(path, "centroids.bundle"),
+        {"centroids": pa.table({
+            "cluster": pa.array(range(n_clusters), pa.int32()),
+            "centroid": pa.array([c.tolist() for c in centroids],
+                                 pa.list_(pa.float32())),
+        })},
+        kind="ivf_index",
+        meta={"n_clusters": n_clusters, "dim": dim, "metric": "cosine",
+              "id_col": id_col, "vec_col": vec_col})
+
+
+def load_ivf_centroids(path: str) -> tuple[np.ndarray, dict]:
+    """Read back the centroid matrix + meta from a persisted index."""
+    import os
+
+    from ..report_codec import read_report_bundle
+
+    tables, footer = read_report_bundle(
+        os.path.join(path, "centroids.bundle"), sections=["centroids"])
+    t = tables["centroids"].sort_by("cluster")
+    cents = np.asarray(t.column("centroid").to_pylist(), dtype=np.float32)
+    return cents, footer["meta"]
+
+
+def probed_cluster_dirs(path: str, queries: np.ndarray, *,
+                        nprobe: int) -> tuple[list[str], np.ndarray]:
+    """The partition dirs a query batch needs: union of each query's
+    ``nprobe`` closest centroids.  Exposed for tests and ops visibility
+    (how much of the index a workload actually touches)."""
+    import os
+
+    cents, _meta = load_ivf_centroids(path)
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    probed = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
+    wanted = np.unique(probed)
+    dirs = [os.path.join(path, "vectors", f"cluster={int(c)}")
+            for c in wanted]
+    return [d for d in dirs if os.path.isdir(d)], probed
+
+
+def knn_ivf_index(path: str, queries: np.ndarray, *, k: int = 10,
+                  nprobe: int = 4):
+    """Top-k cosine against a PERSISTED IVF index: only the probed
+    partitions are read (``probed_cluster_dirs``), assignment comes from
+    the stored ``cl`` column (no recompute), then the same broadcast-GEMM
+    + k-bounded merge as the in-memory paths.  ``nprobe = n_clusters``
+    reproduces brute force over the full table bit-for-bit."""
+    import ray
+    import ray.data as rd
+
+    cents, meta = load_ivf_centroids(path)
+    id_col = meta["id_col"]
+    vec_col = meta["vec_col"]
+    dirs, probed = probed_cluster_dirs(path, queries, nprobe=nprobe)
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    state_ref = ray.put((q, probed))
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        qm, probes = ray.get(state_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        cl = np.asarray(batch.column("cl"), dtype=np.int64)
+        vecs = _normalize(np.asarray(batch.column(vec_col).to_pylist(),
+                                     dtype=np.float32))
+        sims = qm @ vecs.T
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[0]):
+            mask = np.isin(cl, probes[qi])
+            if not mask.any():
+                continue
+            sel_idx = np.flatnonzero(mask)
+            kk = min(k, len(sel_idx))
+            best = sel_idx[np.argpartition(-sims[qi, sel_idx], kk - 1)[:kk]]
+            out_q.extend([qi] * len(best))
+            out_id.extend(ids[best].tolist())
+            out_sim.extend(sims[qi, best].astype(float).tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int32()),
+            id_col: pa.array(out_id, batch.column(id_col).type),
+            "cosine": pa.array(out_sim, pa.float64()),
+        })
+
+    import os
+
+    files = [os.path.join(d, f)
+             for d in dirs for f in sorted(os.listdir(d))
+             if f.endswith(".parquet")]
+    ds = rd.read_parquet(files, columns=[id_col, vec_col, "cl"])
+    partial = ds.map_batches(batch_fn, batch_format="pyarrow",
+                             batch_size=4096)
+    merged = partial.groupby("query_id").map_groups(
+        lambda g: _merge_topk(g, k=k, id_col=id_col), batch_format="pyarrow")
+    return merged.sort(["query_id", "cosine", id_col],
+                       descending=[False, True, False])

@@ -1,0 +1,105 @@
+"""Persistent IVF index (functions/knn.py write_ivf_index /
+knn_ivf_index): exact-probe parity with brute force, read-level partition
+pruning, reload determinism.  The driver query ``knn_ivf_index`` runs the
+same exact-mode SQL oracle as ``knn_bruteforce`` in the parity sweep."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from logjuicer_ray.functions.knn import (
+    knn_brute_force,
+    knn_ivf_index,
+    load_ivf_centroids,
+    probed_cluster_dirs,
+    write_ivf_index,
+)
+
+ROOT = "/tmp/logjuicer_test_ivf"
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def work():
+    shutil.rmtree(ROOT, ignore_errors=True)
+    os.makedirs(ROOT)
+    yield ROOT
+    shutil.rmtree(ROOT, ignore_errors=True)
+
+
+def _emb():
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+
+
+def _queries(n=3):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).sort_by("vec_id")
+    return np.asarray(t.column("embedding").to_pylist()[:n],
+                      dtype=np.float32)
+
+
+def test_build_layout_and_meta(ray_session, work):
+    idx = os.path.join(work, "idx")
+    footer = write_ivf_index(_emb(), idx, n_clusters=8)
+    assert footer["meta"]["n_clusters"] == 8
+    assert footer["meta"]["metric"] == "cosine"
+    dirs = [d for d in os.listdir(os.path.join(idx, "vectors"))
+            if d.startswith("cluster=")]
+    assert 1 < len(dirs) <= 8
+    cents, meta = load_ivf_centroids(idx)
+    assert cents.shape == (8, footer["meta"]["dim"])
+    # unit-normalized centroids
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-5)
+
+
+def test_exact_probe_equals_brute_force(ray_session, work):
+    idx = os.path.join(work, "idx")
+    write_ivf_index(_emb(), idx, n_clusters=8)
+    q = _queries()
+    got = knn_ivf_index(idx, q, k=5, nprobe=8).to_pandas()
+    want = knn_brute_force(_emb(), q, k=5).to_pandas()
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    assert np.allclose(got["cosine"], want["cosine"], atol=1e-6)
+
+
+def test_read_level_pruning(ray_session, work):
+    idx = os.path.join(work, "idx")
+    write_ivf_index(_emb(), idx, n_clusters=8)
+    all_dirs = [d for d in os.listdir(os.path.join(idx, "vectors"))
+                if d.startswith("cluster=")]
+    dirs, probed = probed_cluster_dirs(idx, _queries(1), nprobe=1)
+    assert len(dirs) == 1  # one query, one probe -> one partition read
+    assert probed.shape == (1, 1)
+    dirs4, _ = probed_cluster_dirs(idx, _queries(3), nprobe=2)
+    assert len(dirs4) <= min(6, len(all_dirs))
+
+
+def test_approximate_recall_bound(ray_session, work):
+    idx = os.path.join(work, "idx")
+    write_ivf_index(_emb(), idx, n_clusters=8)
+    q = _queries()
+    approx = knn_ivf_index(idx, q, k=5, nprobe=3).to_pandas()
+    exact = knn_brute_force(_emb(), q, k=5).to_pandas()
+    hits = 0
+    for qi in exact["query_id"].unique():
+        e = set(exact[exact.query_id == qi]["vec_id"])
+        a = set(approx[approx.query_id == qi]["vec_id"])
+        hits += len(e & a) / len(e)
+    assert hits / exact["query_id"].nunique() >= 0.5
+
+
+def test_reload_deterministic(ray_session, work):
+    idx = os.path.join(work, "idx")
+    write_ivf_index(_emb(), idx, n_clusters=8)
+    q = _queries()
+    r1 = knn_ivf_index(idx, q, k=5, nprobe=8).to_pandas()
+    r2 = knn_ivf_index(idx, q, k=5, nprobe=8).to_pandas()
+    assert r1.equals(r2)
