@@ -2890,6 +2890,45 @@ def _q_dsir_weights(sf_dir: str):
     return dsir_logratio(docs, num_buckets=4096, mode="portable")
 
 
+def _q_nb_lang(sf_dir: str):
+    """Distributed multinomial Naive Bayes language classifier
+    (fastText-analog of CCNet/RefinedWeb curation gates): train = ONE
+    (label, token) count shuffle with in-batch Arrow combining + a
+    doc-marker row for priors; score = broadcast e6 log-prob matrix,
+    dictionary-encoded token lookup, reduceat segment sums
+    (functions/classify.py).
+
+    Hard-oracle shape: the engine PERSISTS its e6 weight/label tables to
+    parquet (the similarity_report pattern) and the oracle re-derives
+    every prediction from those tables with integer arithmetic only —
+    the unnest/join/argmax is SQL, the sums are exact."""
+    import os
+
+    import ray.data as rd
+
+    from logjuicer_ray.functions.classify import (
+        save_nb_model,
+        score_naive_bayes,
+        train_naive_bayes,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    model = train_naive_bayes(docs, text_col="text", label_col="lang")
+    out_dir = os.path.dirname(_turns_path(sf_dir))
+    save_nb_model(model, out_dir)
+    scored = score_naive_bayes(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        model,
+        text_col="text",
+        id_col="doc_id",
+    )
+    return scored.sort("doc_id").select_columns(
+        ["doc_id", "pred_label", "score_e6"]
+    )
+
+
 def _q_epoch_shuffle(sf_dir: str):
     """Deterministic training-epoch shuffle: seeded md5 key + exact global
     row_number (functions/selection.py epoch_shuffle over
@@ -3394,6 +3433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markup_stripped_docs": _q_markup_stripped,
         "corpus_overlap_docs": _q_corpus_overlap,
         "knn_ivf_index": _q_knn_ivf_index,
+        "nb_lang_docs": _q_nb_lang,
         # no_oracle tail: genuinely non-SQL surfaces (token grammar, 260k-dim
         # hashed cosine, approximate sketches, multimodal stubs) — covered by
         # fixture/parity pytest instead of the driver hash compare.
@@ -4690,6 +4730,33 @@ def oracle_sql() -> dict[str, str]:
         "docs_bundle_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars "
             "FROM documents ORDER BY doc_id"
+        ),
+        "nb_lang_docs": (
+            # re-derives every NB prediction from the ENGINE-PERSISTED e6
+            # weight/label tables (the similarity_report persisted-rows
+            # pattern): integer sums only — no float log in SQL.  Unseen
+            # (token) -> per-label default_e6; the argmax tie-break is the
+            # engine's (score DESC, label ASC).
+            "WITH w AS (SELECT * FROM read_parquet("
+            "'/tmp/logjuicer_synth/sf0.01/nb_weights.parquet/*.parquet')), "
+            "l AS (SELECT * FROM read_parquet("
+            "'/tmp/logjuicer_synth/sf0.01/nb_labels.parquet/*.parquet')), "
+            "t AS (SELECT doc_id, unnest(list_filter("
+            "regexp_split_to_array(COALESCE(text, ''), '\\s+'), "
+            "x -> x <> '')) AS token FROM documents), "
+            "s AS (SELECT d.doc_id, l.label, "
+            "ANY_VALUE(l.prior_e6) + COALESCE(SUM(CASE WHEN t.token IS NULL "
+            "THEN 0 ELSE COALESCE(w.w_e6, l.default_e6) END), 0) AS score_e6 "
+            "FROM documents d CROSS JOIN l "
+            "LEFT JOIN t ON t.doc_id = d.doc_id "
+            "LEFT JOIN w ON w.label = l.label AND w.token = t.token "
+            "GROUP BY d.doc_id, l.label), "
+            "r AS (SELECT doc_id, label, score_e6, ROW_NUMBER() OVER ("
+            "PARTITION BY doc_id ORDER BY score_e6 DESC, label ASC) AS rn "
+            "FROM s) "
+            "SELECT doc_id, label AS pred_label, "
+            "CAST(score_e6 AS BIGINT) AS score_e6 "
+            "FROM r WHERE rn = 1 ORDER BY doc_id"
         ),
         "corpus_overlap_docs": (
             "WITH a AS (SELECT DISTINCT COALESCE(text,'') AS t "

@@ -1,0 +1,153 @@
+"""Round-4 additions: distributed multinomial Naive Bayes classifier."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_table():
+    # deliberately includes: an empty text, a null text, repeated tokens
+    # (multinomial counts multiplicity), and a doc full of unseen-ish rares
+    rows = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "le chat est sur le tapis", "fr"),
+        (2, "the dog ate the bone", "en"),
+        (3, "le chien mange le os", "fr"),
+        (4, "cat cat cat dog", "en"),
+        (5, "chat chat chien", "fr"),
+        (6, "", "en"),
+        (7, None, "fr"),
+        (8, "  the   cat\tchat  ", "en"),
+        (9, "zzz qqq xxx", "fr"),
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+
+
+def _duck_score(weights: pa.Table, labels: pa.Table, docs: pa.Table):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("w", weights)
+    con.register("l", labels)
+    con.register("documents", docs)
+    return con.sql(
+        "WITH t AS (SELECT doc_id, unnest(list_filter("
+        "regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> x <> '')) "
+        "AS token FROM documents), "
+        "s AS (SELECT d.doc_id, l.label, "
+        "ANY_VALUE(l.prior_e6) + COALESCE(SUM(CASE WHEN t.token IS NULL "
+        "THEN 0 ELSE COALESCE(w.w_e6, l.default_e6) END), 0) AS score_e6 "
+        "FROM documents d CROSS JOIN l "
+        "LEFT JOIN t ON t.doc_id = d.doc_id "
+        "LEFT JOIN w ON w.label = l.label AND w.token = t.token "
+        "GROUP BY d.doc_id, l.label), "
+        "r AS (SELECT doc_id, label, score_e6, ROW_NUMBER() OVER ("
+        "PARTITION BY doc_id ORDER BY score_e6 DESC, label ASC) AS rn FROM s) "
+        "SELECT doc_id, label AS pred_label, CAST(score_e6 AS BIGINT) "
+        "AS score_e6 FROM r WHERE rn = 1 ORDER BY doc_id"
+    ).df()
+
+
+def test_nb_train_score_matches_duckdb(ray_session):
+    import ray.data as rd
+
+    from logjuicer_ray.functions.classify import (
+        score_naive_bayes,
+        train_naive_bayes,
+    )
+
+    docs = _docs_table()
+    ds = rd.from_arrow(docs).repartition(4)
+    model = train_naive_bayes(ds, text_col="text", label_col="lang")
+    got = (
+        score_naive_bayes(rd.from_arrow(docs).repartition(3), model)
+        .sort("doc_id")
+        .to_pandas()
+    )
+    want = _duck_score(model["weights"], model["labels"], docs)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False,
+    )
+    # sanity on the separable part of the toy corpus
+    pred = dict(zip(got["doc_id"], got["pred_label"]))
+    assert pred[0] == "en" and pred[1] == "fr"
+    assert pred[4] == "en" and pred[5] == "fr"
+
+
+def test_nb_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from logjuicer_ray.functions.classify import train_naive_bayes
+
+    docs = _docs_table()
+    m1 = train_naive_bayes(rd.from_arrow(docs).repartition(1))
+    m7 = train_naive_bayes(rd.from_arrow(docs).repartition(7))
+    assert m1["weights"].equals(m7["weights"])
+    assert m1["labels"].equals(m7["labels"])
+
+
+def test_nb_model_semantics(ray_session):
+    """Weights are exactly log((cnt+1)/(total+V)) e6; priors count docs
+    including empty/null-text ones; min_count drops global-rare tokens."""
+    import math
+
+    import ray.data as rd
+
+    from logjuicer_ray.functions.classify import train_naive_bayes
+
+    docs = _docs_table()
+    model = train_naive_bayes(rd.from_arrow(docs))
+    lab = model["labels"].to_pandas().set_index("label")
+    # 5 en docs incl. the empty-text one... doc 6 ('' -> en) and 8 count
+    assert int(lab.loc["en", "n_docs"]) == 5
+    assert int(lab.loc["fr", "n_docs"]) == 5
+    w = model["weights"].to_pandas()
+    V = w["token"].nunique()
+    tot_en = int(lab.loc["en", "total_tokens"])
+    row = w[(w.label == "en") & (w.token == "the")]
+    cnt_the = round(
+        math.exp(int(row.w_e6.iloc[0]) / 1e6) * (tot_en + V) - 1
+    )
+    assert cnt_the == 5  # 'the' appears 5x in en docs (incl doc 8)
+    # min_count=2 drops tokens with global count 1 ('zzz' etc.)
+    m2 = train_naive_bayes(rd.from_arrow(docs), min_count=2)
+    toks2 = set(m2["weights"].to_pandas()["token"])
+    assert "zzz" not in toks2 and "the" in toks2
+
+
+def test_nb_driver_bound(ray_session):
+    import ray.data as rd
+
+    from logjuicer_ray.functions.classify import train_naive_bayes
+
+    with pytest.raises(ValueError, match="driver bound"):
+        train_naive_bayes(rd.from_arrow(_docs_table()), driver_vocab_rows=3)
+
+
+def test_nb_save_load_roundtrip(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from logjuicer_ray.functions.classify import (
+        save_nb_model,
+        train_naive_bayes,
+    )
+
+    model = train_naive_bayes(rd.from_arrow(_docs_table()))
+    paths = save_nb_model(model, str(tmp_path))
+    w = pq.read_table(f"{paths['weights']}/part-00000.parquet")
+    l = pq.read_table(f"{paths['labels']}/part-00000.parquet")
+    assert w.equals(model["weights"]) and l.equals(model["labels"])
+    # overwrite is atomic-replace, not append
+    paths = save_nb_model(model, str(tmp_path))
+    w2 = pq.read_table(f"{paths['weights']}/part-00000.parquet")
+    assert w2.equals(model["weights"])
