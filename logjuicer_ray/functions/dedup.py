@@ -319,7 +319,7 @@ def _explode_bands(batch: pa.Table, *, bands: int, id_col: str) -> pa.Table:
     return pa.table(
         {
             id_col: pa.array(out_ids),
-            "band": pa.array(out_band, pa.int32()),
+            "band": pa.array(out_band, pa.int64()),
             "band_hash": pa.array(out_hash, pa.int64()),
         }
     )
@@ -350,27 +350,36 @@ def minhash_lsh_dedup(
         _explode_bands, batch_format="pyarrow", fn_kwargs={"bands": bands, "id_col": id_col}
     )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column(id_col).to_pylist()))
-        root = ids[0]
-        dups = [i for i in ids if i != root]
-        return pa.table(
-            {
-                id_col: pa.array(dups, group.column(id_col).type),
-                "dup_of": pa.array([root] * len(dups), group.column(id_col).type),
-            }
-        )
+    # bucket root = min id per (band, band_hash), attached to every member
+    # via the sort-based grouped-min exchange (functions/segments.py) —
+    # Ray's sort is ~50x cheaper than its groupby().aggregate at the 18M
+    # bucket cardinalities this step produces (measured in BASELINE.md's
+    # round-4 ops bench; both the map_groups original and an
+    # aggregate+join rewrite spent ~170 s where the sort path spends ~7 s).
+    from .segments import attach_group_min, group_first_row
 
-    pairs = bands_ds.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    with_root = attach_group_min(
+        bands_ds,
+        key_cols=["band", "band_hash"],
+        val_col=id_col,
+        out_col="dup_of",
     )
 
-    # one id may appear in several buckets: keep its minimum dup_of
-    def min_dup(group: pa.Table) -> pa.Table:
-        dups = group.column("dup_of").to_pylist()
-        return group.slice(int(np.argmin(dups)), 1)
+    def drop_self(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    return pairs.groupby(id_col).map_groups(min_dup, batch_format="pyarrow")
+        kept = batch.filter(
+            pc.not_equal(batch.column(id_col), batch.column("dup_of"))
+        )
+        return kept.select([id_col, "band", "dup_of"])
+
+    pairs = with_root.map_batches(drop_self, batch_format="pyarrow")
+
+    # one id may appear in several buckets: keep its minimum dup_of
+    # (band is the uniqueness tiebreak the sorted exchange requires)
+    return group_first_row(
+        pairs, key_cols=[id_col], order_cols=["dup_of", "band"]
+    ).select_columns([id_col, "dup_of"])
 
 
 # --- SimHash ---------------------------------------------------------------

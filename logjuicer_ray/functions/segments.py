@@ -1,0 +1,177 @@
+"""Sort-based grouped-min/first — a fast exchange for narrow keyed reductions.
+
+Measured on this box (38.6M narrow rows, 18M groups, 16 CPUs):
+``Dataset.groupby().aggregate(Min)`` costs 165–196 s under either shuffle
+strategy, while ``Dataset.sort()`` over the same rows costs **3.2 s** —
+Ray's range-partitioned sort is ~50× cheaper than its aggregate machinery
+at high group cardinality.  These helpers exploit that: globally sort by
+``key_cols + order_cols``, then answer grouped-first/min questions with a
+vectorized per-block segment scan plus an O(n_blocks) driver boundary
+repair — the same interior+boundary decomposition as the sorted-input
+block scan in ``pipelines/report.py``.
+
+Requirements (asserted in the docstrings, not at runtime):
+
+* ``key_cols + order_cols`` must be a UNIQUE total order over rows —
+  block identity for the boundary repair is the first row's values, so
+  duplicate full rows that straddle a block boundary would alias two
+  blocks.  Add a tiebreak column if rows can repeat.
+* key/order columns must be non-null.
+
+Scale shape: one range-shuffle sort (Ray's best exchange), two streaming
+map passes over the MATERIALIZED sorted blocks (pass 1 emits ~4 tiny
+metadata rows per block; pass 2 does the real work with the broadcast
+correction map), driver state O(n_blocks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["attach_group_min", "group_first_row"]
+
+
+def _seg_starts(batch: pa.Table, key_cols: list[str]) -> np.ndarray:
+    """Boolean mask: True where a row starts a new key segment (keys must
+    be non-null; the batch must be sorted by key_cols)."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    starts = np.zeros(n, dtype=bool)
+    if n == 0:
+        return starts
+    starts[0] = True
+    for c in key_cols:
+        col = batch.column(c).combine_chunks()
+        neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+        starts[1:] |= neq.to_numpy(zero_copy_only=False).astype(bool)
+    return starts
+
+
+def _row_key(batch: pa.Table, cols: list[str], i: int) -> tuple:
+    return tuple(batch.column(c)[i].as_py() for c in cols)
+
+
+def _block_meta(batch: pa.Table, *, key_cols: list[str],
+                id_cols: list[str]) -> list[dict]:
+    """One metadata dict per non-empty block: first/last key, block
+    identity (full first row over id_cols), and the first row of the
+    block's LAST segment (its locally-computed group representative)."""
+    if batch.num_rows == 0:
+        return []
+    starts = _seg_starts(batch, key_cols)
+    last_start = int(np.flatnonzero(starts)[-1])
+    return [
+        {
+            "block_id": _row_key(batch, id_cols, 0),
+            "first_key": _row_key(batch, key_cols, 0),
+            "last_key": _row_key(batch, key_cols, batch.num_rows - 1),
+            "last_seg_row": _row_key(batch, id_cols, last_start),
+        }
+    ]
+
+
+def _chain_corrections(metas: list[dict]) -> dict[tuple, tuple]:
+    """Walk blocks in global key order; for every block whose FIRST segment
+    continues a key from an earlier block, record the key's true group
+    representative (the first row of the segment in the block where the
+    key STARTS — which, under the global sort, is the group's minimum).
+
+    Returns {block_id: representative id_cols tuple}."""
+    metas = sorted(metas, key=lambda m: m["block_id"])
+    corrections: dict[tuple, tuple] = {}
+    chain_key: tuple | None = None
+    chain_root: tuple | None = None
+    for m in metas:
+        if chain_key is not None and m["first_key"] == chain_key:
+            corrections[m["block_id"]] = chain_root
+            if m["last_key"] == m["first_key"]:
+                # whole block continues the same key; chain root unchanged
+                continue
+        chain_key, chain_root = m["last_key"], m["last_seg_row"]
+    return corrections
+
+
+def _sorted_blocks(ds, key_cols: list[str], order_cols: list[str]):
+    return ds.sort(list(key_cols) + list(order_cols)).materialize()
+
+
+def _collect_meta(blocks, key_cols, id_cols):
+    def meta_batch(batch: pa.Table) -> pa.Table:
+        rows = _block_meta(batch, key_cols=list(key_cols),
+                           id_cols=list(id_cols))
+        import pickle
+
+        return pa.table(
+            {"meta": pa.array([pickle.dumps(r) for r in rows], pa.binary())}
+        )
+
+    import pickle
+
+    out = blocks.map_batches(
+        meta_batch, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    return [pickle.loads(r["meta"]) for r in out]
+
+
+def attach_group_min(ds, *, key_cols: list[str], val_col: str,
+                     out_col: str, tiebreak_cols: list[str] = ()):
+    """Attach each row's group minimum of ``val_col`` (grouped by
+    ``key_cols``) as ``out_col`` — the sort-based replacement for
+    ``groupby(key).aggregate(Min(val))`` + join-back.
+
+    ``key_cols + [val_col] + tiebreak_cols`` must uniquely order rows."""
+    order = [val_col] + list(tiebreak_cols)
+    blocks = _sorted_blocks(ds, list(key_cols), order)
+    id_cols = list(key_cols) + order
+    metas = _collect_meta(blocks, key_cols, id_cols)
+    corrections = _chain_corrections(metas)
+    # the representative tuple is (key..., val, tiebreaks...); the group
+    # min val sits right after the key columns
+    val_pos = len(key_cols)
+    corr = {bid: rep[val_pos] for bid, rep in corrections.items()}
+
+    def attach(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(
+                out_col, pa.array([], batch.schema.field(val_col).type)
+            )
+        starts = _seg_starts(batch, list(key_cols))
+        seg_id = np.cumsum(starts) - 1
+        vals = batch.column(val_col).to_numpy(zero_copy_only=False)
+        seg_first = vals[starts][seg_id]
+        root = corr.get(_row_key(batch, id_cols, 0))
+        if root is not None:
+            seg_first = seg_first.copy()
+            seg_first[seg_id == 0] = root
+        return batch.append_column(
+            out_col, pa.array(seg_first, batch.schema.field(val_col).type)
+        )
+
+    return blocks.map_batches(attach, batch_format="pyarrow",
+                              batch_size=None)
+
+
+def group_first_row(ds, *, key_cols: list[str], order_cols: list[str]):
+    """One row per key group: the first row under the (key, order) sort —
+    the sort-based replacement for ``groupby(key).aggregate(Min(...))``
+    when only the winning row is needed (e.g. min ``order_cols[0]`` per
+    key).  ``key_cols + order_cols`` must uniquely order rows."""
+    blocks = _sorted_blocks(ds, list(key_cols), list(order_cols))
+    id_cols = list(key_cols) + list(order_cols)
+    metas = _collect_meta(blocks, key_cols, id_cols)
+    # a block whose first segment continues an earlier block's key does NOT
+    # own that group; the owning block (where the key starts) emits it
+    skip_first = set(_chain_corrections(metas).keys())
+
+    def first_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        starts = _seg_starts(batch, list(key_cols))
+        if _row_key(batch, id_cols, 0) in skip_first:
+            starts[0] = False
+        return batch.take(pa.array(np.flatnonzero(starts), pa.int64()))
+
+    return blocks.map_batches(first_rows, batch_format="pyarrow",
+                              batch_size=None)
