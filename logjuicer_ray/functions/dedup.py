@@ -133,13 +133,27 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
         fn_kwargs={"id_col": id_col, "text_col": text_col},
     )
 
-    def _multi_only(group: pa.Table) -> pa.Table:
-        if group.num_rows <= 1:
-            return group.select(["__id"]).slice(0, 0)
-        return group.select(["__id"])
+    # multi-member signature groups = rows where the group's min id != max
+    # id, found with ONE sort-based min+max attach (functions/segments.py)
+    # — replaces a groupby().map_groups whose shuffle-aggregate cost
+    # dominated the operator (BASELINE.md round-4 ops bench)
+    from .segments import attach_group_minmax
 
-    cands = sig.groupby(["sig1", "sig2", "sig_len"]).map_groups(
-        _multi_only, batch_format="pyarrow"
+    def _multi(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.not_equal(batch.column("gmin"), batch.column("gmax"))
+        ).select(["__id"])
+
+    cands = attach_group_minmax(
+        sig,
+        key_cols=["sig1", "sig2", "sig_len"],
+        val_col="__id",
+        min_col="gmin",
+        max_col="gmax",
+    ).map_batches(
+        _multi, batch_format="pyarrow"
     ).materialize()  # ids only — O(duplicate rows), spillable
     n_cand = cands.count()
     if n_cand > driver_cand_rows:
@@ -163,17 +177,17 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
     if n_cand == 0:
         return non_cand
 
-    def _keep_min_row(group: pa.Table) -> pa.Table:
-        i = int(np.argmin(group.column(id_col).to_numpy(zero_copy_only=False)))
-        return group.slice(i, 1)
+    # min-id row per DISTINCT text among the candidates — the same
+    # sort-based grouped-first exchange (text equality is CHECKED by the
+    # sort keying on the text itself, never assumed from the hash)
+    from .segments import group_first_row
 
-    winners = (
+    winners = group_first_row(
         ds.map_batches(_split, batch_format="pyarrow",
-                       fn_kwargs={"keep_cand": True})
-        .groupby(text_col)
-        .map_groups(_keep_min_row, batch_format="pyarrow")
-        .select_columns(cols)
-    )
+                       fn_kwargs={"keep_cand": True}),
+        key_cols=[text_col],
+        order_cols=[id_col],
+    ).select_columns(cols)
     return non_cand.select_columns(cols).union(winners)
 
 
@@ -356,24 +370,9 @@ def minhash_lsh_dedup(
     # bucket cardinalities this step produces (measured in BASELINE.md's
     # round-4 ops bench; both the map_groups original and an
     # aggregate+join rewrite spent ~170 s where the sort path spends ~7 s).
-    from .segments import attach_group_min, group_first_row
+    from .segments import group_first_row
 
-    with_root = attach_group_min(
-        bands_ds,
-        key_cols=["band", "band_hash"],
-        val_col=id_col,
-        out_col="dup_of",
-    )
-
-    def drop_self(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        kept = batch.filter(
-            pc.not_equal(batch.column(id_col), batch.column("dup_of"))
-        )
-        return kept.select([id_col, "band", "dup_of"])
-
-    pairs = with_root.map_batches(drop_self, batch_format="pyarrow")
+    pairs = _banded_root_pairs(bands_ds, id_col=id_col)
 
     # one id may appear in several buckets: keep its minimum dup_of
     # (band is the uniqueness tiebreak the sorted exchange requires)
@@ -454,6 +453,13 @@ def simhash_candidate_pairs(ds, *, id_col: str = "doc_id", band_bits: int = 16):
     preserve bucket connectivity exactly, so feeding these to
     :func:`connected_components` yields the same clusters as all-pairs
     bucket edges at a fraction of the row count."""
+    bands_ds = _simhash_bands(ds, id_col=id_col, band_bits=band_bits)
+    return _banded_root_pairs(bands_ds, id_col=id_col).select_columns(
+        [id_col, "dup_of"]
+    )
+
+
+def _simhash_bands(ds, *, id_col: str, band_bits: int):
     sigs = simhash_signatures(ds).select_columns([id_col, "simhash"])
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -474,33 +480,43 @@ def simhash_candidate_pairs(ds, *, id_col: str = "doc_id", band_bits: int = 16):
             }
         )
 
-    bands_ds = sigs.map_batches(explode, batch_format="pyarrow")
+    return sigs.map_batches(explode, batch_format="pyarrow")
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column(id_col).to_pylist()))
-        dups = ids[1:]
-        return pa.table(
-            {
-                id_col: pa.array(dups, group.column(id_col).type),
-                "dup_of": pa.array([ids[0]] * len(dups), group.column(id_col).type),
-            }
-        )
 
-    return bands_ds.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+def _banded_root_pairs(bands_ds, *, id_col: str):
+    """(id, band, dup_of=bucket min id) for every non-root band member —
+    the sort-based grouped-min exchange (functions/segments.py), shared by
+    the simhash and minhash LSH paths."""
+    from .segments import attach_group_min
+
+    with_root = attach_group_min(
+        bands_ds,
+        key_cols=["band", "band_hash"],
+        val_col=id_col,
+        out_col="dup_of",
     )
+
+    def drop_self(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(
+            pc.not_equal(batch.column(id_col), batch.column("dup_of"))
+        )
+        return kept.select([id_col, "band", "dup_of"])
+
+    return with_root.map_batches(drop_self, batch_format="pyarrow")
 
 
 def simhash_dedup(ds, *, id_col: str = "doc_id", band_bits: int = 16):
     """Near-dup candidates via simhash bands: documents sharing any 16-bit
-    band of their simhash bucket together; min id per bucket is the root."""
-    pairs = simhash_candidate_pairs(ds, id_col=id_col, band_bits=band_bits)
+    band of their simhash bucket together; min id per bucket is the root.
+    One (id, dup_of) row per id, ``dup_of`` = the min root over its bands
+    (band is the uniqueness tiebreak the sorted exchange requires)."""
+    from .segments import group_first_row
 
-    def min_dup(group: pa.Table) -> pa.Table:
-        dups = group.column("dup_of").to_pylist()
-        return group.slice(int(np.argmin(dups)), 1)
-
-    return pairs.groupby(id_col).map_groups(min_dup, batch_format="pyarrow")
+    bands_ds = _simhash_bands(ds, id_col=id_col, band_bits=band_bits)
+    pairs = _banded_root_pairs(bands_ds, id_col=id_col)
+    return group_first_row(
+        pairs, key_cols=[id_col], order_cols=["dup_of", "band"]
+    ).select_columns([id_col, "dup_of"])
 
 
 # --- connected components over candidate pairs ------------------------------
@@ -981,14 +997,13 @@ def line_level_dedup(lines_ds, *, conv_col: str = "conv_id",
     rows).
 
     Distribution shape — the winner's location is ENCODED in the group
-    min-key, so one ``groupby(text).aggregate(Min)`` replaces the usual
+    min-key, so one grouped-min over (text -> sort_key) replaces the usual
     winners-table join: no second pass over the corpus, no text-keyed
     join.  The NUL-separated composite (conv || NUL || zero-padded turn ||
     zero-padded idx) compares exactly like SQL's column-wise ORDER BY for
     NUL-free keys and non-negative indices.  Reconstruction is a second
     keyed shuffle on (conv, turn) with a tiny per-turn sort kernel.
     """
-    from ray.data.aggregate import Min
 
     def _with_key(batch: pa.Table) -> pa.Table:
         t_pad = pc.utf8_lpad(
@@ -1005,10 +1020,18 @@ def line_level_dedup(lines_ds, *, conv_col: str = "conv_id",
             "sort_key": key,
         })
 
-    winners = (
-        lines_ds.map_batches(_with_key, batch_format="pyarrow")
-        .groupby(text_col)
-        .aggregate(Min("sort_key", alias_name="win_key"))
+    # min sort_key per distinct text via the sort-based grouped-first
+    # exchange (functions/segments.py) — (text, sort_key) is unique because
+    # sort_key embeds the line ordinal
+    from .segments import group_first_row
+
+    winners = group_first_row(
+        lines_ds.map_batches(_with_key, batch_format="pyarrow"),
+        key_cols=[text_col],
+        order_cols=["sort_key"],
+    ).map_batches(
+        lambda b: b.rename_columns([text_col, "win_key"]),
+        batch_format="pyarrow",
     )
 
     def _decode(batch: pa.Table) -> pa.Table:

@@ -29,7 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["attach_group_min", "group_first_row"]
+__all__ = ["attach_group_min", "attach_group_minmax", "group_first_row"]
 
 
 def _seg_starts(batch: pa.Table, key_cols: list[str]) -> np.ndarray:
@@ -61,13 +61,16 @@ def _block_meta(batch: pa.Table, *, key_cols: list[str],
     if batch.num_rows == 0:
         return []
     starts = _seg_starts(batch, key_cols)
-    last_start = int(np.flatnonzero(starts)[-1])
+    pos = np.flatnonzero(starts)
+    last_start = int(pos[-1])
+    first_seg_end = int(pos[1]) - 1 if len(pos) > 1 else batch.num_rows - 1
     return [
         {
             "block_id": _row_key(batch, id_cols, 0),
             "first_key": _row_key(batch, key_cols, 0),
             "last_key": _row_key(batch, key_cols, batch.num_rows - 1),
             "last_seg_row": _row_key(batch, id_cols, last_start),
+            "first_seg_end_row": _row_key(batch, id_cols, first_seg_end),
         }
     ]
 
@@ -90,6 +93,24 @@ def _chain_corrections(metas: list[dict]) -> dict[tuple, tuple]:
                 # whole block continues the same key; chain root unchanged
                 continue
         chain_key, chain_root = m["last_key"], m["last_seg_row"]
+    return corrections
+
+
+def _chain_corrections_max(metas: list[dict]) -> dict[tuple, tuple]:
+    """Mirror of :func:`_chain_corrections` walked in REVERSE block order:
+    for every block whose LAST segment continues into a later block,
+    record the key's true maximum representative (the end of the segment
+    in the block where the key ENDS)."""
+    metas = sorted(metas, key=lambda m: m["block_id"], reverse=True)
+    corrections: dict[tuple, tuple] = {}
+    chain_key: tuple | None = None
+    chain_max: tuple | None = None
+    for m in metas:
+        if chain_key is not None and m["last_key"] == chain_key:
+            corrections[m["block_id"]] = chain_max
+            if m["first_key"] == m["last_key"]:
+                continue
+        chain_key, chain_max = m["first_key"], m["first_seg_end_row"]
     return corrections
 
 
@@ -148,6 +169,53 @@ def attach_group_min(ds, *, key_cols: list[str], val_col: str,
         return batch.append_column(
             out_col, pa.array(seg_first, batch.schema.field(val_col).type)
         )
+
+    return blocks.map_batches(attach, batch_format="pyarrow",
+                              batch_size=None)
+
+
+def attach_group_minmax(ds, *, key_cols: list[str], val_col: str,
+                        min_col: str, max_col: str,
+                        tiebreak_cols: list[str] = ()):
+    """Attach each row's group min AND max of ``val_col`` in one sorted
+    pass (forward + reverse chain repair) — e.g. ``min != max`` marks
+    every member of a multi-row group without any group-size aggregate.
+
+    ``key_cols + [val_col] + tiebreak_cols`` must uniquely order rows."""
+    order = [val_col] + list(tiebreak_cols)
+    blocks = _sorted_blocks(ds, list(key_cols), order)
+    id_cols = list(key_cols) + order
+    metas = _collect_meta(blocks, key_cols, id_cols)
+    val_pos = len(key_cols)
+    corr_min = {
+        bid: rep[val_pos] for bid, rep in _chain_corrections(metas).items()
+    }
+    corr_max = {
+        bid: rep[val_pos]
+        for bid, rep in _chain_corrections_max(metas).items()
+    }
+
+    def attach(batch: pa.Table) -> pa.Table:
+        vtype = batch.schema.field(val_col).type
+        if batch.num_rows == 0:
+            return batch.append_column(
+                min_col, pa.array([], vtype)
+            ).append_column(max_col, pa.array([], vtype))
+        starts = _seg_starts(batch, list(key_cols))
+        ends = np.roll(starts, -1)
+        ends[-1] = True
+        seg_id = np.cumsum(starts) - 1
+        vals = batch.column(val_col).to_numpy(zero_copy_only=False)
+        seg_first = vals[starts][seg_id].copy()
+        seg_last = vals[ends][seg_id].copy()
+        bid = _row_key(batch, id_cols, 0)
+        if bid in corr_min:
+            seg_first[seg_id == 0] = corr_min[bid]
+        if bid in corr_max:
+            seg_last[seg_id == seg_id[-1]] = corr_max[bid]
+        return batch.append_column(
+            min_col, pa.array(seg_first, vtype)
+        ).append_column(max_col, pa.array(seg_last, vtype))
 
     return blocks.map_batches(attach, batch_format="pyarrow",
                               batch_size=None)

@@ -102,3 +102,43 @@ def test_partition_invariance(ray_session):
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
     pd.testing.assert_frame_equal(outs[0], outs[2])
+
+
+def test_attach_minmax_vs_pandas(ray_session):
+    from logjuicer_ray.functions.segments import attach_group_minmax
+
+    rng = np.random.default_rng(13)
+    n = 20_000
+    df = pd.DataFrame({"k": rng.integers(0, 4, n), "v": rng.permutation(n)})
+    got = (
+        attach_group_minmax(
+            _ds(df, 16), key_cols=["k"], val_col="v",
+            min_col="mn", max_col="mx",
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    want = df.assign(
+        mn=df.groupby("k")["v"].transform("min"),
+        mx=df.groupby("k")["v"].transform("max"),
+    ).sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_attach_minmax_singletons_and_one_group(ray_session):
+    from logjuicer_ray.functions.segments import attach_group_minmax
+
+    # all-unique keys: min == max everywhere
+    df = pd.DataFrame({"k": np.arange(4000), "v": np.arange(4000)[::-1]})
+    got = attach_group_minmax(
+        _ds(df, 9), key_cols=["k"], val_col="v", min_col="mn", max_col="mx"
+    ).to_pandas()
+    assert (got["mn"] == got["v"]).all() and (got["mx"] == got["v"]).all()
+    # one group spanning every block
+    df1 = pd.DataFrame({"k": np.zeros(5000, np.int64),
+                        "v": np.random.default_rng(2).permutation(5000)})
+    got1 = attach_group_minmax(
+        _ds(df1, 11), key_cols=["k"], val_col="v", min_col="mn", max_col="mx"
+    ).to_pandas()
+    assert (got1["mn"] == 0).all() and (got1["mx"] == 4999).all()
