@@ -1050,21 +1050,40 @@ def line_level_dedup(lines_ds, *, conv_col: str = "conv_id",
 
     kept = winners.map_batches(_decode, batch_format="pyarrow")
 
-    def _rebuild(group: pa.Table) -> pa.Table:
-        idx = group.column(idx_col)
-        idx = idx.combine_chunks() if isinstance(idx, pa.ChunkedArray) else idx
-        order = pc.sort_indices(idx)
-        texts = group.column(text_col).take(order)
-        joined = sep.join(texts.to_pylist())
+    # reconstruction: the sorted grouped-apply exchange (segments.py) —
+    # a groupby((conv, turn)).map_groups here costs one Python call per
+    # kept TURN (~1M+ groups; measured 47 s of this operator's 51 s at
+    # sf0.01/8 CPUs), while the sort + per-block vectorized join costs ~2 s
+    from .segments import sorted_group_apply
+
+    def _join_segments(sub: pa.Table, offsets) -> pa.Table:
+        import numpy as np
+
+        n = sub.num_rows
+        if n == 0:
+            return pa.table({
+                conv_col: pa.array([], pa.string()),
+                turn_col: pa.array([], pa.int64()),
+                "n_kept": pa.array([], pa.int64()),
+                "clean_text": pa.array([], pa.string()),
+            })
+        off = np.append(offsets, n).astype(np.int64)
+        texts = sub.column(text_col).combine_chunks()
+        lists = pa.LargeListArray.from_arrays(pa.array(off, pa.int64()),
+                                              texts)
+        heads = pa.array(offsets, pa.int64())
         return pa.table({
-            conv_col: group.column(conv_col).slice(0, 1),
-            turn_col: pc.cast(group.column(turn_col).slice(0, 1), pa.int64()),
-            "n_kept": pa.array([len(group)], pa.int64()),
-            "clean_text": pa.array([joined], pa.string()),
+            conv_col: pc.cast(sub.column(conv_col).take(heads), pa.string()),
+            turn_col: pc.cast(sub.column(turn_col).take(heads), pa.int64()),
+            "n_kept": pa.array(np.diff(off), pa.int64()),
+            "clean_text": pc.binary_join(lists, sep),
         })
 
-    return kept.groupby([conv_col, turn_col]).map_groups(
-        _rebuild, batch_format="pyarrow"
+    return sorted_group_apply(
+        kept,
+        key_cols=[conv_col, turn_col],
+        order_cols=[idx_col],
+        apply_block=_join_segments,
     )
 
 

@@ -142,3 +142,88 @@ def test_attach_minmax_singletons_and_one_group(ray_session):
         _ds(df1, 11), key_cols=["k"], val_col="v", min_col="mn", max_col="mx"
     ).to_pandas()
     assert (got1["mn"] == 0).all() and (got1["mx"] == 4999).all()
+
+
+def _make_concat_apply():
+    def _concat_apply(sub: pa.Table, offsets):
+        """Reference apply_block: per-group join of txt ordered by o."""
+        import pyarrow.compute as pc
+
+        n = sub.num_rows
+        if n == 0:
+            return pa.table({
+                "k": pa.array([], pa.int64()),
+                "joined": pa.array([], pa.string()),
+                "total": pa.array([], pa.int64()),
+            })
+        off = np.append(np.asarray(offsets), n).astype(np.int64)
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(off, pa.int64()), sub.column("txt").combine_chunks()
+        )
+        heads = pa.array(off[:-1], pa.int64())
+        return pa.table({
+            "k": sub.column("k").take(heads),
+            "joined": pc.binary_join(lists, "|"),
+            "total": pa.array(
+                np.add.reduceat(
+                    sub.column("v").to_numpy(zero_copy_only=False), off[:-1]
+                ).astype(np.int64)
+            ),
+        })
+    return _concat_apply
+
+
+def _sga_frame(df, parts, **kw):
+    from logjuicer_ray.functions.segments import sorted_group_apply
+
+    return (
+        sorted_group_apply(
+            _ds(df, parts), key_cols=["k"], order_cols=["o"],
+            apply_block=_make_concat_apply(), **kw,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+
+
+def _sga_want(df):
+    g = df.sort_values(["k", "o"]).groupby("k")
+    return pd.DataFrame({
+        "k": list(g.groups),
+        "joined": g["txt"].apply("|".join).values,
+        "total": g["v"].sum().values,
+    }).sort_values("k").reset_index(drop=True)
+
+
+def test_sorted_group_apply_vs_pandas(ray_session):
+    rng = np.random.default_rng(5)
+    n = 30_000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 2_000, n).astype(np.int64),
+        "o": np.arange(n, dtype=np.int64),
+        "v": rng.integers(0, 100, n).astype(np.int64),
+        "txt": [f"t{i % 97}" for i in range(n)],
+    })
+    got = _sga_frame(df, 16)
+    pd.testing.assert_frame_equal(got, _sga_want(df), check_dtype=False)
+
+
+def test_sorted_group_apply_hot_keys_and_partitions(ray_session):
+    # 3 keys over 16 blocks: most blocks are single-segment, every block's
+    # rows land in the repair pass; also exercise the distributed repair
+    rng = np.random.default_rng(11)
+    n = 8_000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 3, n).astype(np.int64),
+        "o": np.arange(n, dtype=np.int64),
+        "v": rng.integers(0, 9, n).astype(np.int64),
+        "txt": [f"x{i % 13}" for i in range(n)],
+    })
+    want = _sga_want(df)
+    for parts in (1, 16):
+        pd.testing.assert_frame_equal(
+            _sga_frame(df, parts), want, check_dtype=False)
+    # distributed fragment repair (driver_repair_rows=0 forces it)
+    pd.testing.assert_frame_equal(
+        _sga_frame(df, 16, driver_repair_rows=0), want, check_dtype=False)
