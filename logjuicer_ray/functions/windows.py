@@ -1,14 +1,22 @@
-"""Keyed windowing operators: gap-based sessionization.
+"""Keyed windowing operators: gap-based sessionization, rolling/window
+functions, funnels, dense resampling, transitions, cohort retention.
 
 Engine addition beyond the reference (which has only whole-source scans):
-the standard event-stream sessionization a training-data pipeline needs for
+the standard event-stream operators a training-data pipeline needs for
 "group user activity into visits".
 
-Distribution shape: ONE keyed shuffle (``groupby(key)``), then a fully
-vectorized per-group kernel (numpy lexsort + diff + reduceat) — the same
-partitioning key should be reused by neighboring stages at scale.  Skewed
-keys: a single user's events must be co-resident for gap semantics; a
-pathological hot key is bounded by per-user event counts, not dataset size.
+Distribution shape: the per-key operators run on the sorted grouped-apply
+exchange (``functions/segments.py sorted_group_apply``): ONE range-shuffle
+sort on (key, ts, id), then a vectorized SEGMENT kernel per block that
+processes every complete key group at once (reduceat / cumsum / repeat
+over the group offsets — zero per-group Python), with only the
+O(2 × n_blocks) boundary segments taking the tiny repair pass.  This
+replaces ``groupby(key).map_groups``: Ray's hash-aggregate exchange is
+~50× slower than its sort at high key cardinality (segments.py module
+docstring), and one Python call per key is a 100M-interpreter-round-trip
+tax at 100M users.  Skewed keys: a single user's events must still be
+co-resident for gap semantics; a pathological hot key is bounded by
+per-user event counts, not dataset size.
 """
 
 from __future__ import annotations
@@ -20,39 +28,18 @@ __all__ = ["sessionize", "hopping_window_agg", "rolling_agg", "window_funcs",
            "funnel_users", "resample_dense", "event_transitions", "cohort_retention"]
 
 
-def _session_group(
-    group: pa.Table, *, key: str, ts_col: str, id_col: str, gap_us: int
-) -> pa.Table:
-    ts = group.column(ts_col)
-    ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
-    t = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
-    ids = group.column(id_col)
-    ids = (ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids).to_numpy(
-        zero_copy_only=False
-    )
-    n = len(t)
-    order = np.lexsort((ids, t))
-    t_s, id_s = t[order], ids[order]
-    brk = np.zeros(n, dtype=np.int64)
-    brk[1:] = (t_s[1:] - t_s[:-1]) > gap_us
-    sess = np.cumsum(brk)
-    starts = np.flatnonzero(np.r_[True, sess[1:] != sess[:-1]])
-    ends = np.r_[starts[1:], n]
-    key_val = group.column(key)[0].as_py()
-    n_out = len(starts)
-    min_ids = np.minimum.reduceat(id_s, starts)
-    max_ids = np.maximum.reduceat(id_s, starts)
-    return pa.table(
-        {
-            key: pa.array([key_val] * n_out, group.schema.field(key).type),
-            "session_idx": pa.array(sess[starts], pa.int64()),
-            "session_start": pa.array(t_s[starts], pa.int64()).cast(ts.type),
-            "session_end": pa.array(t_s[ends - 1], pa.int64()).cast(ts.type),
-            "n_events": pa.array(ends - starts, pa.int64()),
-            "min_event_id": pa.array(min_ids, pa.int64()),
-            "max_event_id": pa.array(max_ids, pa.int64()),
-        }
-    )
+def _np_col(table: pa.Table, name: str, cast=None) -> np.ndarray:
+    col = table.column(name)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if cast is not None:
+        col = col.cast(cast)
+    return col.to_numpy(zero_copy_only=False)
+
+
+def _seg_ids(offsets: np.ndarray, n: int) -> np.ndarray:
+    """Row → segment index for rows 0..n-1 given sorted segment starts."""
+    counts = np.diff(np.append(offsets, n))
+    return np.repeat(np.arange(len(offsets), dtype=np.int64), counts)
 
 
 def sessionize(ds, *, key: str = "user_id", ts_col: str = "ts",
@@ -64,45 +51,57 @@ def sessionize(ds, *, key: str = "user_id", ts_col: str = "ts",
     Semantics match the SQL window formulation (LAG gap flags → running sum
     → GROUP BY session): events are ordered by (ts, id) within a key; a new
     session starts strictly when the gap to the previous event exceeds the
-    threshold.
-    """
+    threshold.  Runs on the sorted grouped-apply exchange (module
+    docstring): every complete key in a block is sessionized by one
+    vectorized pass (diff + reduceat over the session starts)."""
+    from .segments import sorted_group_apply
+
     gap_us = gap_minutes * 60 * 1_000_000
-    import pyarrow as _pa  # noqa: F401
 
-    ds = ds.select_columns([key, ts_col, id_col])
-    return ds.groupby(key).map_groups(
-        lambda g: _session_group(g, key=key, ts_col=ts_col, id_col=id_col, gap_us=gap_us),
-        batch_format="pyarrow",
-    )
+    def _session_block(sub: pa.Table, offsets) -> pa.Table:
+        import pyarrow.compute as pc  # noqa: F401
 
+        n = sub.num_rows
+        ts_type = sub.schema.field(ts_col).type
+        if n == 0:
+            return pa.table({
+                key: sub.column(key),
+                "session_idx": pa.array([], pa.int64()),
+                "session_start": pa.array([], pa.int64()).cast(ts_type),
+                "session_end": pa.array([], pa.int64()).cast(ts_type),
+                "n_events": pa.array([], pa.int64()),
+                "min_event_id": pa.array([], pa.int64()),
+                "max_event_id": pa.array([], pa.int64()),
+            })
+        offsets = np.asarray(offsets, dtype=np.int64)
+        t = _np_col(sub, ts_col, pa.int64())
+        ids = _np_col(sub, id_col)
+        brk = np.zeros(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = (t[1:] - t[:-1]) > gap_us
+        brk[offsets] = True
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], n]
+        # session ordinal within its key segment
+        off_end = np.append(offsets, n)
+        sess_seg = np.searchsorted(off_end, starts, side="right") - 1
+        first_sess = np.searchsorted(starts, offsets)
+        session_idx = np.arange(len(starts), dtype=np.int64) - first_sess[sess_seg]
+        heads = pa.array(starts, pa.int64())
+        return pa.table({
+            key: sub.column(key).take(heads),
+            "session_idx": pa.array(session_idx, pa.int64()),
+            "session_start": pa.array(t[starts], pa.int64()).cast(ts_type),
+            "session_end": pa.array(t[ends - 1], pa.int64()).cast(ts_type),
+            "n_events": pa.array(ends - starts, pa.int64()),
+            "min_event_id": pa.array(np.minimum.reduceat(ids, starts), pa.int64()),
+            "max_event_id": pa.array(np.maximum.reduceat(ids, starts), pa.int64()),
+        })
 
-def _rolling_group(group: pa.Table, *, key: str, ts_col: str, id_col: str,
-                   val_col: str, window: int) -> pa.Table:
-    ts = group.column(ts_col)
-    ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
-    t = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
-    ids_arr = group.column(id_col)
-    ids = (ids_arr.combine_chunks() if isinstance(ids_arr, pa.ChunkedArray) else ids_arr
-           ).to_numpy(zero_copy_only=False)
-    vals = group.column(val_col)
-    v = (vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
-         ).to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((ids, t))
-    id_s, v_s = ids[order], v[order]
-    n = len(v_s)
-    cs = np.cumsum(v_s, dtype=np.int64)
-    roll = cs.copy()
-    if n > window:
-        roll[window:] = cs[window:] - cs[:-window]
-    cnt = np.minimum(np.arange(1, n + 1, dtype=np.int64), window)
-    key_val = group.column(key)[0].as_py()
-    return pa.table(
-        {
-            key: pa.array([key_val] * n, group.schema.field(key).type),
-            id_col: pa.array(id_s, pa.int64()),
-            "roll_sum": pa.array(roll, pa.int64()),
-            "roll_n": pa.array(cnt, pa.int64()),
-        }
+    return sorted_group_apply(
+        ds.select_columns([key, ts_col, id_col]),
+        key_cols=[key], order_cols=[ts_col, id_col],
+        apply_block=_session_block,
     )
 
 
@@ -116,45 +115,40 @@ def rolling_agg(ds, *, key: str = "user_id", ts_col: str = "ts",
     prefix-sum differences are then bit-exact regardless of partitioning and
     match the SQL window frame's term-by-term sum.
 
-    Distribution shape: ONE keyed shuffle (``groupby(key)``), then a fully
-    vectorized per-group kernel (lexsort + cumsum + shifted difference,
-    O(n) per key).  Hot keys are bounded by per-key row counts."""
-    ds = ds.select_columns([key, ts_col, id_col, val_col])
-    return ds.groupby(key).map_groups(
-        lambda g: _rolling_group(
-            g, key=key, ts_col=ts_col, id_col=id_col, val_col=val_col, window=window
-        ),
-        batch_format="pyarrow",
+    Sorted grouped-apply exchange: one global cumsum per block, each row's
+    frame start clipped to its own key segment — all keys in a block roll
+    in one vectorized pass."""
+    from .segments import sorted_group_apply
+
+    def _rolling_block(sub: pa.Table, offsets) -> pa.Table:
+        n = sub.num_rows
+        if n == 0:
+            return pa.table({
+                key: sub.column(key),
+                id_col: pa.array([], pa.int64()),
+                "roll_sum": pa.array([], pa.int64()),
+                "roll_n": pa.array([], pa.int64()),
+            })
+        offsets = np.asarray(offsets, dtype=np.int64)
+        ids = _np_col(sub, id_col)
+        v = _np_col(sub, val_col).astype(np.int64)
+        cs = np.cumsum(v, dtype=np.int64)
+        i = np.arange(n, dtype=np.int64)
+        seg_start = offsets[_seg_ids(offsets, n)]
+        lo = np.maximum(seg_start, i - window + 1)
+        roll = cs - np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0)
+        return pa.table({
+            key: sub.column(key),
+            id_col: pa.array(ids.astype(np.int64), pa.int64()),
+            "roll_sum": pa.array(roll, pa.int64()),
+            "roll_n": pa.array(i - lo + 1, pa.int64()),
+        })
+
+    return sorted_group_apply(
+        ds.select_columns([key, ts_col, id_col, val_col]),
+        key_cols=[key], order_cols=[ts_col, id_col],
+        apply_block=_rolling_block,
     )
-
-
-def _window_funcs_group(group: pa.Table, *, key: str, order_cols: list[str],
-                        val_col: str, lag_default: int) -> pa.Table:
-    cols = []
-    for c in reversed(order_cols):
-        arr = group.column(c)
-        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-        cols.append(arr.cast(pa.int64()).to_numpy(zero_copy_only=False))
-    order = np.lexsort(tuple(cols))
-    vals = group.column(val_col)
-    v = (vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
-         ).to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    n = len(v)
-    rn = np.arange(1, n + 1, dtype=np.int64)
-    lag = np.empty(n, dtype=np.int64)
-    lag[0] = lag_default
-    lag[1:] = v[:-1]
-    run = np.cumsum(v, dtype=np.int64)
-    key_val = group.column(key)[0].as_py()
-    out = {key: pa.array([key_val] * n, group.schema.field(key).type)}
-    for c in order_cols:
-        arr = group.column(c)
-        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-        out[c] = arr.take(pa.array(order, pa.int64()))
-    out["rn"] = pa.array(rn, pa.int64())
-    out[f"lag_{val_col}"] = pa.array(lag, pa.int64())
-    out[f"run_{val_col}"] = pa.array(run, pa.int64())
-    return pa.table(out)
 
 
 def window_funcs(ds, *, key: str, order_cols: list[str], val_col: str,
@@ -171,17 +165,43 @@ def window_funcs(ds, *, key: str, order_cols: list[str], val_col: str,
     ``val_col`` must be an exact integer column (cents / micro-units) so
     running sums are bit-exact under any partitioning.
 
-    Distribution shape: ONE keyed shuffle (``groupby(key)``) then a fully
-    vectorized per-group kernel (lexsort + cumsum + shift, O(n log n) per
-    key).  Hot keys are bounded by per-key row counts — the same bound the
-    SQL window frame itself requires."""
-    ds = ds.select_columns([key, *order_cols, val_col])
-    return ds.groupby(key).map_groups(
-        lambda g: _window_funcs_group(
-            g, key=key, order_cols=order_cols, val_col=val_col,
-            lag_default=lag_default,
-        ),
-        batch_format="pyarrow",
+    Sorted grouped-apply exchange: rn/lag/run computed for every key in a
+    block with one arange/shift/cumsum pass over the segment offsets."""
+    from .segments import sorted_group_apply
+
+    def _window_block(sub: pa.Table, offsets) -> pa.Table:
+        n = sub.num_rows
+        if n == 0:
+            out = {key: sub.column(key)}
+            for c in order_cols:
+                out[c] = sub.column(c)
+            out["rn"] = pa.array([], pa.int64())
+            out[f"lag_{val_col}"] = pa.array([], pa.int64())
+            out[f"run_{val_col}"] = pa.array([], pa.int64())
+            return pa.table(out)
+        offsets = np.asarray(offsets, dtype=np.int64)
+        v = _np_col(sub, val_col).astype(np.int64)
+        cs = np.cumsum(v, dtype=np.int64)
+        i = np.arange(n, dtype=np.int64)
+        seg_start = offsets[_seg_ids(offsets, n)]
+        rn = i - seg_start + 1
+        lag = np.empty(n, dtype=np.int64)
+        lag[0] = lag_default
+        lag[1:] = v[:-1]
+        lag[offsets] = lag_default
+        run = cs - np.where(seg_start > 0, cs[np.maximum(seg_start - 1, 0)], 0)
+        out = {key: sub.column(key)}
+        for c in order_cols:
+            out[c] = sub.column(c)
+        out["rn"] = pa.array(rn, pa.int64())
+        out[f"lag_{val_col}"] = pa.array(lag, pa.int64())
+        out[f"run_{val_col}"] = pa.array(run, pa.int64())
+        return pa.table(out)
+
+    return sorted_group_apply(
+        ds.select_columns([key, *order_cols, val_col]),
+        key_cols=[key], order_cols=list(order_cols),
+        apply_block=_window_block,
     )
 
 
@@ -199,11 +219,11 @@ def hopping_window_agg(ds, *, ts_col: str = "ts", value_col: str,
     multiple of ``hop_minutes``."""
     import numpy as np
     import pyarrow as pa
-    import pyarrow.compute as pc
+    import pyarrow.compute as pc  # noqa: F401
 
     if window_minutes % hop_minutes:
         raise ValueError("window must be a multiple of hop")
-    w_us = window_minutes * 60 * 1_000_000
+    w_us = window_minutes * 60 * 1_000_000  # noqa: F841 (documents the frame)
     h_us = hop_minutes * 60 * 1_000_000
     n_hops = window_minutes // hop_minutes
     group_cols = list(group_cols or [])
@@ -244,32 +264,6 @@ def hopping_window_agg(ds, *, ts_col: str = "ts", value_col: str,
     return out.map_batches(finish, batch_format="pyarrow")
 
 
-def _funnel_group(group: pa.Table, *, key: str, ts_col: str, type_col: str,
-                  steps: list[str]) -> pa.Table:
-    """Strictly-ordered funnel match for one key: t_i = min ts of step i
-    with ts > t_{i-1}.  Vectorized per step (one boolean mask + min), no
-    per-event Python."""
-    ts = group.column(ts_col)
-    ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
-    t = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
-    et = group.column(type_col).to_pandas().to_numpy()
-    prev = -(2**63)
-    hits: list[int] = []
-    for step in steps:
-        cand = t[(et == step) & (t > prev)]
-        if not len(cand):
-            return pa.table({
-                key: group.column(key).slice(0, 0),
-                **{f"t_{s}_us": pa.array([], pa.int64()) for s in steps},
-            })
-        prev = int(cand.min())
-        hits.append(prev)
-    return pa.table({
-        key: group.column(key).slice(0, 1),
-        **{f"t_{s}_us": pa.array([h], pa.int64()) for s, h in zip(steps, hits)},
-    })
-
-
 def funnel_users(ds, *, key: str = "user_id", ts_col: str = "ts",
                  type_col: str = "event_type", steps: list[str]):
     """Ordered funnel analysis: keys whose event stream contains the
@@ -280,100 +274,141 @@ def funnel_users(ds, *, key: str = "user_id", ts_col: str = "ts",
     Returns one row per completing key with ``t_<step>_us`` epoch-µs
     columns.
 
-    One keyed shuffle (``groupby(key)``), per-group work O(events of that
-    key) with one vectorized mask per funnel step.  Same key-skew bound as
-    :func:`sessionize`."""
+    Sorted grouped-apply exchange; per step, ALL keys in a block advance
+    together with one masked ``minimum.reduceat`` over the segment
+    offsets."""
+    from .segments import sorted_group_apply
+
     if not steps:
         raise ValueError("funnel_users needs at least one step")
-    return (
-        ds.select_columns([key, ts_col, type_col])
-        .groupby(key)
-        .map_groups(
-            lambda g: _funnel_group(
-                g, key=key, ts_col=ts_col, type_col=type_col, steps=list(steps)
-            ),
-            batch_format="pyarrow",
-        )
+    steps = list(steps)
+    INT64_MAX = np.iinfo(np.int64).max
+
+    def _funnel_block(sub: pa.Table, offsets) -> pa.Table:
+        n = sub.num_rows
+        if n == 0:
+            return pa.table({
+                key: sub.column(key),
+                **{f"t_{s}_us": pa.array([], pa.int64()) for s in steps},
+            })
+        offsets = np.asarray(offsets, dtype=np.int64)
+        t = _np_col(sub, ts_col, pa.int64())
+        et = sub.column(type_col).to_pandas().to_numpy()
+        seg = _seg_ids(offsets, n)
+        nseg = len(offsets)
+        prev = np.full(nseg, -(2 ** 63), dtype=np.int64)
+        alive = np.ones(nseg, dtype=bool)
+        hits = []
+        for step in steps:
+            cand = (et == step) & (t > prev[seg])
+            vals = np.where(cand, t, INT64_MAX)
+            m = np.minimum.reduceat(vals, offsets)
+            alive &= m != INT64_MAX
+            prev = np.where(alive, m, prev)
+            hits.append(m)
+        heads = pa.array(offsets[alive], pa.int64())
+        return pa.table({
+            key: sub.column(key).take(heads),
+            **{f"t_{s}_us": pa.array(h[alive], pa.int64())
+               for s, h in zip(steps, hits)},
+        })
+
+    return sorted_group_apply(
+        ds.select_columns([key, ts_col, type_col]),
+        key_cols=[key], order_cols=[ts_col],
+        apply_block=_funnel_block,
     )
-
-
-def _resample_group(group: pa.Table, *, key: str, ts_col: str,
-                    unit_us: int) -> pa.Table:
-    ts = group.column(ts_col)
-    ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
-    t = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
-    hr = t // unit_us
-    lo, hi = int(hr.min()), int(hr.max())
-    counts = np.bincount(hr - lo, minlength=hi - lo + 1).astype(np.int64)
-    key_val = group.column(key)[0].as_py()
-    n = hi - lo + 1
-    return pa.table({
-        key: pa.array([key_val] * n, group.schema.field(key).type),
-        "bucket_us": pa.array((np.arange(lo, hi + 1) * unit_us), pa.int64()),
-        "n_events": pa.array(counts, pa.int64()),
-    })
 
 
 def resample_dense(ds, *, key: str = "user_id", ts_col: str = "ts",
                    unit_us: int = 3_600_000_000):
     """Dense time-series resample: one row per ``unit_us`` bucket per key
     between that key's first and last event, zero-filled — the gap-filling
-    step before windowed feature extraction.  One keyed shuffle, then a
-    vectorized per-group kernel (floor-div + bincount over the key's own
-    span).  Emits (key, bucket_us, n_events); a key's output is bounded by
-    its time span / unit, independent of dataset size."""
-    return (
-        ds.select_columns([key, ts_col])
-        .groupby(key)
-        .map_groups(
-            lambda g: _resample_group(g, key=key, ts_col=ts_col, unit_us=unit_us),
-            batch_format="pyarrow",
-        )
+    step before windowed feature extraction.  Emits (key, bucket_us,
+    n_events); a key's output is bounded by its time span / unit,
+    independent of dataset size.
+
+    Sorted grouped-apply exchange: per-key spans via min/max reduceat, one
+    composite bincount fills every key's dense grid in a single pass."""
+    from .segments import sorted_group_apply
+
+    def _resample_block(sub: pa.Table, offsets) -> pa.Table:
+        n = sub.num_rows
+        if n == 0:
+            return pa.table({
+                key: sub.column(key),
+                "bucket_us": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+            })
+        offsets = np.asarray(offsets, dtype=np.int64)
+        t = _np_col(sub, ts_col, pa.int64())
+        hr = t // unit_us
+        lo_k = np.minimum.reduceat(hr, offsets)
+        hi_k = np.maximum.reduceat(hr, offsets)
+        n_k = hi_k - lo_k + 1
+        out_off = np.concatenate([[0], np.cumsum(n_k)])
+        seg = _seg_ids(offsets, n)
+        counts = np.bincount(
+            out_off[seg] + (hr - lo_k[seg]), minlength=int(out_off[-1])
+        ).astype(np.int64)
+        total = int(out_off[-1])
+        seg_of_out = np.repeat(np.arange(len(offsets), dtype=np.int64), n_k)
+        within = np.arange(total, dtype=np.int64) - out_off[seg_of_out]
+        bucket = (lo_k[seg_of_out] + within) * unit_us
+        heads = pa.array(offsets[seg_of_out], pa.int64())
+        return pa.table({
+            key: sub.column(key).take(heads),
+            "bucket_us": pa.array(bucket, pa.int64()),
+            "n_events": pa.array(counts, pa.int64()),
+        })
+
+    return sorted_group_apply(
+        ds.select_columns([key, ts_col]),
+        key_cols=[key], order_cols=[ts_col],
+        apply_block=_resample_block,
     )
-
-
-def _transitions_group(group: pa.Table, *, key: str, ts_col: str,
-                       id_col: str, type_col: str) -> pa.Table:
-    ts = group.column(ts_col)
-    ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
-    t = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
-    ids = group.column(id_col)
-    ids = (ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
-           ).to_numpy(zero_copy_only=False)
-    order = np.lexsort((ids, t))
-    et = group.column(type_col)
-    et = et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et
-    ordered = et.take(pa.array(order, pa.int64()))
-    n = len(order)
-    if n < 2:
-        return pa.table({"from_type": pa.array([], pa.string()),
-                         "to_type": pa.array([], pa.string()),
-                         "cnt": pa.array([], pa.int64())})
-    frm = ordered.slice(0, n - 1)
-    to = ordered.slice(1, n - 1)
-    tt = pa.table({"from_type": frm, "to_type": to})
-    g = tt.group_by(["from_type", "to_type"]).aggregate([([], "count_all")])
-    return g.rename_columns(["from_type", "to_type", "cnt"])
 
 
 def event_transitions(ds, *, key: str = "user_id", ts_col: str = "ts",
                       id_col: str = "event_id", type_col: str = "event_type"):
     """First-order Markov transition counts over each key's event stream
     ordered by (ts, id): global (from_type, to_type, cnt) — the sequence-
-    mining primitive behind session-flow analysis.  One keyed shuffle +
-    vectorized per-group adjacent pairs (in-group Arrow group_by partial),
-    then a tiny keyed sum over unique type pairs."""
+    mining primitive behind session-flow analysis.  Sorted grouped-apply
+    exchange emits in-block adjacent-pair partials (segment boundaries
+    masked out), then a tiny keyed sum over unique type pairs."""
+    import pyarrow.compute as pc
+
     from ray.data.aggregate import Sum
 
-    partials = (
-        ds.select_columns([key, ts_col, id_col, type_col])
-        .groupby(key)
-        .map_groups(
-            lambda g: _transitions_group(
-                g, key=key, ts_col=ts_col, id_col=id_col, type_col=type_col
-            ),
-            batch_format="pyarrow",
-        )
+    from .segments import sorted_group_apply
+
+    def _pairs_block(sub: pa.Table, offsets) -> pa.Table:
+        n = sub.num_rows
+        if n < 2:
+            return pa.table({
+                "from_type": pa.array([], pa.string()),
+                "to_type": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            })
+        offsets = np.asarray(offsets, dtype=np.int64)
+        ta = sub.column(type_col)
+        ta = ta.combine_chunks() if isinstance(ta, pa.ChunkedArray) else ta
+        mask = np.ones(n - 1, dtype=bool)
+        internal = offsets[1:] - 1  # row i where i+1 starts a new key
+        mask[internal] = False
+        keep = pa.array(mask)
+        tt = pa.table({
+            "from_type": pc.cast(ta.slice(0, n - 1), pa.string()).filter(keep),
+            "to_type": pc.cast(ta.slice(1, n - 1), pa.string()).filter(keep),
+        })
+        g = tt.group_by(["from_type", "to_type"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["from_type", "to_type", "cnt"])
+        return g.set_column(2, "cnt", g.column("cnt").cast(pa.int64()))
+
+    partials = sorted_group_apply(
+        ds.select_columns([key, ts_col, id_col, type_col]),
+        key_cols=[key], order_cols=[ts_col, id_col],
+        apply_block=_pairs_block,
     )
     return partials.groupby(["from_type", "to_type"]).aggregate(
         Sum("cnt", alias_name="cnt")
