@@ -4,12 +4,18 @@ Engine addition beyond the reference: "enrich each event with the most
 recent right-side row at or before it" — the standard as-of join a feature
 pipeline needs (latest order / model version / config active at event time).
 
-Distribution shape: tag both sides, union, ONE keyed shuffle
-(``groupby(key)``), then a vectorized per-group merge (sort both sides,
-``np.searchsorted``).  This is the general big-both-sides plan; when the
-right side is small, broadcast it instead (see ``__ray_entry__``'s
-orders_enriched for the broadcast-join pattern).  Partitioning assumption:
-one key's rows (both sides) fit in a worker — the usual as-of contract.
+Distribution shape: tag both sides, union, then the sorted grouped-apply
+exchange (``functions/segments.py sorted_group_apply``) — one range sort
+instead of ``groupby(key).map_groups`` (Ray's hash-aggregate exchange is
+~50× slower than its sort at high key cardinality, and per-key Python
+calls don't amortize).  The as-of merge itself becomes a single
+``np.maximum.accumulate`` carried-right-index pass over each sorted block
+(every key in the block advances together); the range aggregate uses two
+structured-dtype ``searchsorted`` probes against the per-segment sorted
+right rows.  This is the general big-both-sides plan; when the right side
+is small, broadcast it instead (see ``__ray_entry__``'s orders_enriched
+for the broadcast-join pattern).  Partitioning assumption: one key's rows
+(both sides) fit in a worker — the usual as-of contract.
 
 Determinism: among right rows sharing the max eligible timestamp the one
 with the greatest ``right_id`` wins (explicit tie-break; a plain SQL ASOF
@@ -25,64 +31,14 @@ import pyarrow.compute as pc
 __all__ = ["asof_join", "range_join_agg", "build_bloom", "bloom_prune"]
 
 
-def _asof_group(group: pa.Table, *, left_ts: str, right_ts: str,
-                left_cols: list[str], right_cols: list[str], right_id: str) -> pa.Table:
-    side = group.column("__side")
-    side = side.combine_chunks() if isinstance(side, pa.ChunkedArray) else side
-    is_left = pc.equal(side, "l")
-    left = group.filter(is_left)
-    right = group.filter(pc.invert(is_left))
-    out_cols = {c: left.column(c) for c in left_cols}
-    if right.num_rows == 0:
-        for c in right_cols:
-            out_cols[c] = pa.nulls(left.num_rows, group.schema.field(c).type)
-        return pa.table(out_cols)
-    lt = left.column(left_ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
-    rt = right.column(right_ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
-    rid = right.column(right_id).to_numpy(zero_copy_only=False)
-    order = np.lexsort((rid, rt))
-    rt_s = rt[order]
-    # latest right row with right_ts <= left_ts; ties on right_ts resolve to
-    # the max right_id because the sort puts it last
-    pos = np.searchsorted(rt_s, lt, side="right") - 1
-    matched = pos >= 0
-    take = np.where(matched, order[np.clip(pos, 0, None)], 0)
-    take_arr = pa.array(take, pa.int64())
-    valid = pa.array(matched)
-    for c in right_cols:
-        col = right.column(c).take(take_arr)
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        out_cols[c] = pc.if_else(valid, col, pa.nulls(left.num_rows, col.type))
-    return pa.table(out_cols)
+def _seg_starts_per_row(offsets: np.ndarray, n: int) -> np.ndarray:
+    counts = np.diff(np.append(offsets, n))
+    return np.repeat(offsets, counts)
 
 
-def _range_agg_group(group: pa.Table, *, left_ts: str, right_ts: str,
-                     left_cols: list[str], value_col: str,
-                     lo_us: int, hi_us: int) -> pa.Table:
-    side = group.column("__side")
-    side = side.combine_chunks() if isinstance(side, pa.ChunkedArray) else side
-    is_left = pc.equal(side, "l")
-    left = group.filter(is_left)
-    right = group.filter(pc.invert(is_left))
-    out_cols = {c: left.column(c) for c in left_cols}
-    n = left.num_rows
-    if right.num_rows == 0:
-        out_cols["n_matches"] = pa.array(np.zeros(n, np.int64))
-        out_cols["sum_value"] = pa.array(np.zeros(n, np.float64))
-        return pa.table(out_cols)
-    lt = left.column(left_ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
-    rt = right.column(right_ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
-    rv = right.column(value_col).cast(pa.float64()).to_numpy(zero_copy_only=False)
-    order = np.argsort(rt, kind="stable")
-    rt_s = rt[order]
-    # prefix sums turn the per-row window aggregate into two searchsorted
-    # lookups — no pair materialization, O((L+R) log R) per key
-    prefix = np.concatenate(([0.0], np.cumsum(rv[order])))
-    lo = np.searchsorted(rt_s, lt + lo_us, side="left")
-    hi = np.searchsorted(rt_s, lt + hi_us, side="right")
-    out_cols["n_matches"] = pa.array((hi - lo).astype(np.int64))
-    out_cols["sum_value"] = pa.array(prefix[hi] - prefix[lo])
-    return pa.table(out_cols)
+def _seg_ids_per_row(offsets: np.ndarray, n: int) -> np.ndarray:
+    counts = np.diff(np.append(offsets, n))
+    return np.repeat(np.arange(len(offsets), dtype=np.int64), counts)
 
 
 def range_join_agg(left_ds, right_ds, *, key: str, right_key: str,
@@ -109,7 +65,7 @@ def range_join_agg(left_ds, right_ds, *, key: str, right_key: str,
     right_types = {c: r_schema.field(c).type for c in right_side}
 
     def tag_left(b: pa.Table, _rt=right_types) -> pa.Table:
-        out = {key: b.column(key), "__side": pa.array(["l"] * b.num_rows)}
+        out = {key: b.column(key)}
         for c in left_cols:
             if c != key:
                 out[c] = b.column(c)
@@ -118,22 +74,71 @@ def range_join_agg(left_ds, right_ds, *, key: str, right_key: str,
         return pa.table(out)
 
     def tag_right(b: pa.Table, _lt=left_types) -> pa.Table:
-        out = {key: b.column(right_key), "__side": pa.array(["r"] * b.num_rows)}
+        out = {key: b.column(right_key)}
         for c, typ in _lt.items():
             out[c] = pa.nulls(b.num_rows, typ)
         for c in right_side:
             out[c] = b.column(c)
         return pa.table(out)
 
-    tagged = l_proj.map_batches(tag_left, batch_format="pyarrow").union(
-        r_proj.map_batches(tag_right, batch_format="pyarrow")
+    def add_order(b: pa.Table, side: str) -> pa.Table:
+        ts_src = b.column(right_ts if side == "r" else left_ts)
+        b = b.append_column("__sr", pa.array(
+            np.full(b.num_rows, 0 if side == "r" else 1, np.int8)))
+        return b.append_column("__ts", ts_src.cast(pa.int64()))
+
+    tagged = l_proj.map_batches(tag_left, batch_format="pyarrow").map_batches(
+        lambda b: add_order(b, "l"), batch_format="pyarrow"
+    ).union(
+        r_proj.map_batches(tag_right, batch_format="pyarrow").map_batches(
+            lambda b: add_order(b, "r"), batch_format="pyarrow"
+        )
     )
-    return tagged.groupby(key).map_groups(
-        lambda g: _range_agg_group(
-            g, left_ts=left_ts, right_ts=right_ts, left_cols=left_cols,
-            value_col=value_col, lo_us=lo_us, hi_us=hi_us,
-        ),
-        batch_format="pyarrow",
+
+    def _range_block(sub: pa.Table, offsets) -> pa.Table:
+        n = sub.num_rows
+        out_cols = {}
+        if n == 0:
+            for c in left_cols:
+                out_cols[c] = sub.column(c)
+            out_cols["n_matches"] = pa.array([], pa.int64())
+            out_cols["sum_value"] = pa.array([], pa.float64())
+            return pa.table(out_cols)
+        offsets = np.asarray(offsets, dtype=np.int64)
+        sr = sub.column("__sr").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = sub.column("__ts").combine_chunks().to_numpy(zero_copy_only=False)
+        seg = _seg_ids_per_row(offsets, n)
+        is_right = sr == 0
+        # right rows are contiguous per segment and (seg, ts)-sorted under
+        # the (key, __sr, __ts) sort — one structured searchsorted bounds
+        # every left row's window inside its own segment
+        r_sel = np.flatnonzero(is_right)
+        comp = np.empty(len(r_sel), dtype=[("s", "<i8"), ("t", "<i8")])
+        comp["s"] = seg[r_sel]
+        comp["t"] = ts[r_sel]
+        rv = sub.column(value_col).take(
+            pa.array(r_sel, pa.int64())
+        ).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        prefix = np.concatenate(([0.0], np.cumsum(rv)))
+        l_sel = np.flatnonzero(~is_right)
+        q = np.empty(len(l_sel), dtype=comp.dtype)
+        q["s"] = seg[l_sel]
+        q["t"] = ts[l_sel] + lo_us
+        lo = np.searchsorted(comp, q, side="left")
+        q["t"] = ts[l_sel] + hi_us
+        hi = np.searchsorted(comp, q, side="right")
+        l_take = pa.array(l_sel, pa.int64())
+        for c in left_cols:
+            out_cols[c] = sub.column(c).take(l_take)
+        out_cols["n_matches"] = pa.array((hi - lo).astype(np.int64))
+        out_cols["sum_value"] = pa.array(prefix[hi] - prefix[lo])
+        return pa.table(out_cols)
+
+    from .segments import sorted_group_apply
+
+    return sorted_group_apply(
+        tagged, key_cols=[key], order_cols=["__sr", "__ts"],
+        apply_block=_range_block,
     )
 
 
@@ -158,7 +163,7 @@ def asof_join(left_ds, right_ds, *, key: str, right_key: str,
     right_types = {c: r_schema.field(c).type for c in right_side}
 
     def tag_left(b: pa.Table, _rt=right_types) -> pa.Table:
-        out = {key: b.column(key), "__side": pa.array(["l"] * b.num_rows)}
+        out = {key: b.column(key)}
         for c in left_cols:
             if c != key:
                 out[c] = b.column(c)
@@ -167,22 +172,69 @@ def asof_join(left_ds, right_ds, *, key: str, right_key: str,
         return pa.table(out)
 
     def tag_right(b: pa.Table, _lt=left_types) -> pa.Table:
-        out = {key: b.column(right_key), "__side": pa.array(["r"] * b.num_rows)}
+        out = {key: b.column(right_key)}
         for c, typ in _lt.items():
             out[c] = pa.nulls(b.num_rows, typ)
         for c in right_side:
             out[c] = b.column(c)
         return pa.table(out)
 
-    tagged = l_proj.map_batches(tag_left, batch_format="pyarrow").union(
-        r_proj.map_batches(tag_right, batch_format="pyarrow")
+    def add_order(b: pa.Table, side: str) -> pa.Table:
+        n = b.num_rows
+        # at equal (key, ts): right rows sort BEFORE left rows (inclusive
+        # <= semantics) and among right rows the max right_id comes last,
+        # so the carried-index pass lands on it (deterministic tie-break)
+        b = b.append_column("__sr", pa.array(
+            np.full(n, 0 if side == "r" else 1, np.int8)))
+        b = b.append_column("__ts", b.column(
+            right_ts if side == "r" else left_ts).cast(pa.int64()))
+        rid = (b.column(right_id).cast(pa.int64()) if side == "r"
+               else pa.array(np.zeros(n, np.int64)))
+        return b.append_column("__rid", rid)
+
+    tagged = l_proj.map_batches(tag_left, batch_format="pyarrow").map_batches(
+        lambda b: add_order(b, "l"), batch_format="pyarrow"
+    ).union(
+        r_proj.map_batches(tag_right, batch_format="pyarrow").map_batches(
+            lambda b: add_order(b, "r"), batch_format="pyarrow"
+        )
     )
-    return tagged.groupby(key).map_groups(
-        lambda g: _asof_group(
-            g, left_ts=left_ts, right_ts=right_ts,
-            left_cols=left_cols, right_cols=list(right_cols), right_id=right_id,
-        ),
-        batch_format="pyarrow",
+    right_cols = list(right_cols)
+
+    def _asof_block(sub: pa.Table, offsets) -> pa.Table:
+        n = sub.num_rows
+        if n == 0:
+            return pa.table(
+                {c: sub.column(c) for c in left_cols + right_cols})
+        offsets = np.asarray(offsets, dtype=np.int64)
+        sr = sub.column("__sr").combine_chunks().to_numpy(zero_copy_only=False)
+        is_left = sr == 1
+        # carried right-row index: under the (key, ts, side, rid) sort, the
+        # latest eligible right row for any left row is simply the nearest
+        # preceding right row in the SAME segment — one maximum.accumulate
+        carried = np.maximum.accumulate(
+            np.where(is_left, -1, np.arange(n, dtype=np.int64)))
+        seg_start = _seg_starts_per_row(offsets, n)
+        matched = carried >= seg_start
+        l_sel = np.flatnonzero(is_left)
+        take = carried[l_sel]
+        m = matched[l_sel]
+        l_take = pa.array(l_sel, pa.int64())
+        out_cols = {c: sub.column(c).take(l_take) for c in left_cols}
+        take_safe = pa.array(np.where(m, take, 0), pa.int64())
+        valid = pa.array(m)
+        for c in right_cols:
+            col = sub.column(c).take(take_safe)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            out_cols[c] = pc.if_else(valid, col,
+                                     pa.nulls(len(l_sel), col.type))
+        return pa.table(out_cols)
+
+    from .segments import sorted_group_apply
+
+    return sorted_group_apply(
+        tagged, key_cols=[key], order_cols=["__ts", "__sr", "__rid"],
+        apply_block=_asof_block,
     )
 
 
