@@ -115,8 +115,13 @@ def _chain_corrections_max(metas: list[dict]) -> dict[tuple, tuple]:
     return corrections
 
 
-def _sorted_blocks(ds, key_cols: list[str], order_cols: list[str]):
-    return ds.sort(list(key_cols) + list(order_cols)).materialize()
+def _sorted_blocks(ds, key_cols: list[str], order_cols: list[str],
+                   order_desc: list[bool] | None = None):
+    cols = list(key_cols) + list(order_cols)
+    if order_desc is None:
+        return ds.sort(cols).materialize()
+    desc = [False] * len(key_cols) + list(order_desc)
+    return ds.sort(cols, descending=desc).materialize()
 
 
 def _collect_meta(blocks, key_cols, id_cols):
@@ -223,7 +228,8 @@ def attach_group_minmax(ds, *, key_cols: list[str], val_col: str,
 
 
 def sorted_group_apply(ds, *, key_cols: list[str], order_cols: list[str],
-                       apply_block, driver_repair_rows: int = 2_000_000):
+                       apply_block, driver_repair_rows: int = 2_000_000,
+                       order_desc: list[bool] | None = None):
     """Grouped apply via the sort exchange — the replacement for
     ``groupby(key).map_groups(fn)`` at high group cardinality, where Ray's
     hash-aggregate path is ~50× slower than its range sort (module
@@ -251,8 +257,13 @@ def sorted_group_apply(ds, *, key_cols: list[str], order_cols: list[str],
     two edge segments to the repair pass."""
     import ray
 
-    order = list(key_cols) + list(order_cols)
-    blocks = _sorted_blocks(ds, list(key_cols), list(order_cols))
+    dirs = list(order_desc) if order_desc is not None \
+        else [False] * len(order_cols)
+    sort_spec = ([(c, "ascending") for c in key_cols]
+                 + [(c, "descending" if d else "ascending")
+                    for c, d in zip(order_cols, dirs)])
+    blocks = _sorted_blocks(ds, list(key_cols), list(order_cols),
+                            order_desc=dirs)
 
     def interior(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -284,15 +295,13 @@ def sorted_group_apply(ds, *, key_cols: list[str], order_cols: list[str],
         return done
     if n_frag <= driver_repair_rows:
         tables = [t for t in ray.get(frag.to_arrow_refs()) if t.num_rows]
-        whole = pa.concat_tables(tables).combine_chunks().sort_by(
-            [(c, "ascending") for c in order]
-        )
+        whole = pa.concat_tables(tables).combine_chunks().sort_by(sort_spec)
         offs = np.flatnonzero(_seg_starts(whole, list(key_cols)))
         repaired = apply_block(whole, offs.astype(np.int64))
         return done.union(ray.data.from_arrow(repaired))
 
     def one_group(group: pa.Table) -> pa.Table:
-        g = group.sort_by([(c, "ascending") for c in order])
+        g = group.sort_by(sort_spec)
         return apply_block(g, np.zeros(1, np.int64))
 
     repaired = frag.groupby(list(key_cols)).map_groups(

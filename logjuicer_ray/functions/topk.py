@@ -60,12 +60,47 @@ def _topk_table(batch: pa.Table, *, group_cols, order_col, k, tie_cols,
 def topk_per_group(ds, *, group_cols: list[str], order_col: str, k: int,
                    tie_cols: list[str], descending: bool = True):
     """Top-k rows per group ordered by ``order_col`` (ties by ``tie_cols``
-    ascending); output gains a 1-based ``rank`` column."""
+    ascending); output gains a 1-based ``rank`` column.
+
+    Final pass runs on the sorted grouped-apply exchange
+    (``functions/segments.py``): the k-bounded partials sort once on
+    (group, order, ties) and every group in a block is ranked/truncated by
+    one vectorized segment scan — no ``groupby().map_groups`` hash
+    exchange, no per-group Python at high group cardinality."""
     kw = dict(group_cols=list(group_cols), order_col=order_col, k=k,
               tie_cols=list(tie_cols), descending=descending)
     partial = ds.map_batches(
         lambda b: _topk_table(b, with_rank=False, **kw), batch_format="pyarrow"
     )
-    return partial.groupby(list(group_cols)).map_groups(
-        lambda g: _topk_table(g, with_rank=True, **kw), batch_format="pyarrow"
+
+    from .segments import sorted_group_apply
+
+    def _rank_block(sub: pa.Table, offsets) -> pa.Table:
+        n = sub.num_rows
+        if n == 0:
+            return sub.append_column("rank", pa.array([], pa.int64()))
+        offsets = np.asarray(offsets, dtype=np.int64)
+        counts = np.diff(np.append(offsets, n))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(offsets, counts)
+        keep = rank < k
+        out = sub.filter(pa.array(keep))
+        return out.append_column("rank", pa.array(rank[keep] + 1, pa.int64()))
+
+    # dedupe sort columns (a tie_col may repeat order_col or a group col;
+    # Ray's sort rejects duplicate key names — first mention wins, which
+    # matches lexsort semantics since a repeated key can't change order)
+    seen = set(group_cols)
+    order_cols, order_desc = [], []
+    for c, d in [(order_col, descending)] + [(c, False) for c in tie_cols]:
+        if c not in seen:
+            seen.add(c)
+            order_cols.append(c)
+            order_desc.append(d)
+
+    return sorted_group_apply(
+        partial,
+        key_cols=list(group_cols),
+        order_cols=order_cols,
+        order_desc=order_desc,
+        apply_block=_rank_block,
     )
