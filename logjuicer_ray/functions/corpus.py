@@ -292,14 +292,50 @@ def grouped_quantiles(ds, *, group_cols: list[str], col: str, qs: list[float]):
         .sum("cnt")
     )
 
-    def _pick(group: pa.Table) -> pa.Table:
-        rows = sorted(zip(group.column(col).to_pylist(),
-                          group.column("sum(cnt)").to_pylist()))
-        out = {c: [group.column(c)[0].as_py()] for c in group_cols}
-        out.update(_quantile_pick(rows, qs))
+    # per-group percentile_disc pick on the sorted grouped-apply exchange:
+    # the unique (group, value, cnt) rows sort once; every group in a block
+    # resolves ALL its quantiles with one structured searchsorted against
+    # the segment-local cumulative counts (identical target arithmetic to
+    # _quantile_pick — same float64 product, same ceil)
+    from .segments import sorted_group_apply
+
+    def _pick_block(sub: pa.Table, offsets) -> pa.Table:
+        import numpy as np
+
+        p_names = [f"p{int(round(q * 100))}" for q in qs]
+        n = sub.num_rows
+        if n == 0:
+            out = {c: sub.column(c) for c in group_cols}
+            for pn in p_names:
+                out[pn] = sub.column(col)
+            return pa.table(out)
+        offsets = np.asarray(offsets, dtype=np.int64)
+        cnt = sub.column("sum(cnt)").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cum = np.cumsum(cnt)
+        seg = np.repeat(np.arange(len(offsets), dtype=np.int64),
+                        np.diff(np.append(offsets, n)))
+        base = np.where(offsets > 0, cum[np.maximum(offsets - 1, 0)], 0)
+        seg_end = np.append(offsets[1:], n)
+        total_k = cum[seg_end - 1] - base
+        comp = np.empty(n, dtype=[("s", "<i8"), ("c", "<i8")])
+        comp["s"] = seg
+        comp["c"] = cum - base[seg]
+        heads = pa.array(offsets, pa.int64())
+        out = {c: sub.column(c).take(heads) for c in group_cols}
+        q_query = np.empty(len(offsets), dtype=comp.dtype)
+        q_query["s"] = np.arange(len(offsets), dtype=np.int64)
+        for q, pn in zip(qs, p_names):
+            q_query["c"] = np.maximum(
+                1, np.ceil(q * total_k.astype(np.float64)).astype(np.int64))
+            pos = np.searchsorted(comp, q_query, side="left")
+            out[pn] = sub.column(col).take(pa.array(pos, pa.int64()))
         return pa.table(out)
 
-    return totals.groupby(group_cols).map_groups(_pick, batch_format="pyarrow")
+    return sorted_group_apply(
+        totals, key_cols=list(group_cols), order_cols=[col],
+        apply_block=_pick_block,
+    )
 
 
 def pack_sequences(path: str, *, id_col: str, size_col: str, cap: int,
