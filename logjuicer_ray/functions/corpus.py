@@ -59,7 +59,9 @@ def vocab_topk(ds, *, text_col: str = "text", k: int = 100):
     partials = ds.map_batches(
         lambda b: _token_counts(b, text_col), batch_format="pyarrow"
     )
-    totals = partials.groupby("token").sum("cnt")
+    from .segments import sorted_group_sum
+
+    totals = sorted_group_sum(partials, key_cols=["token"], sum_cols=["cnt"])
 
     def _rename(b: pa.Table) -> pa.Table:
         return b.rename_columns(["token", "cnt"])
@@ -108,7 +110,9 @@ def unigram_logprob(ds, *, id_col: str = "doc_id", text_col: str = "text",
     partials = ds.map_batches(
         lambda b: _token_counts(b, text_col), batch_format="pyarrow"
     )
-    totals = partials.groupby("token").sum("cnt")
+    from .segments import sorted_group_sum
+
+    totals = sorted_group_sum(partials, key_cols=["token"], sum_cols=["cnt"])
     vocab_parts, total_cnt, kept_rows = [], 0, 0
     for b in totals.iter_batches(batch_format="pyarrow"):
         cnt = b.column("sum(cnt)")
@@ -204,7 +208,12 @@ def exact_quantiles(ds, col: str, qs: list[float]):
             {col: vc.field("values"), "cnt": pc.cast(vc.field("counts"), pa.int64())}
         )
 
-    totals = ds.map_batches(_vc, batch_format="pyarrow").groupby(col).sum("cnt")
+    from .segments import sorted_group_sum
+
+    totals = sorted_group_sum(
+        ds.map_batches(_vc, batch_format="pyarrow"),
+        key_cols=[col], sum_cols=["cnt"],
+    )
     # distinct-value table: bounded driver materialization (documented above)
     rows = sorted((r[col], r["sum(cnt)"]) for r in totals.take_all())
     return pa.table(_quantile_pick(rows, qs))
@@ -717,11 +726,11 @@ def bigram_topk(ds, *, text_col: str = "text", k: int = 100):
             "cnt": pc.cast(vc.field("counts"), pa.int64()),
         })
 
-    totals = (
-        ds.map_batches(_bigram_counts, batch_format="pyarrow")
-        .groupby("bigram").sum("cnt")
-        .map_batches(lambda b: b.rename_columns(["bigram", "cnt"]),
-                     batch_format="pyarrow")
+    from .segments import sorted_group_sum
+
+    totals = sorted_group_sum(
+        ds.map_batches(_bigram_counts, batch_format="pyarrow"),
+        key_cols=["bigram"], sum_cols=["cnt"], out_cols=["cnt"],
     )
     top = totals.sort(["cnt", "bigram"], descending=[True, False]).limit(k)
 

@@ -249,12 +249,12 @@ def strip_duplicate_spans(
             "cnt": pa.array(list(acc.values()), pa.int64()),
         })
 
-    dup = (
-        ds.map_batches(gram_partials, batch_format="pyarrow")
-        .groupby("gram")
-        .sum("cnt")
-        .filter(lambda r: r["sum(cnt)"] >= min_count)
-    )
+    from .segments import sorted_group_sum
+
+    dup = sorted_group_sum(
+        ds.map_batches(gram_partials, batch_format="pyarrow"),
+        key_cols=["gram"], sum_cols=["cnt"],
+    ).filter(lambda r: r["sum(cnt)"] >= min_count)
     n_dup = dup.count()
     if n_dup > driver_dup_rows:
         raise ValueError(

@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["attach_group_min", "attach_group_minmax", "group_first_row",
-           "sorted_group_apply"]
+           "sorted_group_apply", "sorted_group_sum"]
 
 
 def _seg_starts(batch: pa.Table, key_cols: list[str]) -> np.ndarray:
@@ -308,6 +308,49 @@ def sorted_group_apply(ds, *, key_cols: list[str], order_cols: list[str],
         one_group, batch_format="pyarrow"
     )
     return done.union(repaired)
+
+
+def sorted_group_sum(ds, *, key_cols: list[str], sum_cols: list[str],
+                     out_cols: list[str] | None = None):
+    """Grouped SUM on the sort exchange — a drop-in for
+    ``groupby(keys).sum(col)`` (output columns default to the same
+    ``sum(<col>)`` names) at group cardinalities where Ray's hash
+    aggregate pays the measured ~50× penalty (module docstring).  Integer
+    inputs sum as int64, floats as float64.  Callers should still
+    pre-combine per batch (e.g. in-batch value_counts) so the sort moves
+    unique-key partials, not raw rows."""
+    if out_cols is None:
+        out_cols = [f"sum({c})" for c in sum_cols]
+
+    def _sum_block(sub: pa.Table, offsets) -> pa.Table:
+        n = sub.num_rows
+        out = {}
+        if n == 0:
+            for c in key_cols:
+                out[c] = sub.column(c)
+            for sc, oc in zip(sum_cols, out_cols):
+                t = sub.schema.field(sc).type
+                out[oc] = pa.array(
+                    [], pa.float64() if pa.types.is_floating(t) else pa.int64())
+            return pa.table(out)
+        offsets = np.asarray(offsets, dtype=np.int64)
+        heads = pa.array(offsets, pa.int64())
+        for c in key_cols:
+            out[c] = sub.column(c).take(heads)
+        for sc, oc in zip(sum_cols, out_cols):
+            col = sub.column(sc)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            v = col.to_numpy(zero_copy_only=False)
+            if pa.types.is_floating(col.type):
+                sums = np.add.reduceat(v.astype(np.float64), offsets)
+                out[oc] = pa.array(sums, pa.float64())
+            else:
+                sums = np.add.reduceat(v.astype(np.int64), offsets)
+                out[oc] = pa.array(sums, pa.int64())
+        return pa.table(out)
+
+    return sorted_group_apply(ds, key_cols=list(key_cols), order_cols=[],
+                              apply_block=_sum_block)
 
 
 def group_first_row(ds, *, key_cols: list[str], order_cols: list[str]):
