@@ -131,6 +131,15 @@ def main() -> None:
         ).count(),
     )
 
+    # --- CCNet line-level dedup: explode -> global line winners -> rebuild
+    from logjuicer_ray.functions.dedup import line_level_dedup
+    from logjuicer_ray.sources.transcripts import explode_lines
+
+    timed(
+        "line_dedup",
+        lambda: line_level_dedup(explode_lines(read_text())).count(),
+    )
+
     # --- classifier: train on a 1/16 hash sample, score the full corpus ---
     from logjuicer_ray.functions.classify import (
         score_naive_bayes,
