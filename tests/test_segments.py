@@ -227,3 +227,35 @@ def test_sorted_group_apply_hot_keys_and_partitions(ray_session):
     # distributed fragment repair (driver_repair_rows=0 forces it)
     pd.testing.assert_frame_equal(
         _sga_frame(df, 16, driver_repair_rows=0), want, check_dtype=False)
+
+
+def test_sorted_group_sum_vs_pandas(ray_session):
+    from logjuicer_ray.functions.segments import sorted_group_sum
+
+    rng = np.random.default_rng(23)
+    n = 25_000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 3_000, n).astype(np.int64),
+        "a": rng.integers(-50, 50, n).astype(np.int64),
+        "b": rng.normal(size=n),
+    })
+    got = (
+        sorted_group_sum(_ds(df, 13), key_cols=["k"], sum_cols=["a", "b"])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    g = df.groupby("k", as_index=False).agg({"a": "sum", "b": "sum"})
+    g.columns = ["k", "sum(a)", "sum(b)"]
+    got["sum(b)"] = got["sum(b)"].round(6)
+    g["sum(b)"] = g["sum(b)"].round(6)
+    pd.testing.assert_frame_equal(got, g.sort_values("k").reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_sorted_group_sum_hot_key(ray_session):
+    from logjuicer_ray.functions.segments import sorted_group_sum
+
+    # one key spanning every block exercises the repair pass
+    df = pd.DataFrame({"k": np.zeros(9_000, np.int64),
+                       "a": np.arange(9_000, dtype=np.int64)})
+    got = sorted_group_sum(_ds(df, 12), key_cols=["k"], sum_cols=["a"]).to_pandas()
+    assert len(got) == 1 and int(got["sum(a)"][0]) == int(df["a"].sum())
