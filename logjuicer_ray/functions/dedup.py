@@ -917,15 +917,25 @@ def embedding_cosine_dedup(ds, *, threshold: float = 0.45, id_col: str = "vec_id
     bands_ds = ds.map_batches(PlaneSigner, batch_format="pyarrow", concurrency=(1, 8))
 
     # bucket shuffle over 24-byte signature rows only; singleton buckets (the
-    # overwhelming majority) are dropped before any vector moves
-    def multi_members(group: pa.Table) -> pa.Table:
-        if group.num_rows < 2:
-            return group.slice(0, 0)
-        return group
+    # overwhelming majority) are dropped before any vector moves.  Multi-
+    # member buckets = rows whose bucket min id != max id, found with one
+    # sorted min+max attach (functions/segments.py) instead of a
+    # groupby().map_groups hash exchange over every bucket.
+    from .segments import attach_group_minmax
 
-    members = bands_ds.groupby(["band", "band_hash"]).map_groups(
-        multi_members, batch_format="pyarrow"
-    )
+    def _multi_only(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(
+            pc.not_equal(batch.column("gmin"), batch.column("gmax"))
+        )
+        return kept.select([id_col, "band", "band_hash"])
+
+    members = attach_group_minmax(
+        bands_ds,
+        key_cols=["band", "band_hash"],
+        val_col=id_col,
+        min_col="gmin",
+        max_col="gmax",
+    ).map_batches(_multi_only, batch_format="pyarrow")
     # ONE vector copy per surviving membership: hash join on id (the judge-
     # recommended shape — tolerate one copy via a join, never one per band).
     # Ray's hash join rejects list-typed payload columns, so the embedding
@@ -950,39 +960,63 @@ def embedding_cosine_dedup(ds, *, threshold: float = 0.45, id_col: str = "vec_id
         right_on=(id_col,),
     )
 
-    def bucket_verify(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group.column(id_col).to_pylist())
-        vecs = np.stack(
-            [np.frombuffer(b, dtype="<f8") for b in group.column("vec_bytes").to_pylist()]
-        )
-        n = np.linalg.norm(vecs, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        vecs = vecs / n
-        order = np.argsort(ids, kind="stable")
-        ids, vecs = ids[order], vecs[order]
-        sims = vecs @ vecs.T
-        out_id, out_dup = [], []
-        for r in range(1, len(ids)):
-            hits = np.flatnonzero(sims[r, :r] >= threshold)
-            if len(hits):
-                out_id.append(int(ids[r]))
-                out_dup.append(int(ids[hits[0]]))
-        return pa.table(
-            {
-                id_col: pa.array(out_id, group.column(id_col).type),
-                "dup_of": pa.array(out_dup, group.column(id_col).type),
-            }
-        )
+    # per-bucket exact-cosine verification on the sorted exchange: rows
+    # arrive (band, band_hash, id)-sorted, the per-bucket GEMM runs inside
+    # a segment loop (bounded by surviving-bucket sizes, no Ray exchange
+    # per bucket).  The id sort order doubles as the dedup direction.
+    from .segments import sorted_group_apply
 
-    pairs = with_vecs.groupby(["band", "band_hash"]).map_groups(
-        bucket_verify, batch_format="pyarrow"
+    def _verify_block(sub: pa.Table, offsets) -> pa.Table:
+        id_type = sub.schema.field(id_col).type
+        nrows = sub.num_rows
+        if nrows == 0:
+            return pa.table({
+                id_col: pa.array([], id_type),
+                "dup_of": pa.array([], id_type),
+            })
+        offsets = np.asarray(offsets, dtype=np.int64)
+        ids_all = sub.column(id_col).to_numpy(zero_copy_only=False)
+        vb = sub.column("vec_bytes").to_pylist()
+        out_id, out_dup = [], []
+        for s, e in zip(offsets, np.append(offsets[1:], nrows)):
+            if e - s < 2:
+                continue
+            vecs = np.frombuffer(
+                b"".join(vb[s:e]), dtype="<f8").reshape(int(e - s), -1)
+            nrm = np.linalg.norm(vecs, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            vecs = vecs / nrm
+            ids = ids_all[s:e]
+            sims = vecs @ vecs.T
+            for r in range(1, len(ids)):
+                hits = np.flatnonzero(sims[r, :r] >= threshold)
+                if len(hits):
+                    out_id.append(int(ids[r]))
+                    out_dup.append(int(ids[hits[0]]))
+        return pa.table({
+            id_col: pa.array(out_id, id_type),
+            "dup_of": pa.array(out_dup, id_type),
+        })
+
+    pairs = sorted_group_apply(
+        with_vecs,
+        key_cols=["band", "band_hash"],
+        order_cols=[id_col],
+        apply_block=_verify_block,
     )
 
-    def min_dup(group: pa.Table) -> pa.Table:
-        dups = group.column("dup_of").to_pylist()
-        return group.slice(int(np.argmin(dups)), 1)
+    # min dup_of per id; (id, dup_of) can repeat across bands so use the
+    # uniqueness-free grouped-first kernel, not group_first_row
+    def _first_rows(sub: pa.Table, offsets) -> pa.Table:
+        if sub.num_rows == 0:
+            return sub
+        return sub.take(pa.array(np.asarray(offsets, dtype=np.int64),
+                                 pa.int64()))
 
-    return pairs.groupby(id_col).map_groups(min_dup, batch_format="pyarrow")
+    return sorted_group_apply(
+        pairs, key_cols=[id_col], order_cols=["dup_of"],
+        apply_block=_first_rows,
+    )
 
 
 def line_level_dedup(lines_ds, *, conv_col: str = "conv_id",
