@@ -155,34 +155,47 @@ def blocked_fuzzy_pairs(
         }
     )
 
-    def pairs_in_block(group: pa.Table) -> pa.Table:
-        # one COMPLETE blocking bucket per call (groupby.map_groups)
-        m = group.num_rows
-        assert m <= max_block_rows, (
-            f"fuzzy block of {m} rows exceeds max_block_rows="
-            f"{max_block_rows}; coarsen the blocking or raise the cap"
-        )
-        if m < 2:
+    def _pairs_block(sub: pa.Table, offsets) -> pa.Table:
+        # sorted grouped-apply exchange (functions/segments.py): rows
+        # arrive (block, id)-sorted, one complete blocking bucket per
+        # segment — the quadratic DP runs per segment with no Ray exchange
+        # per bucket
+        nrows = sub.num_rows
+        if nrows == 0:
             return _EMPTY
-        ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        order = np.argsort(ids)
-        ids = ids[order]
-        keys = group.column("key").take(pa.array(order)).to_pylist()
-        iu, ju = np.triu_indices(m, k=1)
-        d = levenshtein_batch([keys[i] for i in iu], [keys[j] for j in ju])
-        keep = d <= max_dist
-        return pa.table(
-            {
-                "id_a": pa.array(ids[iu[keep]], pa.int64()),
-                "id_b": pa.array(ids[ju[keep]], pa.int64()),
-                "dist": pa.array(d[keep], pa.int64()),
-            }
-        )
+        offsets = np.asarray(offsets, dtype=np.int64)
+        ids_all = sub.column(id_col).to_numpy(zero_copy_only=False)
+        keys_all = sub.column("key").to_pylist()
+        parts = [_EMPTY]
+        for s, e in zip(offsets, np.append(offsets[1:], nrows)):
+            m = int(e - s)
+            assert m <= max_block_rows, (
+                f"fuzzy block of {m} rows exceeds max_block_rows="
+                f"{max_block_rows}; coarsen the blocking or raise the cap"
+            )
+            if m < 2:
+                continue
+            ids = ids_all[s:e]
+            keys = keys_all[s:e]
+            iu, ju = np.triu_indices(m, k=1)
+            d = levenshtein_batch([keys[i] for i in iu], [keys[j] for j in ju])
+            keep = d <= max_dist
+            parts.append(pa.table(
+                {
+                    "id_a": pa.array(ids[iu[keep]], pa.int64()),
+                    "id_b": pa.array(ids[ju[keep]], pa.int64()),
+                    "dist": pa.array(d[keep], pa.int64()),
+                }
+            ))
+        return pa.concat_tables(parts)
 
-    out = (
-        ds.map_batches(keyed, batch_format="pyarrow")
-        .groupby("block")
-        .map_groups(pairs_in_block, batch_format="pyarrow")
+    from .segments import sorted_group_apply
+
+    out = sorted_group_apply(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        key_cols=["block"],
+        order_cols=[id_col],
+        apply_block=_pairs_block,
     )
     return out.sort(["id_a", "id_b"])
 

@@ -1,27 +1,47 @@
-"""Sort-based grouped-min/first — a fast exchange for narrow keyed reductions.
+"""The sorted-exchange family: keyed reductions and grouped apply on
+``Dataset.sort`` instead of ``Dataset.groupby``.
 
 Measured on this box (38.6M narrow rows, 18M groups, 16 CPUs):
 ``Dataset.groupby().aggregate(Min)`` costs 165–196 s under either shuffle
 strategy, while ``Dataset.sort()`` over the same rows costs **3.2 s** —
 Ray's range-partitioned sort is ~50× cheaper than its aggregate machinery
-at high group cardinality.  These helpers exploit that: globally sort by
-``key_cols + order_cols``, then answer grouped-first/min questions with a
-vectorized per-block segment scan plus an O(n_blocks) driver boundary
-repair — the same interior+boundary decomposition as the sorted-input
-block scan in ``pipelines/report.py``.
+at high group cardinality, and ``groupby().map_groups`` adds one Python
+call per group on top.  These helpers exploit that: globally sort by
+``key_cols + order_cols``, then answer grouped questions with a
+vectorized per-block segment scan plus an O(n_blocks) boundary repair —
+the same interior+boundary decomposition as the sorted-input block scan
+in ``pipelines/report.py``.
+
+The family:
+
+* :func:`attach_group_min` / :func:`attach_group_minmax` — per-row group
+  min (and max) columns via forward/reverse boundary-chain repair.
+* :func:`group_first_row` — one winning row per group (grouped argmin).
+* :func:`sorted_group_apply` — the general grouped APPLY: a block
+  function receives every COMPLETE group in a sorted block at once (with
+  the group-start offsets) so it can process all of them with vectorized
+  kernels; each block's two edge segments go to a tiny repair pass.
+  Callers: line-level dedup rebuild, conversation export, the keyed
+  window operators, as-of/range joins, grouped top-k/quantiles/HLL,
+  embedding-LSH verification, blocked fuzzy matching.
+* :func:`sorted_group_sum` — drop-in for ``groupby(keys).sum(col)`` over
+  pre-combined partials (token/gram counts).
 
 Requirements (asserted in the docstrings, not at runtime):
 
-* ``key_cols + order_cols`` must be a UNIQUE total order over rows —
-  block identity for the boundary repair is the first row's values, so
-  duplicate full rows that straddle a block boundary would alias two
-  blocks.  Add a tiebreak column if rows can repeat.
+* for the min/first helpers, ``key_cols + order_cols`` must be a UNIQUE
+  total order over rows — block identity for the boundary repair is the
+  first row's values, so duplicate full rows that straddle a block
+  boundary would alias two blocks.  Add a tiebreak column if rows can
+  repeat.  ``sorted_group_apply`` / ``sorted_group_sum`` have NO
+  uniqueness requirement (their repair is positional, not keyed).
 * key/order columns must be non-null.
 
-Scale shape: one range-shuffle sort (Ray's best exchange), two streaming
-map passes over the MATERIALIZED sorted blocks (pass 1 emits ~4 tiny
-metadata rows per block; pass 2 does the real work with the broadcast
-correction map), driver state O(n_blocks).
+Scale shape: one range-shuffle sort (Ray's best exchange), then one or
+two streaming map passes over the MATERIALIZED sorted blocks; driver
+state O(n_blocks) metadata rows (min/first helpers) or O(2 × n_blocks)
+edge segments (apply/sum repair, with a distributed fallback above
+``driver_repair_rows``).
 """
 
 from __future__ import annotations
