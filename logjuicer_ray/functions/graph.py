@@ -138,13 +138,108 @@ def triangle_counts(edges, *, num_partitions: int | None = None):
     )
 
 
-def pagerank(edges, *, iterations: int = 3, num_partitions: int | None = None):
+def _pagerank_broadcast(sym, *, iterations: int, driver_rank_rows: int,
+                        strict: bool):
+    """Broadcast-vector PageRank over a pinned symmetrized edge Dataset.
+    Returns the (node, rank_e6) Dataset, or ``None`` when the node count
+    exceeds ``driver_rank_rows`` and ``strict`` is False (auto-fallback
+    to the join path).  Arithmetic is bit-identical to the join path:
+    per edge ``floor(0.85 · float64(r[src]) / float64(deg[src]))``
+    summed as int64 per destination."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    # per-block partial degrees (unique nodes per block only ride back)
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["src"]).group_by(["src"]).aggregate([([], "count_all")])
+        return g.rename_columns(["src", "cnt"])
+
+    node_parts, cnt_parts, seen = [], [], 0
+    for b in sym.map_batches(_deg_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        node_parts.append(b.column("src").to_numpy(zero_copy_only=False))
+        cnt_parts.append(b.column("cnt").to_numpy(zero_copy_only=False))
+        seen += b.num_rows
+        if seen > 4 * driver_rank_rows and not strict:
+            return None  # partial volume already past any plausible bound
+    if not node_parts:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "rank_e6": pa.array([], pa.int64()),
+        }))
+    all_nodes = np.concatenate(node_parts)
+    all_cnts = np.concatenate(cnt_parts).astype(np.int64)
+    nodes, inv = np.unique(all_nodes, return_inverse=True)
+    if nodes.size > driver_rank_rows:
+        if strict:
+            raise ValueError(
+                f"{nodes.size} nodes exceed driver_rank_rows="
+                f"{driver_rank_rows}; use mode='join'"
+            )
+        return None
+    deg = np.zeros(nodes.size, np.int64)
+    np.add.at(deg, inv, all_cnts)
+    r = np.full(nodes.size, 1_000_000, np.int64)
+    nodes_ref = ray.put(nodes)
+
+    for _ in range(iterations):
+        state_ref = ray.put((r, deg))
+
+        def _contrib_partial(batch: pa.Table) -> pa.Table:
+            nds = ray.get(nodes_ref)
+            rv, dv = ray.get(state_ref)
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(nds, src)
+            c = np.floor(
+                0.85 * rv[idx].astype(np.float64) / dv[idx].astype(np.float64)
+            ).astype(np.int64)
+            ud, dinv = np.unique(dst, return_inverse=True)
+            acc = np.zeros(ud.size, np.int64)
+            np.add.at(acc, dinv, c)
+            return pa.table({"dst": pa.array(ud, pa.int64()),
+                             "c": pa.array(acc, pa.int64())})
+
+        acc = np.zeros(nodes.size, np.int64)
+        for b in sym.map_batches(
+            _contrib_partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            d = b.column("dst").to_numpy(zero_copy_only=False)
+            c = b.column("c").to_numpy(zero_copy_only=False)
+            np.add.at(acc, np.searchsorted(nodes, d), c)
+        r = acc + 150_000
+
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "rank_e6": pa.array(r, pa.int64()),
+    }))
+
+
+def pagerank(edges, *, iterations: int = 3, num_partitions: int | None = None,
+             mode: str = "auto", driver_rank_rows: int = 5_000_000):
     """Integer micro-unit PageRank over an oriented (u < v) undirected
     edge Dataset (symmetrized internally).  Returns (node, rank_e6) after
     ``iterations`` steps of
     ``r'(v) = 150000 + Σ floor(0.85 · r(u) / deg(u))`` from
     ``r0 = 10^6``.  Exact integer output — reproducible under any
-    partitioning and SQL-recomputable."""
+    partitioning and SQL-recomputable.
+
+    Two execution modes with IDENTICAL arithmetic (same float64
+    ``floor(0.85·r/deg)`` per edge, same int64 sums):
+
+    - ``broadcast`` (k-means-style, chosen by ``auto`` when the node
+      count is ≤ ``driver_rank_rows``): the rank/degree vectors live in
+      one object-store copy (~16 B/node — 5M nodes ≈ 80 MB) and each
+      iteration is ONE ``map_batches`` over the pinned symmetrized edge
+      Dataset producing per-block (dst, Σc) partials that the driver
+      folds in O(nodes).  Zero shuffle per iteration; the edge set — the
+      100-TB side — streams and never moves.
+    - ``join`` (the scale path for node sets beyond the broadcast
+      bound): one native join (ranks ⋈ edges on source) + one
+      groupby-sum on destination per iteration; driver state is zero.
+    """
     import numpy as np
 
     num_partitions = _auto_partitions(num_partitions)
@@ -158,6 +253,16 @@ def pagerank(edges, *, iterations: int = 3, num_partitions: int | None = None):
         })
 
     sym = edges.map_batches(_symmetrize, batch_format="pyarrow").materialize()
+
+    if mode not in ("auto", "broadcast", "join"):
+        raise ValueError(f"unknown pagerank mode {mode!r}")
+    if mode != "join":
+        out = _pagerank_broadcast(sym, iterations=iterations,
+                                  driver_rank_rows=driver_rank_rows,
+                                  strict=(mode == "broadcast"))
+        if out is not None:
+            return out
+        # auto: node count exceeded the broadcast bound — fall through
     # repartition the key-bounded aggregate so no schema-less empty block
     # reaches the join shuffle (same guard as the outer-join queries)
     deg = sym.groupby("src").count().map_batches(

@@ -151,3 +151,49 @@ def test_nb_save_load_roundtrip(tmp_path, ray_session):
     paths = save_nb_model(model, str(tmp_path))
     w2 = pq.read_table(f"{paths['weights']}/part-00000.parquet")
     assert w2.equals(model["weights"])
+
+
+def _pr_edges(pairs):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "u": pa.array([p[0] for p in pairs], pa.int64()),
+        "v": pa.array([p[1] for p in pairs], pa.int64()),
+    }))
+
+
+def test_pagerank_broadcast_equals_join_mode(ray_session):
+    """The broadcast-vector PageRank path is bit-identical to the
+    join+groupby path (same float64 floor per edge, int64 sums) on a
+    random graph under multiple partitionings."""
+    from logjuicer_ray.functions.graph import pagerank
+
+    rng = np.random.default_rng(11)
+    pairs = sorted({(int(a), int(b)) for a, b in
+                    rng.integers(0, 40, (150, 2)) if a < b})
+    want = (
+        pagerank(_pr_edges(pairs), mode="join")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    for parts in (1, 4):
+        got = (
+            pagerank(_pr_edges(pairs).repartition(parts), mode="broadcast")
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        assert got.equals(want), parts
+
+
+def test_pagerank_broadcast_bound_strict_and_auto(ray_session):
+    """Above driver_rank_rows: strict broadcast raises, auto falls back
+    to the join path and still produces the same ranks."""
+    from logjuicer_ray.functions.graph import pagerank
+
+    pairs = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    with pytest.raises(ValueError, match="driver_rank_rows"):
+        pagerank(_pr_edges(pairs), mode="broadcast", driver_rank_rows=2)
+    want = pagerank(_pr_edges(pairs), mode="join").to_pandas()
+    got = pagerank(_pr_edges(pairs), mode="auto", driver_rank_rows=2).to_pandas()
+    assert (
+        got.sort_values("node").reset_index(drop=True)
+        .equals(want.sort_values("node").reset_index(drop=True))
+    )
