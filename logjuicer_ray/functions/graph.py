@@ -61,43 +61,89 @@ def _dedup_pairs_batch(batch: pa.Table, cols) -> pa.Table:
 def cooccurrence_edges(ds, *, group_col: str, item_col: str,
                        num_partitions: int | None = None):
     """Undirected co-occurrence edges (u < v, deduped) from an incidence
-    table: distinct (group, item) → per-group self-join → distinct (u, v).
-    In-batch pre-dedup before each wide shuffle keeps the exchanges at
-    unique-pair volume."""
-    num_partitions = _auto_partitions(num_partitions)
-    inc = (
-        ds.map_batches(
-            lambda b: _dedup_pairs_batch(b, [group_col, item_col]),
-            batch_format="pyarrow",
-        )
-        .groupby([group_col, item_col]).count()
-        .select_columns([group_col, item_col])
-    )
-    right = inc.map_batches(
-        lambda b: b.rename_columns([group_col, "v"]), batch_format="pyarrow"
-    )
-    left = inc.map_batches(
-        lambda b: b.rename_columns([group_col, "u"]), batch_format="pyarrow"
-    )
-    pairs = left.join(right, join_type="inner", on=(group_col,),
-                      num_partitions=num_partitions)
+    table, on the sorted exchange: one range sort of the per-batch-deduped
+    (group, item) incidence replaces the old distinct-groupby + per-group
+    self-join (two hash exchanges + a join).  Each sorted block generates
+    its complete groups' oriented pairs with a fully vectorized
+    repeat/arange kernel — duplicate (group, item) rows are dropped by an
+    adjacent-equality mask first, and items arrive sorted within each
+    group so ``u < v`` falls out of index order.  The pair explosion
+    (bounded by max items per group — TPC-H lineitem: ≤ 7 parts per order
+    → ≤ 21 pairs) happens AFTER the exchange, inside the block kernel;
+    only the incidence rides the sort.  A final ``group_first_row`` on
+    (u, v) — the same sorted exchange — dedups pairs across groups.
 
-    def _orient(batch: pa.Table) -> pa.Table:
-        keep = batch.filter(pc.less(batch.column("u"), batch.column("v")))
-        return _dedup_pairs_batch(keep, ["u", "v"])
+    ``num_partitions`` is accepted for API compatibility (the join path
+    this replaced sized its shuffle with it) and unused."""
+    import numpy as np
 
-    # materialize: every downstream graph op consumes the edge list more
-    # than once (triangle_counts reads it three times, pagerank twice);
-    # without pinning, Ray re-derives the incidence self-join per consumer
-    # and the combined many-join plan over-reserves join aggregators.
-    # The edge list is the REDUCED artifact (unique pairs), far smaller
-    # than the incidence input — the cheap side to pin.
-    return (
-        pairs.map_batches(_orient, batch_format="pyarrow")
-        .groupby(["u", "v"]).count()
-        .select_columns(["u", "v"])
-        .materialize()
+    from .segments import sorted_group_apply
+
+    del num_partitions  # sorted exchange sizes itself
+
+    inc = ds.map_batches(
+        lambda b: _dedup_pairs_batch(b, [group_col, item_col]),
+        batch_format="pyarrow",
     )
+    def _pairs_block(sub: pa.Table, offsets) -> pa.Table:
+        item_type = sub.schema.field(item_col).type
+        empty = pa.table({"u": pa.array([], item_type),
+                          "v": pa.array([], item_type)})
+        n = sub.num_rows
+        if n == 0:
+            return empty
+        offsets = np.asarray(offsets, dtype=np.int64)
+        x = sub.column(item_col).combine_chunks()
+        # drop duplicate (group, item) rows: equal-adjacent items within a
+        # segment (sorted ⇒ duplicates are adjacent; segment starts reset)
+        keep = np.ones(n, bool)
+        if n > 1:
+            eq = pc.fill_null(pc.equal(x.slice(1), x.slice(0, n - 1)), False)
+            keep[1:] = ~eq.to_numpy(zero_copy_only=False)
+        keep[offsets] = True
+        starts = np.zeros(n, bool)
+        starts[offsets] = True
+        seg = np.cumsum(starts) - 1
+        kidx = np.flatnonzero(keep)
+        kseg = seg[kidx]
+        m = kidx.size
+        seg_len = np.bincount(kseg, minlength=len(offsets))
+        new_off = np.concatenate(([0], np.cumsum(seg_len)[:-1]))
+        p = np.arange(m) - new_off[kseg]
+        cnt = seg_len[kseg] - p - 1  # pairs led by each kept row
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        left = np.repeat(np.arange(m), cnt)
+        lead = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        right = left + (np.arange(total) - np.repeat(lead, cnt)) + 1
+        li = pa.array(kidx[left], pa.int64())
+        ri = pa.array(kidx[right], pa.int64())
+        return pa.table({"u": x.take(li), "v": x.take(ri)})
+
+    pairs = sorted_group_apply(
+        inc, key_cols=[group_col], order_cols=[item_col],
+        apply_block=_pairs_block,
+    ).map_batches(lambda b: _dedup_pairs_batch(b, ["u", "v"]),
+                  batch_format="pyarrow")
+
+    def _first_of_group(sub: pa.Table, offsets) -> pa.Table:
+        if sub.num_rows == 0:
+            return sub
+        return sub.take(pa.array(np.asarray(offsets, np.int64), pa.int64()))
+
+    # cross-group pair dedup via sorted_group_apply, NOT group_first_row:
+    # identical (u, v) rows from different groups violate the first-row
+    # helper's unique-row-identity requirement (a duplicate key starting
+    # exactly at a block boundary could be dropped); the apply exchange
+    # has no such requirement.  materialize: every downstream graph op
+    # consumes the edge list more than once (triangle_counts reads it
+    # three times, pagerank twice) — the REDUCED unique-pair artifact is
+    # the cheap side to pin.
+    return sorted_group_apply(
+        pairs, key_cols=["u", "v"], order_cols=[],
+        apply_block=_first_of_group,
+    ).materialize()
 
 
 def triangle_counts(edges, *, num_partitions: int | None = None):

@@ -197,3 +197,50 @@ def test_pagerank_broadcast_bound_strict_and_auto(ray_session):
         got.sort_values("node").reset_index(drop=True)
         .equals(want.sort_values("node").reset_index(drop=True))
     )
+
+
+def test_cooccurrence_edges_sorted_exchange_vs_bruteforce(ray_session):
+    """The sorted-exchange pair generator (vectorized repeat/arange block
+    kernel + cross-group dedup on the apply exchange) matches a driver
+    brute force on a random incidence table, under several partitionings,
+    including duplicate (group, item) rows."""
+    import collections
+
+    import ray.data as rd
+
+    from logjuicer_ray.functions.graph import cooccurrence_edges
+
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 120, 1500)
+    i = rng.integers(0, 40, 1500)
+    t = pa.table({"g": pa.array(g, pa.int64()), "i": pa.array(i, pa.int64())})
+    groups = collections.defaultdict(set)
+    for a, b in zip(g, i):
+        groups[a].add(b)
+    want = set()
+    for items in groups.values():
+        s = sorted(items)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                want.add((s[x], s[y]))
+    for parts in (1, 4):
+        out = cooccurrence_edges(
+            rd.from_arrow(t).repartition(parts), group_col="g", item_col="i"
+        ).to_pandas()
+        got = set(zip(out["u"], out["v"]))
+        assert got == want and len(out) == len(want), parts
+
+
+def test_cooccurrence_edges_string_items(ray_session):
+    import ray.data as rd
+
+    from logjuicer_ray.functions.graph import cooccurrence_edges
+
+    ts = pa.table({
+        "g": pa.array([1, 1, 2, 2, 2], pa.int64()),
+        "i": pa.array(["b", "a", "c", "a", "c"]),
+    })
+    out = cooccurrence_edges(
+        rd.from_arrow(ts), group_col="g", item_col="i"
+    ).to_pandas()
+    assert set(zip(out["u"], out["v"])) == {("a", "b"), ("a", "c")}
