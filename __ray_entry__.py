@@ -57,19 +57,38 @@ def _session_stamp() -> str:
     return ray.get_runtime_context().get_job_id() if ray.is_initialized() else ""
 
 
+def _standard_model(sf_dir: str):
+    """Memoized standard-config model (full baseline, sorted_input) —
+    shared by every query that trains exactly this model (the flagship
+    report family and the similarity report).  Keyed by the Ray session
+    stamp like the report cache; a cache miss recomputes from scratch, so
+    each query stays self-contained."""
+    key = ("model", sf_dir)
+    cached = _REPORT_CACHE.get(key)
+    if cached is not None and cached[0] == _session_stamp():
+        return cached[1]
+    from logjuicer_ray.config import PipelineConfig
+    from logjuicer_ray.pipelines.train import train
+    from logjuicer_ray.sources.transcripts import read_turns
+
+    base = read_turns(_turns_path(sf_dir), split="baseline")
+    model = train(base, PipelineConfig(sorted_input=True))
+    _REPORT_CACHE[key] = (_session_stamp(), model)
+    return model
+
+
 def _report_outputs(sf_dir: str):
     cached = _REPORT_CACHE.get(sf_dir)
     if cached is not None and cached[0] == _session_stamp():
         return cached[1]
     from logjuicer_ray.config import PipelineConfig
     from logjuicer_ray.pipelines.report import run_report
-    from logjuicer_ray.pipelines.train import train
-    from logjuicer_ray.sources.transcripts import baseline_and_target
+    from logjuicer_ray.sources.transcripts import read_turns
 
     path = _turns_path(sf_dir)
-    base, target = baseline_and_target(path)
+    target = read_turns(path, split="target")
     cfg = PipelineConfig(sorted_input=True)
-    model = train(base, cfg)
+    model = _standard_model(sf_dir)
     out = run_report(target, model, cfg)
     _REPORT_CACHE[sf_dir] = (_session_stamp(), out)
     return out
@@ -1935,14 +1954,12 @@ def _q_similarity(sf_dir: str):
         similarity_from_tokenized,
         tag_anomalies,
     )
-    from logjuicer_ray.pipelines.train import train
     from logjuicer_ray.sources.transcripts import read_turns
 
     path = _turns_path(sf_dir)
     cfg = PipelineConfig(sorted_input=True)
-    base = read_turns(path, split="baseline")
     target = read_turns(path, split="target")
-    model = train(base, cfg)
+    model = _standard_model(sf_dir)
 
     def _half(ds, parity):
         def f(batch):
