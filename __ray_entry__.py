@@ -1423,6 +1423,44 @@ def _q_tpch_q3(sf_dir: str):
     return top.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_phash_dedup_media(sf_dir: str):
+    """Image near-dup detection with REAL decode (no SQL oracle — binary
+    payloads): deterministic valid 24-bit BMPs (plus planted exact and
+    ±4-noise near-duplicates of image 0), pure-numpy decode → 8×8-DCT
+    pHash → banded-Hamming LSH on the shared sorted exchange
+    (functions/multimodal.py phash_dedup).  Output is the (media_id,
+    dup_of) non-root members sorted by media_id — deterministic, and the
+    planted pair is asserted in tests/test_multimodal_real.py."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logjuicer_ray.functions.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        phash_dedup,
+        synth_real_media_batch,
+    )
+
+    t = synth_real_media_batch(list(range(0, 256, 2)))  # 128 bmp images
+    img0 = decode_bmp(t.column("payload")[0].as_py())
+    rng = np.random.default_rng(5)
+    noisy = np.clip(
+        img0.astype(int) + rng.integers(-4, 5, img0.shape), 0, 255
+    ).astype(np.uint8)
+    extra = pa.table({
+        "media_id": pa.array([100000, 100001], pa.int64()),
+        "kind": pa.array(["image", "image"]),
+        "payload": pa.array([encode_bmp(noisy), encode_bmp(img0)], pa.binary()),
+        "format": pa.array(["bmp", "bmp"]),
+        "width": pa.array([img0.shape[1]] * 2, pa.int32()),
+        "height": pa.array([img0.shape[0]] * 2, pa.int32()),
+        "sample_rate": pa.array([0, 0], pa.int32()),
+    })
+    media = rd.from_arrow(pa.concat_tables([t, extra]))
+    return phash_dedup(media).sort("media_id")
+
+
 def _q_multimodal_features(sf_dir: str):
     """Multimodal plumbing end-to-end (no SQL oracle — binary payloads):
     synthetic media rows (opaque binary + typed metadata), actor-pool
@@ -3466,6 +3504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": _q_distinct_users_hll,
         "semdedup_embeddings": _q_semdedup,
         "bpe_merges_docs": _q_bpe_merges,
+        "phash_dedup_media": _q_phash_dedup_media,
     }
 
 

@@ -27,6 +27,8 @@ __all__ = [
     "simhash_signatures",
     "simhash_candidate_pairs",
     "simhash_dedup",
+    "hash64_bands",
+    "hash64_banded_dedup",
     "ngram_jaccard_pairs",
     "embedding_cosine_dedup",
     "connected_components",
@@ -459,28 +461,60 @@ def simhash_candidate_pairs(ds, *, id_col: str = "doc_id", band_bits: int = 16):
     )
 
 
-def _simhash_bands(ds, *, id_col: str, band_bits: int):
-    sigs = simhash_signatures(ds).select_columns([id_col, "simhash"])
+def hash64_bands(ds, *, id_col: str, hash_col: str, band_bits: int = 16):
+    """Band-explode ANY int64 64-bit signature column — simhash, image
+    pHash (functions/multimodal.py), audio fingerprints — into
+    (id, band, band_hash) rows for banded-Hamming LSH: two signatures
+    within Hamming distance < 64/band_bits are GUARANTEED to share at
+    least one unchanged band (pigeonhole)."""
+    n_bands = 64 // band_bits
+    mask = np.uint64((1 << band_bits) - 1)
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        h = np.asarray(batch.column("simhash").to_pylist(), dtype=np.int64).view(np.uint64)
-        n_bands = 64 // band_bits
-        out_i, out_b, out_h = [], [], []
-        for b in range(n_bands):
-            part = (h >> np.uint64(b * band_bits)) & np.uint64((1 << band_bits) - 1)
-            out_i.extend(ids)
-            out_b.extend([b] * len(ids))
-            out_h.extend(part.astype(np.int64).tolist())
+        ids = batch.column(id_col).combine_chunks()
+        h = batch.column(hash_col).combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64).view(np.uint64)
+        n = len(h)
+        parts = [
+            ((h >> np.uint64(b * band_bits)) & mask).astype(np.int64)
+            for b in range(n_bands)
+        ]
         return pa.table(
             {
-                id_col: pa.array(out_i, batch.column(id_col).type),
-                "band": pa.array(out_b, pa.int32()),
-                "band_hash": pa.array(out_h, pa.int64()),
+                id_col: pa.concat_arrays([ids] * n_bands),
+                "band": pa.array(
+                    np.concatenate([np.full(n, b, np.int32)
+                                    for b in range(n_bands)]),
+                    pa.int32(),
+                ),
+                "band_hash": pa.array(np.concatenate(parts), pa.int64()),
             }
         )
 
-    return sigs.map_batches(explode, batch_format="pyarrow")
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def hash64_banded_dedup(ds, *, id_col: str, hash_col: str,
+                        band_bits: int = 16):
+    """Banded-Hamming near-dup over any 64-bit signature column: rows
+    sharing any ``band_bits`` band bucket together, min id per bucket is
+    the root, one (id, dup_of) row per id (same sorted-exchange shape as
+    :func:`simhash_dedup`)."""
+    from .segments import group_first_row
+
+    bands_ds = hash64_bands(ds, id_col=id_col, hash_col=hash_col,
+                            band_bits=band_bits)
+    pairs = _banded_root_pairs(bands_ds, id_col=id_col)
+    return group_first_row(
+        pairs, key_cols=[id_col], order_cols=["dup_of", "band"]
+    ).select_columns([id_col, "dup_of"])
+
+
+def _simhash_bands(ds, *, id_col: str, band_bits: int):
+    sigs = simhash_signatures(ds).select_columns([id_col, "simhash"])
+    return hash64_bands(sigs, id_col=id_col, hash_col="simhash",
+                        band_bits=band_bits)
 
 
 def _banded_root_pairs(bands_ds, *, id_col: str):

@@ -1,12 +1,22 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
 Image/audio/video payloads are carried as Arrow ``binary`` columns with
-sidecar metadata (format, width/height or sample rate).  The decode /
-feature-extract kernels are STUBS — the container has no image/audio
-libraries — but the Ray-side plumbing is real and tested: actor-pool
-``map_batches`` stages with small batch sizes (large rows), stable output
-schemas, and a deterministic fake "decode" so pipelines are runnable
-end-to-end.
+sidecar metadata (format, width/height or sample rate).  Two tiers of
+decode:
+
+- **Real codecs, pure numpy/stdlib** for the uncompressed formats:
+  24-bit BI_RGB BMP and binary P6 PPM images, PCM-16 mono WAV audio —
+  encode + decode round-trip exact, no external libraries.  On top of
+  them, real perceptual features: an 8×8-DCT perceptual hash
+  (:func:`phash64`, the classic image near-dup fingerprint) and an
+  FFT-band-delta audio fingerprint (:func:`audio_fp64`).
+- **Stubs for the compressed formats** (JPEG/PNG/MP3 …): the container
+  has no image/audio libraries, so those formats keep the deterministic
+  fake "decode" (``strict=True`` raises the honest NotImplementedError).
+
+The Ray-side plumbing is identical for both tiers: actor-pool
+``map_batches`` stages with small batch sizes (large rows) and stable
+output schemas regardless of the format mix in a batch.
 
 At real scale: ``batch_size`` must be small (payload × batch × concurrency
 bounded by worker heap) and blocks should stay Arrow (``binary`` columns do
@@ -23,6 +33,16 @@ import pyarrow as pa
 
 __all__ = [
     "synth_media_batch",
+    "synth_real_media_batch",
+    "encode_bmp",
+    "decode_bmp",
+    "encode_ppm",
+    "decode_ppm",
+    "encode_wav",
+    "decode_wav",
+    "phash64",
+    "audio_fp64",
+    "phash_dedup",
     "ImageDecodeStage",
     "AudioFeatureStage",
     "decode_images",
@@ -59,6 +79,260 @@ def synth_media_batch(ids: list[int], *, seed: int = 42) -> pa.Table:
     return pa.table({n: pa.array(rows[n], MEDIA_SCHEMA.field(n).type) for n in MEDIA_SCHEMA.names})
 
 
+# ---------------------------------------------------------------------------
+# real codecs (pure numpy / struct): BMP, PPM, WAV
+# ---------------------------------------------------------------------------
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a 24-bit uncompressed
+    (BI_RGB) bottom-up BMP."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_bmp expects (H, W, 3) uint8 RGB")
+    h, w, _ = arr.shape
+    row_size = (w * 3 + 3) // 4 * 4
+    data_size = row_size * h
+    px = arr[::-1, :, ::-1]  # bottom-up rows, RGB -> BGR
+    rows = np.zeros((h, row_size), np.uint8)
+    rows[:, : w * 3] = px.reshape(h, w * 3)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size,
+                       2835, 2835, 0, 0)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """Decode a 24-bit BI_RGB BMP to an (H, W, 3) uint8 RGB array.
+    Supports bottom-up (positive height) and top-down (negative)."""
+    if len(buf) < 54 or buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", buf, 14)
+    planes, bpp = struct.unpack_from("<HH", buf, 26)
+    comp = struct.unpack_from("<I", buf, 30)[0]
+    if hdr_size < 40 or planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    top_down = h < 0
+    h = abs(h)
+    row_size = (w * 3 + 3) // 4 * 4
+    need = off + row_size * h
+    if len(buf) < need:
+        raise ValueError("truncated BMP payload")
+    rows = np.frombuffer(buf, np.uint8, count=row_size * h, offset=off)
+    rows = rows.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as binary P6 PPM."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_ppm expects (H, W, 3) uint8 RGB")
+    h, w, _ = arr.shape
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """Decode a binary P6 PPM (maxval 255) to (H, W, 3) uint8 RGB."""
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError("only maxval 255 PPM supported")
+    need = w * h * 3
+    if len(buf) - pos < need:
+        raise ValueError("truncated PPM payload")
+    return np.frombuffer(buf, np.uint8, count=need, offset=pos).reshape(h, w, 3).copy()
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode a 1-D int16 array as PCM-16 mono WAV."""
+    if samples.ndim != 1 or samples.dtype != np.int16:
+        raise ValueError("encode_wav expects 1-D int16 samples")
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate,
+                      sample_rate * 2, 2, 16)
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM-16 mono WAV; returns (int16 samples, sample_rate).
+    Walks RIFF chunks, so extra chunks (LIST, fact …) are tolerated."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid, size = struct.unpack_from("<4sI", buf, pos)
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (fmt={audio_fmt}, ch={channels}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return np.frombuffer(data, "<i2").copy(), rate
+
+
+# ---------------------------------------------------------------------------
+# real perceptual features
+# ---------------------------------------------------------------------------
+
+def _dct_mat(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None].astype(np.float64)
+    i = np.arange(n)[None, :].astype(np.float64)
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT32 = _dct_mat(32)
+
+
+def _grayscale(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    return 0.299 * r + 0.587 * g + 0.114 * b
+
+
+def _nn_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return img[yi[:, None], xi[None, :]]
+
+
+def phash64(rgb: np.ndarray) -> int:
+    """64-bit DCT perceptual hash (pHash): grayscale → 32×32
+    nearest-neighbor thumbnail → 2-D DCT-II → top-left 8×8 low-frequency
+    block → bit i = coefficient > median of the block (DC excluded from
+    the median).  Returns a signed int64 (two's-complement view) so the
+    hash stores in an Arrow int64 column."""
+    g = _grayscale(_nn_resize(rgb, 32, 32).astype(np.float64))
+    coef = (_DCT32 @ g @ _DCT32.T)[:8, :8].ravel()
+    med = np.median(coef[1:])
+    bits = coef > med
+    val = np.uint64(0)
+    for b in bits:
+        val = np.uint64(val << np.uint64(1)) | np.uint64(bool(b))
+    return int(val.astype(np.int64))
+
+
+def audio_fp64(samples: np.ndarray, *, frame: int = 256, hop: int = 128,
+               bands: int = 8) -> int:
+    """64-bit audio fingerprint: per frame, FFT magnitude energy in
+    ``bands`` log-spaced bands; bit = band energy rose vs the previous
+    frame (Shazam-style delta signs), first 64 bits packed big-endian.
+    Deterministic, pure numpy; returns signed int64 (0 for audio shorter
+    than two frames)."""
+    x = samples.astype(np.float64) / 32768.0
+    n_frames = 1 + max(0, (len(x) - frame)) // hop
+    if n_frames < 2:
+        return 0
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    mags = np.abs(np.fft.rfft(x[idx], axis=1))
+    edges = np.unique(np.geomspace(1, mags.shape[1] - 1, bands + 1).astype(int))
+    band_e = np.stack([
+        mags[:, lo:hi].sum(axis=1) for lo, hi in zip(edges[:-1], edges[1:])
+    ], axis=1)
+    deltas = (band_e[1:] > band_e[:-1]).ravel()[:64]
+    val = np.uint64(0)
+    for b in deltas:
+        val = np.uint64(val << np.uint64(1)) | np.uint64(bool(b))
+    # left-align when fewer than 64 delta bits exist
+    val = np.uint64(val << np.uint64(64 - len(deltas)))
+    return int(val.astype(np.int64))
+
+
+def _image_embedding_real(rgb: np.ndarray, out_dim: int) -> np.ndarray:
+    """Deterministic real embedding: 8×8 grayscale thumbnail / 255,
+    tiled/truncated to ``out_dim``."""
+    thumb = (_grayscale(_nn_resize(rgb, 8, 8).astype(np.float64)) / 255.0).ravel()
+    reps = int(np.ceil(out_dim / thumb.size))
+    return np.tile(thumb, reps)[:out_dim].astype(np.float32)
+
+
+def _audio_features_real(samples: np.ndarray, rate: int,
+                         out_dim: int) -> np.ndarray:
+    """Deterministic real feature vector: [duration_s, rms, zero-crossing
+    rate, spectral centroid (Hz)] followed by the first FFT magnitude
+    bins, truncated/padded to ``out_dim``."""
+    x = samples.astype(np.float64) / 32768.0
+    dur = len(x) / rate if rate else 0.0
+    rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+    mag = np.abs(np.fft.rfft(x)) if len(x) else np.zeros(1)
+    freqs = np.fft.rfftfreq(max(len(x), 1), d=1.0 / rate if rate else 1.0)
+    centroid = float((freqs * mag).sum() / mag.sum()) if mag.sum() > 0 else 0.0
+    head = np.array([dur, rms, zcr, centroid], np.float64)
+    tail = mag[: max(0, out_dim - 4)]
+    out = np.zeros(out_dim, np.float64)
+    out[:4] = head[:out_dim]
+    out[4 : 4 + len(tail)] = tail
+    return out.astype(np.float32)
+
+
+def synth_real_media_batch(ids: list[int], *, seed: int = 42) -> pa.Table:
+    """Deterministic REAL media rows: even ids carry a valid 24-bit BMP
+    (gradient + seeded noise), odd ids a valid PCM-16 WAV (two seeded
+    sine tones + noise).  Same schema as :func:`synth_media_batch`."""
+    rows = {n: [] for n in MEDIA_SCHEMA.names}
+    for i in ids:
+        rng = np.random.default_rng((seed, i))
+        if i % 2 == 0:
+            w = int(rng.integers(16, 64))
+            h = int(rng.integers(16, 64))
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = (yy * 255 // max(h - 1, 1))[..., None] * np.array([1, 0, 0])
+            base = base + (xx * 255 // max(w - 1, 1))[..., None] * np.array([0, 1, 0])
+            noise = rng.integers(0, 64, (h, w, 3))
+            img = np.clip(base + noise, 0, 255).astype(np.uint8)
+            rows["media_id"].append(i)
+            rows["kind"].append("image")
+            rows["payload"].append(encode_bmp(img))
+            rows["format"].append("bmp")
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["sample_rate"].append(0)
+        else:
+            rate = 8000
+            n = int(rng.integers(1024, 4096))
+            t = np.arange(n) / rate
+            f1, f2 = rng.uniform(100, 1000, 2)
+            sig = (0.4 * np.sin(2 * np.pi * f1 * t)
+                   + 0.3 * np.sin(2 * np.pi * f2 * t)
+                   + 0.05 * rng.standard_normal(n))
+            pcm = np.clip(sig * 32767, -32768, 32767).astype(np.int16)
+            rows["media_id"].append(i)
+            rows["kind"].append("audio")
+            rows["payload"].append(encode_wav(pcm, rate))
+            rows["format"].append("wav")
+            rows["width"].append(0)
+            rows["height"].append(0)
+            rows["sample_rate"].append(rate)
+    return pa.table({n: pa.array(rows[n], MEDIA_SCHEMA.field(n).type)
+                     for n in MEDIA_SCHEMA.names})
+
+
 def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
     """Deterministic stand-in for a real decoder: SHA-256-seeded feature
     vector.  Replace with PIL/libsndfile decode when available."""
@@ -68,13 +342,19 @@ def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
     return rng.standard_normal(out_dim).astype(np.float32)
 
 
-class ImageDecodeStage:
-    """Actor-pool stage: decode + resize + embed images.
+_REAL_IMAGE_FORMATS = {"bmp": decode_bmp, "ppm": decode_ppm}
 
-    Real decode is stubbed (no image libs in this container): set
-    ``strict=True`` to get the honest NotImplementedError; the default
-    produces the deterministic fake embedding so downstream plumbing
-    (schema, batch sizing, sinks) is exercised for real.
+
+class ImageDecodeStage:
+    """Actor-pool stage: decode + resize + embed + perceptually hash
+    images.
+
+    ``bmp`` / ``ppm`` payloads get the REAL pure-numpy decode, the real
+    8×8-thumbnail embedding and the real :func:`phash64`.  Compressed
+    formats are stubbed (no image libs in this container): ``strict=True``
+    raises the honest NotImplementedError for them, the default produces
+    the deterministic fake embedding with a null ``phash`` so the output
+    schema is stable across any format mix.
     """
 
     def __init__(self, out_dim: int = 64, strict: bool = False):
@@ -82,41 +362,89 @@ class ImageDecodeStage:
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                "image decode requires an image library not present in this "
-                "container; run with strict=False for the deterministic stub"
-            )
-        feats = [
-            _fake_decode(p.as_py(), self.out_dim) for p in batch.column("payload")
-        ]
+        feats, hashes = [], []
+        fmts = batch.column("format").to_pylist()
+        for p, fmt in zip(batch.column("payload"), fmts):
+            decode = _REAL_IMAGE_FORMATS.get(fmt)
+            if decode is not None:
+                rgb = decode(p.as_py())
+                feats.append(_image_embedding_real(rgb, self.out_dim))
+                hashes.append(phash64(rgb))
+            elif self.strict:
+                raise NotImplementedError(
+                    f"image format {fmt!r} requires an image library not "
+                    "present in this container (real decode covers bmp/ppm); "
+                    "run with strict=False for the deterministic stub"
+                )
+            else:
+                feats.append(_fake_decode(p.as_py(), self.out_dim))
+                hashes.append(None)
         return batch.drop_columns(["payload"]).append_column(
             "image_embedding",
             pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
-        )
+        ).append_column("phash", pa.array(hashes, pa.int64()))
 
 
 class AudioFeatureStage:
-    """Actor-pool stage: frame-sample + feature-extract audio (stubbed the
-    same way)."""
+    """Actor-pool stage: frame-sample + feature-extract audio.  ``wav``
+    (PCM-16 mono) payloads get the REAL stdlib/numpy decode, real
+    duration/RMS/ZCR/centroid features and the FFT-band-delta
+    :func:`audio_fp64`; other formats are stubbed the same way as
+    images (null ``audio_fp`` keeps the schema stable)."""
 
     def __init__(self, out_dim: int = 32, strict: bool = False):
         self.out_dim = out_dim
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                "audio decode requires an audio library not present in this container"
-            )
-        feats = [
-            _fake_decode(p.as_py() + b"#audio", self.out_dim)
-            for p in batch.column("payload")
-        ]
+        feats, fps = [], []
+        fmts = batch.column("format").to_pylist()
+        for p, fmt in zip(batch.column("payload"), fmts):
+            if fmt == "wav":
+                samples, rate = decode_wav(p.as_py())
+                feats.append(_audio_features_real(samples, rate, self.out_dim))
+                fps.append(audio_fp64(samples))
+            elif self.strict:
+                raise NotImplementedError(
+                    f"audio format {fmt!r} requires an audio library not "
+                    "present in this container (real decode covers PCM-16 "
+                    "mono wav)"
+                )
+            else:
+                feats.append(_fake_decode(p.as_py() + b"#audio", self.out_dim))
+                fps.append(None)
         return batch.drop_columns(["payload"]).append_column(
             "audio_features",
             pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
-        )
+        ).append_column("audio_fp", pa.array(fps, pa.int64()))
+
+
+def phash_dedup(media_ds, *, id_col: str = "media_id", band_bits: int = 16,
+                concurrency=2, batch_size: int = 64):
+    """Image near-duplicate detection over a media Dataset: real decode
+    (bmp/ppm) → :func:`phash64` → banded-Hamming LSH dedup on the shared
+    sorted exchange (functions/dedup.py ``hash64_banded_dedup``).  Two
+    images within Hamming distance < 64/band_bits are guaranteed to
+    bucket together (pigeonhole over the bands).  Returns one
+    (id, dup_of) row per NON-ROOT bucket member (the same contract as
+    ``simhash_dedup``: singletons and roots emit no row); rows whose
+    format has no real decoder (null phash) are excluded — fake
+    embeddings have no meaningful Hamming structure.  The same helper
+    applies unchanged to the ``audio_fp`` column for audio near-dup."""
+    import pyarrow.compute as pc
+
+    from .dedup import hash64_banded_dedup
+
+    hashed = decode_images(media_ds, concurrency=concurrency,
+                           batch_size=batch_size)
+
+    def keep_real(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.is_valid(batch.column("phash")))
+        return kept.select([id_col, "phash"])
+
+    sigs = hashed.map_batches(keep_real, batch_format="pyarrow")
+    return hash64_banded_dedup(sigs, id_col=id_col, hash_col="phash",
+                               band_bits=band_bits)
 
 
 def decode_images(ds, *, out_dim: int = 64, concurrency=2, batch_size: int = 64):

@@ -1,0 +1,162 @@
+"""Real multimodal codecs (pure numpy/struct BMP/PPM/WAV), perceptual
+hashes, and the pHash banded-Hamming image dedup pipeline."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from logjuicer_ray.functions.multimodal import (
+    audio_fp64,
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+    phash64,
+)
+
+
+def _rand_img(rng, h=37, w=53):
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def test_bmp_roundtrip_exact():
+    rng = np.random.default_rng(1)
+    for h, w in [(37, 53), (16, 16), (1, 1), (5, 2)]:  # incl. padded rows
+        img = _rand_img(rng, h, w)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img), (h, w)
+
+
+def test_bmp_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_bmp(b"NOTABMP" * 10)
+    with pytest.raises(ValueError):
+        decode_bmp(encode_bmp(np.zeros((4, 4, 3), np.uint8))[:40])
+
+
+def test_ppm_roundtrip_and_comment_header():
+    rng = np.random.default_rng(2)
+    img = _rand_img(rng)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # comment tolerated in header
+    buf = encode_ppm(img)
+    commented = b"P6\n# a comment\n" + buf[3:]
+    assert np.array_equal(decode_ppm(commented), img)
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    rng = np.random.default_rng(3)
+    pcm = rng.integers(-32768, 32767, 4321).astype(np.int16)
+    s, r = decode_wav(encode_wav(pcm, 8000))
+    assert r == 8000 and np.array_equal(s, pcm)
+    # stereo / non-PCM rejected
+    import struct
+
+    bad = bytearray(encode_wav(pcm, 8000))
+    struct.pack_into("<H", bad, 22, 2)  # channels = 2
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))
+
+
+def test_phash_noise_invariance_and_discrimination():
+    rng = np.random.default_rng(4)
+    img = _rand_img(rng, 48, 48)
+    noisy = np.clip(
+        img.astype(int) + rng.integers(-6, 7, img.shape), 0, 255
+    ).astype(np.uint8)
+    other = _rand_img(rng, 48, 48)
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert phash64(img) == phash64(img.copy())
+    assert ham(phash64(img), phash64(noisy)) <= 8
+    assert ham(phash64(img), phash64(other)) > 12
+
+
+def test_audio_fp_deterministic_and_short_zero():
+    rng = np.random.default_rng(5)
+    pcm = rng.integers(-32768, 32767, 4000).astype(np.int16)
+    assert audio_fp64(pcm) == audio_fp64(pcm.copy())
+    assert audio_fp64(np.zeros(64, np.int16)) == 0
+
+
+def test_real_stage_features_and_stable_schema(ray_session):
+    """bmp/wav rows get real features + non-null hash columns; fake
+    formats stay on the stub path with nulls — one stable schema."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.multimodal import (
+        AudioFeatureStage,
+        ImageDecodeStage,
+        synth_media_batch,
+        synth_real_media_batch,
+    )
+
+    real = synth_real_media_batch(list(range(8)))
+    fake = synth_media_batch(list(range(100, 108)))
+    mixed = pa.concat_tables([real, fake])
+    imgs = mixed.filter(
+        __import__("pyarrow").compute.equal(mixed.column("kind"), "image")
+    )
+    out = ImageDecodeStage()(imgs)
+    d = dict(zip(out.column("media_id").to_pylist(),
+                 out.column("phash").to_pylist()))
+    for mid, fmt in zip(imgs.column("media_id").to_pylist(),
+                        imgs.column("format").to_pylist()):
+        assert (d[mid] is not None) == (fmt == "bmp"), (mid, fmt)
+    auds = mixed.filter(
+        __import__("pyarrow").compute.equal(mixed.column("kind"), "audio")
+    )
+    aout = AudioFeatureStage()(auds)
+    fd = dict(zip(aout.column("media_id").to_pylist(),
+                  aout.column("audio_fp").to_pylist()))
+    for mid, fmt in zip(auds.column("media_id").to_pylist(),
+                        auds.column("format").to_pylist()):
+        assert (fd[mid] is not None) == (fmt == "wav"), (mid, fmt)
+    # real wav features: duration = n/rate in [0.128, 0.512]
+    durs = [v[0] for mid, v in zip(aout.column("media_id").to_pylist(),
+                                   aout.column("audio_features").to_pylist())
+            if fd[mid] is not None]
+    assert all(0.1 < d_ < 0.6 for d_ in durs)
+    # strict still raises on the fake formats only
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStage(strict=True)(imgs)
+    real_imgs = real.filter(
+        __import__("pyarrow").compute.equal(real.column("kind"), "image")
+    )
+    ImageDecodeStage(strict=True)(real_imgs)  # no raise: all bmp
+
+
+def test_phash_dedup_plants_near_and_exact_dups(ray_session):
+    import ray.data as rd
+
+    from logjuicer_ray.functions.multimodal import (
+        phash_dedup,
+        synth_real_media_batch,
+    )
+
+    t = synth_real_media_batch(list(range(0, 40, 2)))  # 20 bmp images
+    img0 = decode_bmp(t.column("payload")[0].as_py())
+    rng = np.random.default_rng(5)
+    noisy = np.clip(
+        img0.astype(int) + rng.integers(-4, 5, img0.shape), 0, 255
+    ).astype(np.uint8)
+    extra = pa.table({
+        "media_id": pa.array([1000, 1001], pa.int64()),
+        "kind": pa.array(["image", "image"]),
+        "payload": pa.array([encode_bmp(noisy), encode_bmp(img0)], pa.binary()),
+        "format": pa.array(["bmp", "bmp"]),
+        "width": pa.array([img0.shape[1]] * 2, pa.int32()),
+        "height": pa.array([img0.shape[0]] * 2, pa.int32()),
+        "sample_rate": pa.array([0, 0], pa.int32()),
+    })
+    full = pa.concat_tables([t, extra])
+    for parts in (1, 3):
+        out = phash_dedup(
+            rd.from_arrow(full).repartition(parts)
+        ).to_pandas().set_index("media_id")["dup_of"]
+        # exact copy AND ±4-noise copy both cluster under root 0
+        assert out.loc[1001] == 0
+        assert out.loc[1000] == 0
