@@ -1461,6 +1461,40 @@ def _q_phash_dedup_media(sf_dir: str):
     return phash_dedup(media).sort("media_id")
 
 
+def _q_audio_dedup_media(sf_dir: str):
+    """Audio near-dup detection with REAL decode (no SQL oracle — binary
+    payloads): deterministic PCM-16 WAVs (plus a planted exact duplicate
+    of audio 1), pure-struct decode → FFT-band-delta fingerprint
+    (functions/multimodal.py audio_fp64) → the same banded-Hamming LSH
+    exchange as the pHash image path (dedup.py hash64_banded_dedup)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logjuicer_ray.functions.dedup import hash64_banded_dedup
+    from logjuicer_ray.functions.multimodal import (
+        extract_audio_features,
+        synth_real_media_batch,
+    )
+
+    t = synth_real_media_batch(list(range(1, 256, 2)))  # 128 wav rows
+    dup = t.slice(0, 1).set_column(
+        t.schema.get_field_index("media_id"), "media_id",
+        pa.array([100001], pa.int64()),
+    )
+    media = rd.from_arrow(pa.concat_tables([t, dup]))
+    feats = extract_audio_features(media)
+
+    def keep_real(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.is_valid(batch.column("audio_fp")))
+        return kept.select(["media_id", "audio_fp"])
+
+    sigs = feats.map_batches(keep_real, batch_format="pyarrow")
+    return hash64_banded_dedup(
+        sigs, id_col="media_id", hash_col="audio_fp"
+    ).sort("media_id")
+
+
 def _q_multimodal_features(sf_dir: str):
     """Multimodal plumbing end-to-end (no SQL oracle — binary payloads):
     synthetic media rows (opaque binary + typed metadata), actor-pool
@@ -3505,6 +3539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_embeddings": _q_semdedup,
         "bpe_merges_docs": _q_bpe_merges,
         "phash_dedup_media": _q_phash_dedup_media,
+        "audio_dedup_media": _q_audio_dedup_media,
     }
 
 

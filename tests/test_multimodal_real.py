@@ -160,3 +160,28 @@ def test_phash_dedup_plants_near_and_exact_dups(ray_session):
         # exact copy AND ±4-noise copy both cluster under root 0
         assert out.loc[1001] == 0
         assert out.loc[1000] == 0
+
+
+def test_audio_dedup_media_query(ray_session):
+    """The registered audio near-dup query: planted exact duplicate of
+    audio 1 clusters under root 1, and output is deterministic."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    df = e.queries()["audio_dedup_media"]("/root/testdata/sf0.001").to_pandas()
+    assert df.set_index("media_id")["dup_of"].get(100001) == 1
+    df2 = e.queries()["audio_dedup_media"]("/root/testdata/sf0.001").to_pandas()
+    assert df.equals(df2)
+
+
+def test_phash_dedup_media_query(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    df = e.queries()["phash_dedup_media"]("/root/testdata/sf0.001").to_pandas()
+    d = df.set_index("media_id")["dup_of"]
+    assert d.get(100000) == 0 and d.get(100001) == 0
