@@ -1461,6 +1461,38 @@ def _q_phash_dedup_media(sf_dir: str):
     return phash_dedup(media).sort("media_id")
 
 
+def _q_video_frames_media(sf_dir: str):
+    """Video frame-sampling with REAL container parse (no SQL oracle —
+    binary payloads): deterministic framepack clips (length-prefixed BMP
+    frames), seek-table parse decodes ONLY every 5th frame, per-video
+    features + sampled-frame pHash fingerprint head.  A planted exact
+    duplicate clip (media_id 100000 = clip 0) yields identical
+    fingerprints — asserted in tests/test_multimodal_real.py."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logjuicer_ray.functions.multimodal import (
+        sample_video_frames,
+        synth_video_batch,
+    )
+
+    t = synth_video_batch(list(range(64)) + [100000], dup_of={100000: 0})
+    out = sample_video_frames(rd.from_arrow(t), every=5)
+
+    def head_hash(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "n_frames": batch.column("n_frames"),
+            "fps": batch.column("fps"),
+            "duration_s": batch.column("duration_s"),
+            "n_sampled": pc.list_value_length(batch.column("frame_phashes")),
+            "first_phash": pc.list_element(batch.column("frame_phashes"), 0),
+        })
+
+    return out.map_batches(head_hash, batch_format="pyarrow").sort("media_id")
+
+
 def _q_audio_dedup_media(sf_dir: str):
     """Audio near-dup detection with REAL decode (no SQL oracle — binary
     payloads): deterministic PCM-16 WAVs (plus a planted exact duplicate
@@ -3540,6 +3572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges_docs": _q_bpe_merges,
         "phash_dedup_media": _q_phash_dedup_media,
         "audio_dedup_media": _q_audio_dedup_media,
+        "video_frames_media": _q_video_frames_media,
     }
 
 

@@ -43,6 +43,11 @@ __all__ = [
     "phash64",
     "audio_fp64",
     "phash_dedup",
+    "encode_framepack",
+    "decode_framepack_index",
+    "sample_framepack",
+    "VideoFrameSampleStage",
+    "sample_video_frames",
     "ImageDecodeStage",
     "AudioFeatureStage",
     "decode_images",
@@ -417,6 +422,138 @@ class AudioFeatureStage:
             "audio_features",
             pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
         ).append_column("audio_fp", pa.array(fps, pa.int64()))
+
+
+def synth_video_batch(ids: list[int], *, seed: int = 42,
+                      dup_of: dict[int, int] | None = None) -> pa.Table:
+    """Deterministic REAL video rows (framepack payloads, format
+    ``fpk``): each id gets a short seeded gradient+noise clip; ids in
+    ``dup_of`` reuse the payload of their referenced id (planted exact
+    duplicate clips for dedup tests)."""
+    dup_of = dup_of or {}
+    payloads: dict[int, bytes] = {}
+
+    def make(i: int) -> bytes:
+        rng = np.random.default_rng((seed, i, 7))
+        n = int(rng.integers(6, 18))
+        h = int(rng.integers(16, 40))
+        w = int(rng.integers(16, 40))
+        frames = []
+        for f in range(n):
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = ((yy + f * 3) * 255 // max(h - 1, 1))[..., None] \
+                * np.array([1, 0, 0]) \
+                + (xx * 255 // max(w - 1, 1))[..., None] * np.array([0, 0, 1])
+            noise = rng.integers(0, 48, (h, w, 3))
+            frames.append(np.clip(base + noise, 0, 255).astype(np.uint8))
+        return encode_framepack(frames, fps=int(rng.integers(5, 30)))
+
+    rows = {n: [] for n in MEDIA_SCHEMA.names}
+    for i in ids:
+        src = dup_of.get(i, i)
+        if src not in payloads:
+            payloads[src] = make(src)
+        rows["media_id"].append(i)
+        rows["kind"].append("video")
+        rows["payload"].append(payloads[src])
+        rows["format"].append("fpk")
+        rows["width"].append(0)
+        rows["height"].append(0)
+        rows["sample_rate"].append(0)
+    return pa.table({n: pa.array(rows[n], MEDIA_SCHEMA.field(n).type)
+                     for n in MEDIA_SCHEMA.names})
+
+
+def encode_framepack(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Encode a frame sequence as a minimal real video container:
+    ``FPK1`` magic, frame count, fps, then length-prefixed 24-bit BMP
+    frames.  Purpose-built so the frame-SAMPLING stage exercises a real
+    parse → seek → decode path without a video library."""
+    parts = [struct.pack("<4sII", b"FPK1", len(frames), fps)]
+    for f in frames:
+        bmp = encode_bmp(f)
+        parts.append(struct.pack("<I", len(bmp)))
+        parts.append(bmp)
+    return b"".join(parts)
+
+
+def decode_framepack_index(buf: bytes) -> tuple[int, int, list[tuple[int, int]]]:
+    """Parse a framepack header WITHOUT decoding frames: returns
+    (n_frames, fps, [(offset, size), ...]) — the seek table a sampler
+    uses to decode only the frames it needs."""
+    if len(buf) < 12 or buf[:4] != b"FPK1":
+        raise ValueError("not a framepack payload")
+    n, fps = struct.unpack_from("<II", buf, 4)
+    pos, index = 12, []
+    for _ in range(n):
+        if pos + 4 > len(buf):
+            raise ValueError("truncated framepack index")
+        size = struct.unpack_from("<I", buf, pos)[0]
+        index.append((pos + 4, size))
+        pos += 4 + size
+    return n, fps, index
+
+
+def sample_framepack(buf: bytes, *, every: int = 5) -> list[np.ndarray]:
+    """Decode every ``every``-th frame (always including frame 0) via the
+    seek table — skipped frames are never decoded."""
+    _, _, index = decode_framepack_index(buf)
+    return [decode_bmp(buf[off : off + size])
+            for i, (off, size) in enumerate(index) if i % every == 0]
+
+
+class VideoFrameSampleStage:
+    """Actor-pool stage: parse the framepack seek table, decode only the
+    sampled frames, emit per-video features — frame count, fps,
+    duration, and the sampled frames' pHashes (the video fingerprint for
+    near-dup detection: two videos sharing any sampled-frame pHash band
+    bucket together downstream)."""
+
+    def __init__(self, every: int = 5, strict: bool = False):
+        self.every = every
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts, fpss, durs, hashes = [], [], [], []
+        fmts = batch.column("format").to_pylist()
+        for p, fmt in zip(batch.column("payload"), fmts):
+            if fmt == "fpk":
+                buf = p.as_py()
+                n, fps, _ = decode_framepack_index(buf)
+                frames = sample_framepack(buf, every=self.every)
+                counts.append(n)
+                fpss.append(fps)
+                durs.append(n / fps if fps else 0.0)
+                hashes.append([phash64(f) for f in frames])
+            elif self.strict:
+                raise NotImplementedError(
+                    f"video format {fmt!r} requires a video library not "
+                    "present in this container (real decode covers fpk)"
+                )
+            else:
+                counts.append(0)
+                fpss.append(0)
+                durs.append(0.0)
+                hashes.append(None)
+        return batch.drop_columns(["payload"]) \
+            .append_column("n_frames", pa.array(counts, pa.int32())) \
+            .append_column("fps", pa.array(fpss, pa.int32())) \
+            .append_column("duration_s", pa.array(durs, pa.float64())) \
+            .append_column("frame_phashes",
+                           pa.array(hashes, pa.list_(pa.int64())))
+
+
+def sample_video_frames(ds, *, every: int = 5, concurrency=2,
+                        batch_size: int = 16):
+    """Video payloads are the largest media rows — batch_size defaults
+    smaller than the image/audio stages."""
+    return ds.map_batches(
+        VideoFrameSampleStage,
+        fn_constructor_kwargs={"every": every},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 def phash_dedup(media_ds, *, id_col: str = "media_id", band_bits: int = 16,

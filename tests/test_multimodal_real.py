@@ -185,3 +185,51 @@ def test_phash_dedup_media_query(ray_session):
     df = e.queries()["phash_dedup_media"]("/root/testdata/sf0.001").to_pandas()
     d = df.set_index("media_id")["dup_of"]
     assert d.get(100000) == 0 and d.get(100001) == 0
+
+
+def test_framepack_roundtrip_and_seek_sampling():
+    from logjuicer_ray.functions.multimodal import (
+        decode_framepack_index,
+        encode_framepack,
+        sample_framepack,
+    )
+
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+              for _ in range(12)]
+    buf = encode_framepack(frames, fps=6)
+    n, fps, idx = decode_framepack_index(buf)
+    assert (n, fps, len(idx)) == (12, 6, 12)
+    samp = sample_framepack(buf, every=5)
+    assert len(samp) == 3  # frames 0, 5, 10
+    for got, want in zip(samp, [frames[0], frames[5], frames[10]]):
+        assert np.array_equal(got, want)
+    with pytest.raises(ValueError):
+        decode_framepack_index(b"NOPE" + buf[4:])
+
+
+def test_video_frames_media_query(ray_session):
+    """Registered video query: planted duplicate clip has identical
+    sampled-frame features; strict stage raises only on non-fpk."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    from logjuicer_ray.functions.multimodal import (
+        VideoFrameSampleStage,
+        synth_media_batch,
+        synth_video_batch,
+    )
+
+    df = e.queries()["video_frames_media"]("/root/testdata/sf0.001").to_pandas()
+    d = df.set_index("media_id")
+    assert (d.loc[100000] == d.loc[0]).all()
+    # full fingerprint equality, not just the head columns
+    vids = synth_video_batch([0, 3, 100000], dup_of={100000: 0})
+    out = VideoFrameSampleStage()(vids)
+    fp = dict(zip(out.column("media_id").to_pylist(),
+                  out.column("frame_phashes").to_pylist()))
+    assert fp[100000] == fp[0] and fp[3] != fp[0]
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampleStage(strict=True)(synth_media_batch([2]))
