@@ -33,6 +33,7 @@ labeler (functions/dedup.py).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -146,9 +147,107 @@ def cooccurrence_edges(ds, *, group_col: str, item_col: str,
     ).materialize()
 
 
-def triangle_counts(edges, *, num_partitions: int | None = None):
+def _triangle_broadcast(edges, *, driver_edge_rows: int, strict: bool):
+    """Broadcast-adjacency triangle counting: the UNIQUE oriented edge
+    list (the reduced artifact, already ≤ driver_edge_rows small side) is
+    collected once, remapped to dense node indices and shipped as one
+    object-store copy (sorted packed keys + forward-adjacency CSR); each
+    edge batch then generates its wedges and closes them with a
+    vectorized searchsorted membership test — zero joins, per-block
+    (node, cnt) partials folded on the driver.  Returns ``None`` when the
+    edge count exceeds the bound and ``strict`` is False (auto-fallback
+    to the join path)."""
+    import ray
+    import ray.data as rd
+
+    u_parts, v_parts, total = [], [], 0
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        u_parts.append(b.column("u").combine_chunks().cast(pa.int64())
+                       .to_numpy(zero_copy_only=False))
+        v_parts.append(b.column("v").combine_chunks().cast(pa.int64())
+                       .to_numpy(zero_copy_only=False))
+        total += len(u_parts[-1])
+        if total > driver_edge_rows:
+            if strict:
+                raise ValueError(
+                    f"edge count exceeds driver_edge_rows="
+                    f"{driver_edge_rows}; use mode='join'"
+                )
+            return None
+    if total == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "n_triangles": pa.array([], pa.int64()),
+        }))
+    eu = np.concatenate(u_parts)
+    ev = np.concatenate(v_parts)
+    nodes = np.unique(np.concatenate([eu, ev]))
+    n = nodes.size
+    iu = np.searchsorted(nodes, eu)
+    iv = np.searchsorted(nodes, ev)
+    keys_sorted = np.sort(iu * n + iv)  # packed (u, w) membership keys
+    # forward-adjacency CSR: for node a, the sorted targets b > a
+    order = np.lexsort((iv, iu))
+    adj_tgt = iv[order]
+    indptr = np.searchsorted(iu[order], np.arange(n + 1))
+    state = ray.put((nodes, keys_sorted, adj_tgt, indptr, n))
+
+    def _tri_partial(batch: pa.Table) -> pa.Table:
+        nds, keys, tgt, ptr, nn = ray.get(state)
+        bu = np.searchsorted(nds, batch.column("u").combine_chunks()
+                             .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        bv = np.searchsorted(nds, batch.column("v").combine_chunks()
+                             .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        cnt = ptr[bv + 1] - ptr[bv]  # wedges continue through v
+        tot = int(cnt.sum())
+        if tot == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        left = np.repeat(np.arange(len(bu)), cnt)
+        lead = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        within = np.arange(tot) - np.repeat(lead, cnt)
+        w = tgt[ptr[bv[left]] + within]
+        wu, wv = bu[left], bv[left]
+        probe = wu * nn + w
+        pos = np.searchsorted(keys, probe)
+        hit = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == probe)
+        tri_nodes = np.concatenate([wu[hit], wv[hit], w[hit]])
+        acc = np.bincount(tri_nodes, minlength=nn)
+        nz = np.flatnonzero(acc)
+        return pa.table({"node_idx": pa.array(nz, pa.int64()),
+                         "cnt": pa.array(acc[nz], pa.int64())})
+
+    acc = np.zeros(n, np.int64)
+    for b in edges.map_batches(
+        _tri_partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        idx = b.column("node_idx").to_numpy(zero_copy_only=False)
+        np.add.at(acc, idx, b.column("cnt").to_numpy(zero_copy_only=False))
+    nz = np.flatnonzero(acc)
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes[nz], pa.int64()),
+        "n_triangles": pa.array(acc[nz], pa.int64()),
+    }))
+
+
+def triangle_counts(edges, *, num_partitions: int | None = None,
+                    mode: str = "auto", driver_edge_rows: int = 10_000_000):
     """Per-node triangle participation over an oriented (u < v) edge
-    Dataset.  Returns (node, n_triangles) for nodes in ≥ 1 triangle."""
+    Dataset.  Returns (node, n_triangles) for nodes in ≥ 1 triangle.
+
+    ``broadcast`` mode (chosen by ``auto`` while the unique edge list —
+    the already-reduced small side — fits ``driver_edge_rows``, ~16 B ×
+    10M = 160 MB one object-store copy) replaces both hash joins with a
+    searchsorted membership probe against the broadcast CSR; the wedge
+    explosion still runs distributed per edge block.  ``join`` is the
+    beyond-bound scale path: two native joins + one groupby-sum."""
+    if mode not in ("auto", "broadcast", "join"):
+        raise ValueError(f"unknown triangle_counts mode {mode!r}")
+    if mode != "join":
+        out = _triangle_broadcast(edges, driver_edge_rows=driver_edge_rows,
+                                  strict=(mode == "broadcast"))
+        if out is not None:
+            return out
     num_partitions = _auto_partitions(num_partitions)
     # wedges u<v<w: middle node v joins (u,v) with (v,w)
     ev = edges.map_batches(

@@ -244,3 +244,33 @@ def test_cooccurrence_edges_string_items(ray_session):
         rd.from_arrow(ts), group_col="g", item_col="i"
     ).to_pandas()
     assert set(zip(out["u"], out["v"])) == {("a", "b"), ("a", "c")}
+
+
+def test_triangle_broadcast_equals_join_mode(ray_session):
+    """Broadcast-adjacency triangle counting (zero joins, searchsorted
+    closure probe) matches the join path on a random graph, plus the
+    strict-bound error and auto fallback."""
+    import pandas as pd
+
+    from logjuicer_ray.functions.graph import triangle_counts
+
+    rng = np.random.default_rng(13)
+    pairs = sorted({(int(a), int(b)) for a, b in
+                    rng.integers(0, 120, (800, 2)) if a < b})
+    want = (
+        triangle_counts(_pr_edges(pairs), mode="join")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    for parts in (1, 4):
+        got = (
+            triangle_counts(_pr_edges(pairs).repartition(parts),
+                            mode="broadcast")
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    with pytest.raises(ValueError, match="driver_edge_rows"):
+        triangle_counts(_pr_edges(pairs), mode="broadcast",
+                        driver_edge_rows=10)
+    auto = triangle_counts(_pr_edges(pairs), mode="auto",
+                           driver_edge_rows=10).to_pandas()
+    assert len(auto) == len(want)
