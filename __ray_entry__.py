@@ -69,9 +69,10 @@ def _standard_model(sf_dir: str):
         return cached[1]
     from logjuicer_ray.config import PipelineConfig
     from logjuicer_ray.pipelines.train import train
-    from logjuicer_ray.sources.transcripts import read_turns
+    from logjuicer_ray.sources.transcripts import ENGINE_COLUMNS, read_turns
 
-    base = read_turns(_turns_path(sf_dir), split="baseline")
+    base = read_turns(_turns_path(sf_dir), split="baseline",
+                      columns=ENGINE_COLUMNS)
     model = train(base, PipelineConfig(sorted_input=True))
     _REPORT_CACHE[key] = (_session_stamp(), model)
     return model
@@ -83,10 +84,10 @@ def _report_outputs(sf_dir: str):
         return cached[1]
     from logjuicer_ray.config import PipelineConfig
     from logjuicer_ray.pipelines.report import run_report
-    from logjuicer_ray.sources.transcripts import read_turns
+    from logjuicer_ray.sources.transcripts import ENGINE_COLUMNS, read_turns
 
     path = _turns_path(sf_dir)
-    target = read_turns(path, split="target")
+    target = read_turns(path, split="target", columns=ENGINE_COLUMNS)
     cfg = PipelineConfig(sorted_input=True)
     model = _standard_model(sf_dir)
     out = run_report(target, model, cfg)
