@@ -59,33 +59,13 @@ def _dedup_pairs_batch(batch: pa.Table, cols) -> pa.Table:
     return batch.select(cols).group_by(cols).aggregate([])
 
 
-def cooccurrence_edges(ds, *, group_col: str, item_col: str,
-                       num_partitions: int | None = None):
-    """Undirected co-occurrence edges (u < v, deduped) from an incidence
-    table, on the sorted exchange: one range sort of the per-batch-deduped
-    (group, item) incidence replaces the old distinct-groupby + per-group
-    self-join (two hash exchanges + a join).  Each sorted block generates
-    its complete groups' oriented pairs with a fully vectorized
-    repeat/arange kernel — duplicate (group, item) rows are dropped by an
-    adjacent-equality mask first, and items arrive sorted within each
-    group so ``u < v`` falls out of index order.  The pair explosion
-    (bounded by max items per group — TPC-H lineitem: ≤ 7 parts per order
-    → ≤ 21 pairs) happens AFTER the exchange, inside the block kernel;
-    only the incidence rides the sort.  A final ``group_first_row`` on
-    (u, v) — the same sorted exchange — dedups pairs across groups.
+def _pair_explode_block(item_col: str):
+    """Block kernel for the sorted-exchange pair generators: given a block
+    of complete (group)-segments sorted by (group, item), drop duplicate
+    (group, item) rows via the adjacent-equality mask and emit every
+    oriented pair (u < v falls out of the in-segment item order) with a
+    fully vectorized repeat/arange construction."""
 
-    ``num_partitions`` is accepted for API compatibility (the join path
-    this replaced sized its shuffle with it) and unused."""
-    import numpy as np
-
-    from .segments import sorted_group_apply
-
-    del num_partitions  # sorted exchange sizes itself
-
-    inc = ds.map_batches(
-        lambda b: _dedup_pairs_batch(b, [group_col, item_col]),
-        batch_format="pyarrow",
-    )
     def _pairs_block(sub: pa.Table, offsets) -> pa.Table:
         item_type = sub.schema.field(item_col).type
         empty = pa.table({"u": pa.array([], item_type),
@@ -121,6 +101,38 @@ def cooccurrence_edges(ds, *, group_col: str, item_col: str,
         li = pa.array(kidx[left], pa.int64())
         ri = pa.array(kidx[right], pa.int64())
         return pa.table({"u": x.take(li), "v": x.take(ri)})
+
+    return _pairs_block
+
+
+def cooccurrence_edges(ds, *, group_col: str, item_col: str,
+                       num_partitions: int | None = None):
+    """Undirected co-occurrence edges (u < v, deduped) from an incidence
+    table, on the sorted exchange: one range sort of the per-batch-deduped
+    (group, item) incidence replaces the old distinct-groupby + per-group
+    self-join (two hash exchanges + a join).  Each sorted block generates
+    its complete groups' oriented pairs with a fully vectorized
+    repeat/arange kernel — duplicate (group, item) rows are dropped by an
+    adjacent-equality mask first, and items arrive sorted within each
+    group so ``u < v`` falls out of index order.  The pair explosion
+    (bounded by max items per group — TPC-H lineitem: ≤ 7 parts per order
+    → ≤ 21 pairs) happens AFTER the exchange, inside the block kernel;
+    only the incidence rides the sort.  A final ``group_first_row`` on
+    (u, v) — the same sorted exchange — dedups pairs across groups.
+
+    ``num_partitions`` is accepted for API compatibility (the join path
+    this replaced sized its shuffle with it) and unused."""
+    import numpy as np
+
+    from .segments import sorted_group_apply
+
+    del num_partitions  # sorted exchange sizes itself
+
+    inc = ds.map_batches(
+        lambda b: _dedup_pairs_batch(b, [group_col, item_col]),
+        batch_format="pyarrow",
+    )
+    _pairs_block = _pair_explode_block(item_col)
 
     pairs = sorted_group_apply(
         inc, key_cols=[group_col], order_cols=[item_col],
@@ -463,38 +475,33 @@ def frequent_pairs(ds, *, group_col: str, item_col: str, min_support: int,
     support counts.  The same incidence self-join as
     :func:`cooccurrence_edges`, but the final keyed aggregate keeps the
     per-pair group count and filters by support — support counting
-    happens distributed; only (u, v, support) rows survive."""
-    num_partitions = _auto_partitions(num_partitions)
-    inc = (
-        ds.map_batches(
-            lambda b: _dedup_pairs_batch(b, [group_col, item_col]),
-            batch_format="pyarrow",
-        )
-        .groupby([group_col, item_col]).count()
-        .select_columns([group_col, item_col])
-    )
-    right = inc.map_batches(
-        lambda b: b.rename_columns([group_col, "v"]), batch_format="pyarrow"
-    )
-    left = inc.map_batches(
-        lambda b: b.rename_columns([group_col, "u"]), batch_format="pyarrow"
-    )
-    pairs = left.join(right, join_type="inner", on=(group_col,),
-                      num_partitions=num_partitions)
+    happens distributed; only (u, v, support) rows survive.
 
-    def _orient_count(batch: pa.Table) -> pa.Table:
-        keep = batch.filter(pc.less(batch.column("u"), batch.column("v")))
-        t = keep.select(["u", "v"]).group_by(["u", "v"]).aggregate(
-            [([], "count_all")]
-        )
-        return t.rename_columns(["u", "v", "support"])
+    Same sorted-exchange shape as :func:`cooccurrence_edges` (the shared
+    ``_pair_explode_block`` emits each group's pairs exactly once, so
+    support = the pair's row count), with ``sorted_group_sum`` as the
+    final support aggregate — no self-join, no hash exchanges.
+    ``num_partitions`` accepted for API compatibility, unused."""
+    from .segments import sorted_group_apply, sorted_group_sum
 
-    from ray.data.aggregate import Sum
+    del num_partitions
 
-    counted = (
-        pairs.map_batches(_orient_count, batch_format="pyarrow")
-        .groupby(["u", "v"])
-        .aggregate(Sum("support", alias_name="support"))
+    inc = ds.map_batches(
+        lambda b: _dedup_pairs_batch(b, [group_col, item_col]),
+        batch_format="pyarrow",
+    )
+    pairs = sorted_group_apply(
+        inc, key_cols=[group_col], order_cols=[item_col],
+        apply_block=_pair_explode_block(item_col),
+    )
+
+    def _precount(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["u", "v"]).aggregate([([], "count_all")])
+        return t.rename_columns(["u", "v", "cnt"])
+
+    counted = sorted_group_sum(
+        pairs.map_batches(_precount, batch_format="pyarrow"),
+        key_cols=["u", "v"], sum_cols=["cnt"], out_cols=["support"],
     )
     return counted.map_batches(
         lambda b: b.filter(pc.greater_equal(b.column("support"), min_support)),

@@ -274,3 +274,36 @@ def test_triangle_broadcast_equals_join_mode(ray_session):
     auto = triangle_counts(_pr_edges(pairs), mode="auto",
                            driver_edge_rows=10).to_pandas()
     assert len(auto) == len(want)
+
+
+def test_frequent_pairs_sorted_exchange_vs_bruteforce(ray_session):
+    """frequent_pairs on the shared pair-explosion exchange matches a
+    driver brute force (support counts incl. min_support filter) under
+    several partitionings."""
+    import collections
+
+    import ray.data as rd
+
+    from logjuicer_ray.functions.graph import frequent_pairs
+
+    rng = np.random.default_rng(21)
+    g = rng.integers(0, 150, 2000)
+    i = rng.integers(0, 25, 2000)
+    t = pa.table({"g": pa.array(g, pa.int64()), "i": pa.array(i, pa.int64())})
+    groups = collections.defaultdict(set)
+    for a, b in zip(g, i):
+        groups[a].add(b)
+    support = collections.Counter()
+    for items in groups.values():
+        s = sorted(items)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                support[(s[x], s[y])] += 1
+    want = {k: c for k, c in support.items() if c >= 3}
+    for parts in (1, 4):
+        out = frequent_pairs(
+            rd.from_arrow(t).repartition(parts),
+            group_col="g", item_col="i", min_support=3,
+        ).to_pandas()
+        got = dict(zip(zip(out["u"], out["v"]), out["support"]))
+        assert got == want, parts
