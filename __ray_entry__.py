@@ -131,25 +131,22 @@ def _q_unknown_routed(sf_dir: str):
     browser rows route to the unknown sink (model.rs:665-673).  The
     counters (non-empty target rows per (conv, group), no job-output cut —
     unknown groups are never scanned) are exactly SQL-recomputable."""
-    import pyarrow.compute as pc
-
     from logjuicer_ray.config import PipelineConfig
     from logjuicer_ray.pipelines.report import run_report
-    from logjuicer_ray.pipelines.train import train
-    from logjuicer_ray.sources.transcripts import baseline_and_target
+    from logjuicer_ray.sources.transcripts import ENGINE_COLUMNS, read_turns
+    from logjuicer_ray.state.model import Model
 
     path = _turns_path(sf_dir)
-    base, target = baseline_and_target(path)
-
-    def drop_browser(b):
-        return b.filter(
-            pc.not_equal(pc.fill_null(b.column("tool"), ""), "browser")
-        )
-
-    model = train(
-        base.map_batches(drop_browser, batch_format="pyarrow"),
-        PipelineConfig(sorted_input=True),
-    )
+    target = read_turns(path, split="target", columns=ENGINE_COLUMNS)
+    # per-(role, tool) indexes are trained INDEPENDENTLY (one groupby
+    # partition each), so "train without the browser group" ≡ "drop the
+    # browser groups from the standard model" — verified identical in
+    # tests/test_round4b.py; this reuses the memoized standard model
+    # instead of a second full training pass
+    std = _standard_model(sf_dir)
+    kept = {k: gi for k, gi in std.indexes.items()
+            if k.rsplit("/", 1)[-1] != "browser"}
+    model = Model(kept, std.created_at)
     out = run_report(target, model, PipelineConfig(sorted_input=True))
     return out["unknown"]
 

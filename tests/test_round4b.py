@@ -307,3 +307,39 @@ def test_frequent_pairs_sorted_exchange_vs_bruteforce(ray_session):
         ).to_pandas()
         got = dict(zip(zip(out["u"], out["v"]), out["support"]))
         assert got == want, parts
+
+
+def test_unknown_routed_derived_model_equals_retrain(ray_session):
+    """Dropping the browser groups from the standard model is identical
+    to retraining without them (per-group indexes are independent) —
+    the basis for report_unknown_routed reusing the memoized model."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import pyarrow.compute as pc
+
+    import __ray_entry__ as e
+    from logjuicer_ray.config import PipelineConfig
+    from logjuicer_ray.pipelines.report import run_report
+    from logjuicer_ray.pipelines.train import train
+    from logjuicer_ray.sources.transcripts import baseline_and_target
+
+    sf = "/root/testdata/sf0.001"
+    base, target = baseline_and_target(e._turns_path(sf))
+
+    def drop_browser(b):
+        return b.filter(
+            pc.not_equal(pc.fill_null(b.column("tool"), ""), "browser")
+        )
+
+    m_old = train(base.map_batches(drop_browser, batch_format="pyarrow"),
+                  PipelineConfig(sorted_input=True))
+    want = run_report(target, m_old,
+                      PipelineConfig(sorted_input=True))["unknown"].to_pandas()
+    got = e.queries()["report_unknown_routed"](sf).to_pandas()
+    assert got.equals(want)
+    # and the withheld groups really are gone from the derived model
+    std = e._standard_model(sf)
+    kept = {k for k in std.indexes if k.rsplit("/", 1)[-1] != "browser"}
+    assert kept == set(m_old.indexes.keys())
+    assert any(k.rsplit("/", 1)[-1] == "browser" for k in std.indexes)
