@@ -233,3 +233,34 @@ def test_video_frames_media_query(ray_session):
     assert fp[100000] == fp[0] and fp[3] != fp[0]
     with pytest.raises(NotImplementedError):
         VideoFrameSampleStage(strict=True)(synth_media_batch([2]))
+
+
+def test_hash64_bands_pigeonhole_guarantee(ray_session):
+    """Signatures within Hamming distance < 64/band_bits are GUARANTEED
+    to share at least one band bucket (the LSH recall floor the media
+    dedup paths rely on) — randomized over 500 planted pairs."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.dedup import hash64_bands
+
+    rng = np.random.default_rng(17)
+    base = rng.integers(-2**63, 2**63 - 1, 500, dtype=np.int64)
+    flipped = base.copy()
+    for i in range(500):
+        bits = rng.choice(64, size=rng.integers(0, 4), replace=False)
+        for b in bits:
+            flipped[i] = np.int64(
+                np.uint64(flipped[i]) ^ np.uint64(1 << int(b))
+            )
+    t = pa.table({
+        "id": pa.array(np.arange(1000), pa.int64()),
+        "h": pa.array(np.concatenate([base, flipped]), pa.int64()),
+    })
+    bands = hash64_bands(
+        rd.from_arrow(t), id_col="id", hash_col="h", band_bits=16
+    ).to_pandas()
+    by_id = bands.groupby("id").apply(
+        lambda g: set(zip(g["band"], g["band_hash"])), include_groups=False
+    )
+    for i in range(500):
+        assert by_id[i] & by_id[500 + i], f"pair {i} shares no band"
