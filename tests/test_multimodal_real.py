@@ -264,3 +264,36 @@ def test_hash64_bands_pigeonhole_guarantee(ray_session):
     )
     for i in range(500):
         assert by_id[i] & by_id[500 + i], f"pair {i} shares no band"
+
+
+# --- hypothesis property tests for the real codecs ------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(h=st.integers(1, 40), w=st.integers(1, 40), seed=st.integers(0, 2**31))
+def test_bmp_roundtrip_property(h, w, seed):
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3),
+                                               dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@settings(max_examples=30, deadline=None)
+@given(h=st.integers(1, 40), w=st.integers(1, 40), seed=st.integers(0, 2**31))
+def test_ppm_roundtrip_property(h, w, seed):
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3),
+                                               dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+@settings(max_examples=30, deadline=None)
+@given(n=st.integers(0, 5000), rate=st.sampled_from([8000, 16000, 44100]),
+       seed=st.integers(0, 2**31))
+def test_wav_roundtrip_property(n, rate, seed):
+    pcm = np.random.default_rng(seed).integers(
+        -32768, 32768, n
+    ).astype(np.int16)
+    s, r = decode_wav(encode_wav(pcm, rate))
+    assert r == rate and np.array_equal(s, pcm)
