@@ -29,6 +29,7 @@ __all__ = [
     "simhash_dedup",
     "hash64_bands",
     "hash64_banded_dedup",
+    "hash64_hamming_filter",
     "ngram_jaccard_pairs",
     "embedding_cosine_dedup",
     "connected_components",
@@ -515,6 +516,65 @@ def _simhash_bands(ds, *, id_col: str, band_bits: int):
     sigs = simhash_signatures(ds).select_columns([id_col, "simhash"])
     return hash64_bands(sigs, id_col=id_col, hash_col="simhash",
                         band_bits=band_bits)
+
+
+_POPCOUNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount via a byte lookup table (numpy < 2 has
+    no ``bitwise_count``)."""
+    return _POPCOUNT8[x.view(np.uint8).reshape(len(x), 8)].sum(
+        axis=1
+    ).astype(np.int64)
+
+
+def hash64_hamming_filter(pairs_ds, sigs_ds, *, id_col: str, hash_col: str,
+                          pair_cols: tuple[str, str] = ("a", "b"),
+                          max_hamming: int = 8,
+                          broadcast_rows: int = 50_000_000):
+    """Exact verification pass for banded-Hamming candidates — the media
+    analog of :func:`ngram_jaccard_pairs`: keep only candidate pairs whose
+    signatures are within ``max_hamming`` bits.  The (id → hash) table is
+    8 B + id per row and broadcasts once via ``ray.put`` (bounded by
+    ``broadcast_rows``, asserted); each pair batch is one vectorized
+    lookup + XOR + table-driven popcount — pairs never shuffle.  Returns
+    the pair rows plus a ``hamming`` column."""
+    import ray
+
+    ids_parts, h_parts, seen = [], [], 0
+    for b in sigs_ds.select_columns([id_col, hash_col]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        ids_parts.append(b.column(id_col).combine_chunks().cast(pa.int64())
+                         .to_numpy(zero_copy_only=False))
+        h_parts.append(b.column(hash_col).combine_chunks()
+                       .to_numpy(zero_copy_only=False).astype(np.int64))
+        seen += len(ids_parts[-1])
+        assert seen <= broadcast_rows, (
+            f"signature table exceeds broadcast_rows={broadcast_rows}"
+        )
+    ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
+    hs = np.concatenate(h_parts) if h_parts else np.empty(0, np.int64)
+    order = np.argsort(ids, kind="stable")
+    state = ray.put((ids[order], hs[order].view(np.uint64)))
+    ca, cb = pair_cols
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        sids, shs = ray.get(state)
+        a = batch.column(ca).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        b_ = batch.column(cb).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ha = shs[np.searchsorted(sids, a)]
+        hb = shs[np.searchsorted(sids, b_)]
+        d = _popcount64(np.bitwise_xor(ha, hb))
+        out = batch.append_column("hamming", pa.array(d, pa.int64()))
+        return out.filter(pa.array(d <= max_hamming, pa.bool_()))
+
+    return pairs_ds.map_batches(_verify, batch_format="pyarrow")
 
 
 def _banded_root_pairs(bands_ds, *, id_col: str):

@@ -297,3 +297,38 @@ def test_wav_roundtrip_property(n, rate, seed):
     ).astype(np.int16)
     s, r = decode_wav(encode_wav(pcm, rate))
     assert r == rate and np.array_equal(s, pcm)
+
+
+def test_hash64_hamming_filter_exact_vs_bruteforce(ray_session):
+    """The broadcast-lookup exact Hamming verifier matches a driver brute
+    force (XOR + popcount) on random candidate pairs."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.dedup import hash64_hamming_filter
+
+    rng = np.random.default_rng(3)
+    n = 500
+    hs = rng.integers(-2**63, 2**63 - 1, n, dtype=np.int64)
+    sigs = rd.from_arrow(pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "h": pa.array(hs, pa.int64()),
+    }))
+    a_ids = rng.integers(0, n, 200)
+    b_ids = rng.integers(0, n, 200)
+    pairs = rd.from_arrow(pa.table({
+        "a": pa.array(a_ids, pa.int64()),
+        "b": pa.array(b_ids, pa.int64()),
+    }))
+    out = hash64_hamming_filter(
+        pairs, sigs, id_col="id", hash_col="h", max_hamming=24
+    ).to_pandas()
+
+    def ham(x, y):
+        return bin((int(x) ^ int(y)) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    want = sorted(
+        (int(x), int(y), ham(hs[x], hs[y]))
+        for x, y in zip(a_ids, b_ids) if ham(hs[x], hs[y]) <= 24
+    )
+    got = sorted(zip(out["a"], out["b"], out["hamming"]))
+    assert got == want
