@@ -557,6 +557,7 @@ def sample_video_frames(ds, *, every: int = 5, concurrency=2,
 
 
 def phash_dedup(media_ds, *, id_col: str = "media_id", band_bits: int = 16,
+                max_hamming: int | None = None,
                 concurrency=2, batch_size: int = 64):
     """Image near-duplicate detection over a media Dataset: real decode
     (bmp/ppm) → :func:`phash64` → banded-Hamming LSH dedup on the shared
@@ -567,10 +568,17 @@ def phash_dedup(media_ds, *, id_col: str = "media_id", band_bits: int = 16,
     ``simhash_dedup``: singletons and roots emit no row); rows whose
     format has no real decoder (null phash) are excluded — fake
     embeddings have no meaningful Hamming structure.  The same helper
-    applies unchanged to the ``audio_fp`` column for audio near-dup."""
+    applies unchanged to the ``audio_fp`` column for audio near-dup.
+
+    ``max_hamming``: optional exact verification pass
+    (``dedup.hash64_hamming_filter``) — banded candidates whose true
+    pHash distance exceeds the threshold are dropped and the output
+    gains a ``hamming`` column.  Band bucketing is recall-complete below
+    64/band_bits bits but admits farther pairs that happen to share a
+    band; the verify pass makes precision exact too."""
     import pyarrow.compute as pc
 
-    from .dedup import hash64_banded_dedup
+    from .dedup import hash64_banded_dedup, hash64_hamming_filter
 
     hashed = decode_images(media_ds, concurrency=concurrency,
                            batch_size=batch_size)
@@ -579,9 +587,15 @@ def phash_dedup(media_ds, *, id_col: str = "media_id", band_bits: int = 16,
         kept = batch.filter(pc.is_valid(batch.column("phash")))
         return kept.select([id_col, "phash"])
 
-    sigs = hashed.map_batches(keep_real, batch_format="pyarrow")
-    return hash64_banded_dedup(sigs, id_col=id_col, hash_col="phash",
-                               band_bits=band_bits)
+    sigs = hashed.map_batches(keep_real, batch_format="pyarrow").materialize()
+    out = hash64_banded_dedup(sigs, id_col=id_col, hash_col="phash",
+                              band_bits=band_bits)
+    if max_hamming is None:
+        return out
+    return hash64_hamming_filter(
+        out, sigs, id_col=id_col, hash_col="phash",
+        pair_cols=(id_col, "dup_of"), max_hamming=max_hamming,
+    )
 
 
 def decode_images(ds, *, out_dim: int = 64, concurrency=2, batch_size: int = 64):

@@ -332,3 +332,39 @@ def test_hash64_hamming_filter_exact_vs_bruteforce(ray_session):
     )
     got = sorted(zip(out["a"], out["b"], out["hamming"]))
     assert got == want
+
+
+def test_phash_dedup_with_hamming_verify(ray_session):
+    """max_hamming verify keeps the planted exact/near duplicates (tiny
+    true distance) and every surviving pair's hamming is within bound."""
+    import ray.data as rd
+
+    from logjuicer_ray.functions.multimodal import (
+        phash_dedup,
+        synth_real_media_batch,
+    )
+
+    t = synth_real_media_batch(list(range(0, 40, 2)))
+    img0 = decode_bmp(t.column("payload")[0].as_py())
+    rng = np.random.default_rng(5)
+    noisy = np.clip(
+        img0.astype(int) + rng.integers(-4, 5, img0.shape), 0, 255
+    ).astype(np.uint8)
+    extra = pa.table({
+        "media_id": pa.array([1000, 1001], pa.int64()),
+        "kind": pa.array(["image", "image"]),
+        "payload": pa.array([encode_bmp(noisy), encode_bmp(img0)], pa.binary()),
+        "format": pa.array(["bmp", "bmp"]),
+        "width": pa.array([img0.shape[1]] * 2, pa.int32()),
+        "height": pa.array([img0.shape[0]] * 2, pa.int32()),
+        "sample_rate": pa.array([0, 0], pa.int32()),
+    })
+    full = rd.from_arrow(pa.concat_tables([t, extra]))
+    out = phash_dedup(full, max_hamming=6).to_pandas()
+    d = out.set_index("media_id")
+    assert d.loc[1001, "dup_of"] == 0 and d.loc[1001, "hamming"] == 0
+    assert d.loc[1000, "dup_of"] == 0 and d.loc[1000, "hamming"] <= 6
+    assert (out["hamming"] <= 6).all()
+    # unverified output is a superset of the verified one
+    loose = phash_dedup(full).to_pandas()
+    assert set(out["media_id"]) <= set(loose["media_id"])
