@@ -1456,7 +1456,9 @@ def _q_phash_dedup_media(sf_dir: str):
         "sample_rate": pa.array([0, 0], pa.int32()),
     })
     media = rd.from_arrow(pa.concat_tables([t, extra]))
-    return phash_dedup(media).sort("media_id")
+    # full pipeline incl. the exact-Hamming verify pass: banded recall
+    # (guaranteed below 64/band_bits) + verified precision (hamming ≤ 10)
+    return phash_dedup(media, max_hamming=10).sort("media_id")
 
 
 def _q_video_frames_media(sf_dir: str):
