@@ -658,7 +658,7 @@ def export_conversations(ds, *, key_col: str = "conv_id",
         n = sub.num_rows
         if n == 0:
             return pa.table({
-                key_col: pa.array([], pa.string()),
+                key_col: pa.array([], sub.schema.field(key_col).type),
                 "full_text": pa.array([], pa.string()),
                 "n_turns": pa.array([], pa.int64()),
                 "n_bytes": pa.array([], pa.int64()),
@@ -672,7 +672,9 @@ def export_conversations(ds, *, key_col: str = "conv_id",
         csum = np.concatenate([[0], np.cumsum(byte_lens)])
         heads = pa.array(off[:-1], pa.int64())
         return pa.table({
-            key_col: pc.cast(sub.column(key_col).take(heads), pa.string()),
+            # the key keeps its ORIGINAL type — casting to string silently
+            # rewrote the output schema for non-string conversation keys
+            key_col: sub.column(key_col).take(heads),
             "full_text": pc.binary_join(runs, sep),
             "n_turns": pa.array(np.diff(off), pa.int64()),
             "n_bytes": pa.array(csum[off[1:]] - csum[off[:-1]], pa.int64()),

@@ -497,19 +497,39 @@ def hash64_bands(ds, *, id_col: str, hash_col: str, band_bits: int = 16):
 
 
 def hash64_banded_dedup(ds, *, id_col: str, hash_col: str,
-                        band_bits: int = 16):
+                        band_bits: int = 16, max_hamming: int | None = None):
     """Banded-Hamming near-dup over any 64-bit signature column: rows
     sharing any ``band_bits`` band bucket together, min id per bucket is
     the root, one (id, dup_of) row per id (same sorted-exchange shape as
-    :func:`simhash_dedup`)."""
+    :func:`simhash_dedup`).
+
+    ``max_hamming``: optional exact verification
+    (:func:`hash64_hamming_filter`) applied to the PER-BAND candidate
+    pairs BEFORE the per-id min collapse, so an id whose min-root in one
+    band is a far collision still keeps a genuine near-dup root it found
+    via another band; the output gains a ``hamming`` column and
+    ``dup_of`` is the min root among the VERIFIED pairs.  Remaining
+    honesty note: candidates are star-to-root per bucket, so if a true
+    near-pair (X, Y) only ever co-buckets under a farther min Z, neither
+    X→Y nor Y→X is a candidate — full within-bucket pair emission would
+    be quadratic in hot buckets; the band guarantee still holds for any
+    pair whose shared-band bucket min is one of the pair."""
     from .segments import group_first_row
 
     bands_ds = hash64_bands(ds, id_col=id_col, hash_col=hash_col,
                             band_bits=band_bits)
     pairs = _banded_root_pairs(bands_ds, id_col=id_col)
+    out_cols = [id_col, "dup_of"]
+    if max_hamming is not None:
+        pairs = hash64_hamming_filter(
+            pairs, ds.select_columns([id_col, hash_col]),
+            id_col=id_col, hash_col=hash_col,
+            pair_cols=(id_col, "dup_of"), max_hamming=max_hamming,
+        )
+        out_cols.append("hamming")
     return group_first_row(
         pairs, key_cols=[id_col], order_cols=["dup_of", "band"]
-    ).select_columns([id_col, "dup_of"])
+    ).select_columns(out_cols)
 
 
 def _simhash_bands(ds, *, id_col: str, band_bits: int):
@@ -562,14 +582,30 @@ def hash64_hamming_filter(pairs_ds, sigs_ds, *, id_col: str, hash_col: str,
     state = ray.put((ids[order], hs[order].view(np.uint64)))
     ca, cb = pair_cols
 
+    def _lookup(sids, shs, q, side):
+        """searchsorted + EQUALITY check: a pair id absent from the
+        signature table must be a loud contract error, not a silent
+        neighbor-signature lookup (or an IndexError at the array end)."""
+        idx = np.searchsorted(sids, q)
+        idx = np.minimum(idx, max(len(sids) - 1, 0))
+        bad = sids[idx] != q if len(sids) else np.ones(len(q), bool)
+        if bad.any():
+            missing = q[np.flatnonzero(bad)[:3]].tolist()
+            raise KeyError(
+                f"hash64_hamming_filter: {int(bad.sum())} pair ids in "
+                f"column {side!r} absent from the signature table "
+                f"(e.g. {missing})"
+            )
+        return shs[idx]
+
     def _verify(batch: pa.Table) -> pa.Table:
         sids, shs = ray.get(state)
         a = batch.column(ca).combine_chunks().cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         b_ = batch.column(cb).combine_chunks().cast(pa.int64()).to_numpy(
             zero_copy_only=False)
-        ha = shs[np.searchsorted(sids, a)]
-        hb = shs[np.searchsorted(sids, b_)]
+        ha = _lookup(sids, shs, a, ca)
+        hb = _lookup(sids, shs, b_, cb)
         d = _popcount64(np.bitwise_xor(ha, hb))
         out = batch.append_column("hamming", pa.array(d, pa.int64()))
         return out.filter(pa.array(d <= max_hamming, pa.bool_()))

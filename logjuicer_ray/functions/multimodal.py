@@ -571,14 +571,16 @@ def phash_dedup(media_ds, *, id_col: str = "media_id", band_bits: int = 16,
     applies unchanged to the ``audio_fp`` column for audio near-dup.
 
     ``max_hamming``: optional exact verification pass
-    (``dedup.hash64_hamming_filter``) — banded candidates whose true
-    pHash distance exceeds the threshold are dropped and the output
-    gains a ``hamming`` column.  Band bucketing is recall-complete below
-    64/band_bits bits but admits farther pairs that happen to share a
-    band; the verify pass makes precision exact too."""
+    (``dedup.hash64_hamming_filter``) applied INSIDE
+    ``hash64_banded_dedup`` to the per-band candidate pairs, BEFORE the
+    per-id min-root collapse — so an id whose min band-root happens to
+    be a far collision still keeps its genuine near-duplicate root from
+    another band (the post-collapse ordering lost such ids entirely).
+    The output gains a ``hamming`` column and ``dup_of`` is the min root
+    among VERIFIED pairs only."""
     import pyarrow.compute as pc
 
-    from .dedup import hash64_banded_dedup, hash64_hamming_filter
+    from .dedup import hash64_banded_dedup
 
     hashed = decode_images(media_ds, concurrency=concurrency,
                            batch_size=batch_size)
@@ -588,14 +590,8 @@ def phash_dedup(media_ds, *, id_col: str = "media_id", band_bits: int = 16,
         return kept.select([id_col, "phash"])
 
     sigs = hashed.map_batches(keep_real, batch_format="pyarrow").materialize()
-    out = hash64_banded_dedup(sigs, id_col=id_col, hash_col="phash",
-                              band_bits=band_bits)
-    if max_hamming is None:
-        return out
-    return hash64_hamming_filter(
-        out, sigs, id_col=id_col, hash_col="phash",
-        pair_cols=(id_col, "dup_of"), max_hamming=max_hamming,
-    )
+    return hash64_banded_dedup(sigs, id_col=id_col, hash_col="phash",
+                               band_bits=band_bits, max_hamming=max_hamming)
 
 
 def decode_images(ds, *, out_dim: int = 64, concurrency=2, batch_size: int = 64):

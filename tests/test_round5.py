@@ -1,0 +1,103 @@
+"""Round-5 regression tests for the three ADVICE findings:
+
+1. phash/banded-Hamming dedup must verify per-band candidate pairs BEFORE
+   the per-id min-root collapse (ADVICE r4 medium, multimodal.py:595).
+2. hash64_hamming_filter must raise loudly on a pair id absent from the
+   signature table, not silently use a neighbor's signature (dedup.py:571).
+3. export_conversations must preserve the key column's original dtype
+   (corpus.py:675).
+"""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+
+def _bands_to_hash64(bands16):
+    """Pack four 16-bit band values (LSB band first) into one int64."""
+    v = np.uint64(0)
+    for i, b in enumerate(bands16):
+        v |= np.uint64(b) << np.uint64(16 * i)
+    return np.int64(v.view(np.int64) if hasattr(v, "view") else v)
+
+
+def test_banded_dedup_verify_runs_before_collapse(ray_session):
+    """ADVICE r4 (medium): an id whose MIN band-root is a far collision
+    must still keep its genuine near-duplicate found via another band.
+
+    W=1 shares only band 0 with X=3 (overall Hamming large); Y=2 shares
+    bands 1-3 with X and differs by exactly 2 bits.  The old
+    post-collapse order picked dup_of=W (min id), the verify pass then
+    dropped the row entirely and the true pair (X, Y) was lost."""
+    from logjuicer_ray.functions.dedup import hash64_banded_dedup
+
+    A, B, C, D = 0x1234, 0x5678, 0x9ABC, 0x0DEF
+    far = lambda x: x ^ 0xFFFF  # noqa: E731 - flip all 16 bits of a band
+    hx = _bands_to_hash64([A, B, C, D])            # X = 3
+    hw = _bands_to_hash64([A, far(B), far(C), far(D)])  # W = 1: 48 bits away
+    hy = _bands_to_hash64([A ^ 0b11, B, C, D])     # Y = 2: 2 bits away
+
+    sigs = ray.data.from_arrow(pa.table({
+        "media_id": pa.array([1, 2, 3], pa.int64()),
+        "phash": pa.array([hw, hy, hx], pa.int64()),
+    }))
+    out = hash64_banded_dedup(
+        sigs, id_col="media_id", hash_col="phash", band_bits=16,
+        max_hamming=10,
+    ).to_pandas().sort_values("media_id").reset_index(drop=True)
+
+    # X keeps its verified near-dup root Y; Y roots to nothing closer
+    # than X but Y < X so Y emits no row (root contract); W is a
+    # singleton under verification.
+    assert out["media_id"].tolist() == [3]
+    assert out["dup_of"].tolist() == [2]
+    assert out["hamming"].tolist() == [2]
+
+    # sanity: without the verify pass the far collision W wins the min
+    loose = hash64_banded_dedup(
+        sigs, id_col="media_id", hash_col="phash", band_bits=16,
+    ).to_pandas().sort_values("media_id").reset_index(drop=True)
+    # Y=2 is the min of every bucket it appears in, so it emits no row
+    assert loose["media_id"].tolist() == [3]
+    assert loose["dup_of"].tolist() == [1]
+
+
+def test_hamming_filter_rejects_unknown_pair_ids(ray_session):
+    """ADVICE r4 (low): a pair id missing from sigs_ds must be a loud
+    KeyError, not a neighboring id's signature (or IndexError at the
+    array end)."""
+    from logjuicer_ray.functions.dedup import hash64_hamming_filter
+
+    sigs = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "h": pa.array([0, 3], pa.int64()),
+    }))
+    pairs = ray.data.from_arrow(pa.table({
+        "a": pa.array([1, 99], pa.int64()),   # 99 absent; searchsorted
+        "b": pa.array([2, 2], pa.int64()),    # lands past the end
+    }))
+    out = hash64_hamming_filter(pairs, sigs, id_col="id", hash_col="h",
+                                pair_cols=("a", "b"), max_hamming=64)
+    with pytest.raises(Exception, match="absent from the signature table"):
+        out.to_pandas()
+
+
+def test_export_conversations_preserves_key_dtype(ray_session):
+    """ADVICE r4 (low): a non-string conversation key must come back with
+    its original Arrow type, not silently cast to string."""
+    from logjuicer_ray.functions.corpus import export_conversations
+
+    turns = ray.data.from_arrow(pa.table({
+        "conv_id": pa.array([10, 10, 7, 7, 7], pa.int64()),
+        "turn_idx": pa.array([0, 1, 0, 1, 2], pa.int32()),
+        "text": pa.array(["a", "b", "x", None, "z"], pa.string()),
+    }))
+    out = export_conversations(turns)
+    tbl = pa.concat_tables(out.to_arrow_refs() and
+                           [ray.get(r) for r in out.to_arrow_refs()])
+    assert tbl.schema.field("conv_id").type == pa.int64()
+    df = tbl.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert df["conv_id"].tolist() == [7, 10]
+    assert df["full_text"].tolist() == ["x\n\nz", "a\nb"]
+    assert df["n_turns"].tolist() == [3, 2]
