@@ -44,12 +44,15 @@ def lines_dataset(path: str, *, conv_id: str | None = None, role: str = "file",
                   tool: str = ""):
     """A text file of lines → a turns-schema Dataset (one turn per line,
     line number = turn_idx) — the open_raw_source / LinesIterator analog
-    for local files (iterator.rs:155-157 line framing; rows here are
-    pre-split by construction)."""
+    for local files, with the reference's format-aware framing by suffix
+    (BytesLines sub-line/ansible/JSON/XML splitting + 6000-B drop,
+    iterator.rs:150-346 via sources/linesplit.py)."""
     import ray.data as rd
 
-    with open(path, "r", encoding="utf-8", errors="replace") as f:
-        lines = f.read().splitlines()
+    from .sources.linesplit import file_type_for, split_log_text
+
+    with open(path, "rb") as f:
+        lines = split_log_text(f.read(), file_type=file_type_for(path))
     n = len(lines)
     table = pa.table(
         {
@@ -76,13 +79,18 @@ def load_inf(path: str) -> dict:
 
 
 _ARCHIVE_SUFFIXES = (".tar", ".tar.gz", ".tgz", ".tar.xz")
+#: format-dispatch suffixes a pair file may carry after .good/.fail so
+#: lines_dataset frames it as the reference would (source.rs:36-44)
+_FORMAT_SUFFIXES = (".json", ".xml")
 
 
 def _matches_kind(name: str, kind: str) -> bool:
-    # plain text file ("x.good") or an archive pair ("x.good.tar.gz")
+    # plain text ("x.good"), an archive pair ("x.good.tar.gz"), or a
+    # format-dispatched pair ("job-output.good.json")
     if name.endswith(kind):
         return True
-    return any(name.endswith(kind + s) for s in _ARCHIVE_SUFFIXES)
+    return any(name.endswith(kind + s)
+               for s in _ARCHIVE_SUFFIXES + _FORMAT_SUFFIXES)
 
 
 def _find_pair(path: str) -> tuple[str, str]:

@@ -70,8 +70,10 @@ def _decompress_member(name: str, data: bytes) -> bytes:
 
 def _entry_rows(url: str, data: bytes, max_entry_bytes: int):
     from .journal import is_journal_path, journal_lines
+    from .linesplit import file_type_for, split_log_text
 
-    if is_journal_path(url.rsplit("&sub=", 1)[-1].split("?entry=", 1)[-1]):
+    entry_path = url.rsplit("&sub=", 1)[-1].split("?entry=", 1)[-1]
+    if is_journal_path(entry_path):
         # a .journal member inside an archive parses as a binary journal
         # (source.rs:34 dispatches by entry suffix, not container)
         try:
@@ -82,8 +84,11 @@ def _entry_rows(url: str, data: bytes, max_entry_bytes: int):
     if len(data) > max_entry_bytes:
         cut = data.rfind(b"\n", 0, max_entry_bytes)
         data = data[: cut + 1 if cut >= 0 else max_entry_bytes]
-    text = data.decode("utf-8", errors="replace")
-    return url, text.splitlines()
+    # BytesLines framing with format-aware sub-line splitting: literal-\n
+    # sublines + ansible stdout markers in every mode, JSON scalar / XML
+    # '><' splits by suffix, 6000-B over-long lines dropped
+    # (iterator.rs:150-346, dispatch source.rs:28-48)
+    return url, split_log_text(data, file_type=file_type_for(entry_path))
 
 
 def iter_archive_entries(
