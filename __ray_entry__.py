@@ -1423,25 +1423,27 @@ def _q_tpch_q3(sf_dir: str):
 
 def _q_phash_dedup_media(sf_dir: str):
     """Image near-dup detection with REAL decode (no SQL oracle — binary
-    payloads): deterministic valid 24-bit BMPs (plus planted exact and
-    ±4-noise near-duplicates of image 0), pure-numpy decode → 8×8-DCT
-    pHash → banded-Hamming LSH on the shared sorted exchange
-    (functions/multimodal.py phash_dedup).  Output is the (media_id,
-    dup_of) non-root members sorted by media_id — deterministic, and the
-    planted pair is asserted in tests/test_multimodal_real.py."""
+    payloads): deterministic valid images — a MIX of 8-bit PNGs
+    (stdlib-zlib decode) and 24-bit BMPs, plus planted exact and
+    ±4-noise BMP duplicates of PNG image 0 (cross-container near-dup) —
+    pure-numpy decode → 8×8-DCT pHash → banded-Hamming LSH on the
+    shared sorted exchange (functions/multimodal.py phash_dedup).
+    Output is the (media_id, dup_of) non-root members sorted by
+    media_id — deterministic, and the planted pair is asserted in
+    tests/test_multimodal_real.py."""
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
 
     from logjuicer_ray.functions.multimodal import (
-        decode_bmp,
+        decode_image,
         encode_bmp,
         phash_dedup,
         synth_real_media_batch,
     )
 
-    t = synth_real_media_batch(list(range(0, 256, 2)))  # 128 bmp images
-    img0 = decode_bmp(t.column("payload")[0].as_py())
+    t = synth_real_media_batch(list(range(0, 256, 2)))  # 128 png/bmp images
+    img0 = decode_image(t.column("payload")[0].as_py())  # id 0 is a PNG
     rng = np.random.default_rng(5)
     noisy = np.clip(
         img0.astype(int) + rng.integers(-4, 5, img0.shape), 0, 255

@@ -8,9 +8,12 @@ import pytest
 from logjuicer_ray.functions.multimodal import (
     audio_fp64,
     decode_bmp,
+    decode_image,
+    decode_png,
     decode_ppm,
     decode_wav,
     encode_bmp,
+    encode_png,
     encode_ppm,
     encode_wav,
     phash64,
@@ -105,7 +108,7 @@ def test_real_stage_features_and_stable_schema(ray_session):
                  out.column("phash").to_pylist()))
     for mid, fmt in zip(imgs.column("media_id").to_pylist(),
                         imgs.column("format").to_pylist()):
-        assert (d[mid] is not None) == (fmt == "bmp"), (mid, fmt)
+        assert (d[mid] is not None) == (fmt in ("bmp", "png")), (mid, fmt)
     auds = mixed.filter(
         __import__("pyarrow").compute.equal(mixed.column("kind"), "audio")
     )
@@ -137,8 +140,8 @@ def test_phash_dedup_plants_near_and_exact_dups(ray_session):
         synth_real_media_batch,
     )
 
-    t = synth_real_media_batch(list(range(0, 40, 2)))  # 20 bmp images
-    img0 = decode_bmp(t.column("payload")[0].as_py())
+    t = synth_real_media_batch(list(range(0, 40, 2)))  # 20 png/bmp images
+    img0 = decode_image(t.column("payload")[0].as_py())  # id 0 is a PNG
     rng = np.random.default_rng(5)
     noisy = np.clip(
         img0.astype(int) + rng.integers(-4, 5, img0.shape), 0, 255
@@ -282,6 +285,14 @@ def test_bmp_roundtrip_property(h, w, seed):
 
 @settings(max_examples=30, deadline=None)
 @given(h=st.integers(1, 40), w=st.integers(1, 40), seed=st.integers(0, 2**31))
+def test_png_roundtrip_property(h, w, seed):
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3),
+                                               dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+@settings(max_examples=30, deadline=None)
+@given(h=st.integers(1, 40), w=st.integers(1, 40), seed=st.integers(0, 2**31))
 def test_ppm_roundtrip_property(h, w, seed):
     img = np.random.default_rng(seed).integers(0, 256, (h, w, 3),
                                                dtype=np.uint8)
@@ -345,7 +356,7 @@ def test_phash_dedup_with_hamming_verify(ray_session):
     )
 
     t = synth_real_media_batch(list(range(0, 40, 2)))
-    img0 = decode_bmp(t.column("payload")[0].as_py())
+    img0 = decode_image(t.column("payload")[0].as_py())  # id 0 is a PNG
     rng = np.random.default_rng(5)
     noisy = np.clip(
         img0.astype(int) + rng.integers(-4, 5, img0.shape), 0, 255

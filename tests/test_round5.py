@@ -101,3 +101,141 @@ def test_export_conversations_preserves_key_dtype(ray_session):
     assert df["conv_id"].tolist() == [7, 10]
     assert df["full_text"].tolist() == ["x\n\nz", "a\nb"]
     assert df["n_turns"].tolist() == [3, 2]
+
+
+# --- PNG codec (r4 verdict ask #2: stdlib-only PNG decode) ----------------
+
+def _png_with_filters(img, filters):
+    """Independent PNG writer applying a CHOSEN filter per scanline
+    (spec-correct filtering, so decode must invert all five types)."""
+    import struct
+    import zlib
+
+    h, w, _ = img.shape
+    bpp = 3
+    out = bytearray()
+    prior = np.zeros(w * bpp, np.int16)
+    for y, f in zip(range(h), filters):
+        line = img[y].reshape(-1).astype(np.int16)
+        left = np.concatenate([np.zeros(bpp, np.int16), line[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int16), prior[:-bpp]])
+        if f == 0:
+            filt = line
+        elif f == 1:
+            filt = line - left
+        elif f == 2:
+            filt = line - prior
+        elif f == 3:
+            filt = line - ((left + prior) >> 1)
+        else:  # paeth
+            p = left + prior - upleft
+            pa_, pb, pc = (np.abs(p - left), np.abs(p - prior),
+                           np.abs(p - upleft))
+            pred = np.where((pa_ <= pb) & (pa_ <= pc), left,
+                            np.where(pb <= pc, prior, upleft))
+            filt = line - pred
+        out.append(f)
+        out.extend((filt & 0xFF).astype(np.uint8).tobytes())
+        prior = line
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decode_all_filter_types():
+    from logjuicer_ray.functions.multimodal import decode_png
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (10, 7, 3), dtype=np.uint8)
+    # every scanline gets a different filter, cycling through all five
+    filters = [y % 5 for y in range(10)]
+    assert np.array_equal(decode_png(_png_with_filters(img, filters)), img)
+    for f in range(5):
+        assert np.array_equal(
+            decode_png(_png_with_filters(img, [f] * 10)), img
+        ), f"filter {f}"
+
+
+def test_png_gray_and_rgba_normalize_to_rgb():
+    import struct
+    import zlib
+
+    from logjuicer_ray.functions.multimodal import decode_png
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 2x2 grayscale (color type 0)
+    gray = np.array([[1, 2], [3, 4]], np.uint8)
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(2))
+    buf = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    out = decode_png(buf)
+    assert out.shape == (2, 2, 3)
+    assert np.array_equal(out[:, :, 0], gray) and np.array_equal(out[:, :, 2], gray)
+    # 2x1 RGBA (color type 6): alpha dropped
+    rgba = np.array([[[10, 20, 30, 255], [40, 50, 60, 0]]], np.uint8)
+    raw = b"\x00" + rgba.reshape(-1).tobytes()
+    buf = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(buf), rgba[:, :, :3])
+
+
+def test_png_rejects_unsupported():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from logjuicer_ray.functions.multimodal import decode_png, encode_png
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BMnotapng")
+    # interlaced (Adam7) raises instead of decoding garbage
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+    buf = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+           + chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(buf)
+    # IDAT inflates to fewer bytes than h*(1+stride): explicit error
+    short = (b"\x89PNG\r\n\x1a\n"
+             + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+             + chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+             + chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_png(short)
+    # a cut mid-IDAT surfaces as a zlib error, never silent garbage
+    rng = np.random.default_rng(1)
+    big = encode_png(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
+    with _pytest.raises((ValueError, zlib.error)):
+        decode_png(big[:100])
+
+
+def test_png_and_bmp_same_pixels_same_phash():
+    """r4 ask #2 done-criterion: the PNG path joins the BMP path on
+    identical pixel arrays — identical decode, identical phash64."""
+    from logjuicer_ray.functions.multimodal import (
+        decode_bmp,
+        decode_png,
+        encode_bmp,
+        encode_png,
+        phash64,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (48, 32, 3), dtype=np.uint8)
+    a, b = decode_png(encode_png(img)), decode_bmp(encode_bmp(img))
+    assert np.array_equal(a, b)
+    assert phash64(a) == phash64(b)
