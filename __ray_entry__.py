@@ -3442,19 +3442,69 @@ def _q_turns_dedup_against(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        # hard-oracle queries first: the driver's correctness window checks
-        # the FIRST 50 entries, so every in-window query must carry a DuckDB
-        # value oracle (VERDICT r3 ask #1).
+        # The driver's correctness window certifies the FIRST 50 entries
+        # (every one must carry a DuckDB value oracle, VERDICT r3 ask #1).
+        # ROUND-5 ROTATION (VERDICT r4 ask #3): keep the flagship
+        # report/dedup core (first 6), then the 44 hard-oracle queries
+        # that no driver window or judge sf0.01 spot-check had certified
+        # yet — so CORRECTNESS_r04 (old window) + CORRECTNESS_r05 (this
+        # window) + the r4 judge 18-query check jointly value-certify all
+        # 112 hard-oracle queries at sf0.01.
         "report_unknown_routed": _q_unknown_routed,
         "report_counts": _q_report_counts,
         "errors_triggers": _q_errors_triggers,
-        "turn_counts": _q_turn_counts,
-        "group_volume": _q_group_volume,
         "exact_dedup_docs": _q_exact_dedup,
         "minhash_dedup_docs": _q_minhash_dedup,
+        "turn_lines": _q_turn_lines,
+        "part_pagerank": _q_part_pagerank,
+        "funnel_users": _q_funnel_users,
+        "rrf_docs": _q_rrf_docs,
+        "docs_profile": _q_docs_profile,
+        "docs_constraints": _q_docs_constraints,
+        "majority_labels": _q_majority_labels,
+        "balanced_docs": _q_balanced_docs,
+        "latest_events": _q_latest_events,
+        "zscore_docs": _q_zscore_docs,
+        "events_resampled": _q_events_resampled,
+        "event_transitions": _q_event_transitions,
+        "quantized_embeddings": _q_quantized_embeddings,
+        "lineitem_mad": _q_lineitem_mad,
+        "lineitem_trend": _q_lineitem_trend,
+        "docs_checksum": _q_docs_checksum,
+        "frequent_part_pairs": _q_frequent_part_pairs,
+        "cohort_retention": _q_cohort_retention,
+        "events_value_hist": _q_events_value_hist,
+        "events_windowed_dedup": _q_events_windowed_dedup,
+        "transition_probs": _q_transition_probs,
+        "join_size_stats": _q_join_size_stats,
+        "turns_context_windows": _q_turns_context_windows,
+        "langs_by_source": _q_langs_by_source,
+        "corpus_mix": _q_corpus_mix,
+        "doc_quantiles": _q_doc_quantiles,
+        "sampled_docs": _q_sampled_docs,
+        "customer_orders_join": _q_customer_orders_join,
+        "packed_docs": _q_packed_docs,
+        "lineitem_quantiles": _q_lineitem_quantiles,
+        "tfidf_docs": _q_tfidf_docs,
+        "lineitem_semijoin": _q_lineitem_semijoin,
+        "contaminated_docs": _q_contaminated_docs,
+        "curated_docs": _q_curated_docs,
+        "heavy_tokens_docs": _q_heavy_tokens,
+        "distinct_users_exact": _q_distinct_users_exact,
+        "customers_without_orders": _q_customers_without_orders,
+        "priority_sample_docs": _q_priority_sample,
+        "entropy_docs": _q_entropy_docs,
+        "mix_temperature_docs": _q_mix_temperature,
+        "normalized_docs": _q_normalized_docs,
+        "docs_union_by_name": _q_docs_union_by_name,
+        "docs_bundle_roundtrip": _q_docs_bundle_roundtrip,
+        "markup_stripped_docs": _q_markup_stripped,
+        "knn_ivf_index": _q_knn_ivf_index,
+        # -- end of driver window: previously-certified hard oracles --
+        "turn_counts": _q_turn_counts,
+        "group_volume": _q_group_volume,
         "ngram_jaccard_docs": _q_ngram_jaccard,
         "simhash_dedup_docs": _q_simhash_dedup,
-        "turn_lines": _q_turn_lines,
         "simhash_cc_docs": _q_simhash_cc,
         "token_counts_docs": _q_token_counts,
         "text_features_docs": _q_text_features,
@@ -3495,71 +3545,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminated_docs": _q_decontaminated_docs,
         "orders_ranked": _q_orders_ranked,
         "part_triangles": _q_part_triangles,
-        "part_pagerank": _q_part_pagerank,
         "docs_diff": _q_docs_diff,
-        "funnel_users": _q_funnel_users,
         "bm25_docs": _q_bm25_docs,
-        "rrf_docs": _q_rrf_docs,
-        "docs_profile": _q_docs_profile,
-        "docs_constraints": _q_docs_constraints,
-        "majority_labels": _q_majority_labels,
-        "balanced_docs": _q_balanced_docs,
-        "latest_events": _q_latest_events,
-        "zscore_docs": _q_zscore_docs,
-        "events_resampled": _q_events_resampled,
-        "event_transitions": _q_event_transitions,
-        "quantized_embeddings": _q_quantized_embeddings,
-        "lineitem_mad": _q_lineitem_mad,
-        "lineitem_trend": _q_lineitem_trend,
-        "docs_checksum": _q_docs_checksum,
-        "frequent_part_pairs": _q_frequent_part_pairs,
-        "cohort_retention": _q_cohort_retention,
-        "events_value_hist": _q_events_value_hist,
-        "events_windowed_dedup": _q_events_windowed_dedup,
-        "transition_probs": _q_transition_probs,
-        "join_size_stats": _q_join_size_stats,
-        "turns_context_windows": _q_turns_context_windows,
-        "langs_by_source": _q_langs_by_source,
         "fk_checks": _q_fk_checks,
-        "corpus_mix": _q_corpus_mix,
-        "doc_quantiles": _q_doc_quantiles,
-        "sampled_docs": _q_sampled_docs,
-        "customer_orders_join": _q_customer_orders_join,
-        "packed_docs": _q_packed_docs,
-        "lineitem_quantiles": _q_lineitem_quantiles,
-        "tfidf_docs": _q_tfidf_docs,
-        "lineitem_semijoin": _q_lineitem_semijoin,
-        "contaminated_docs": _q_contaminated_docs,
-        "curated_docs": _q_curated_docs,
-        "heavy_tokens_docs": _q_heavy_tokens,
-        "distinct_users_exact": _q_distinct_users_exact,
-        "customers_without_orders": _q_customers_without_orders,
         "similarity_report": _q_similarity,
         "fuzzy_pairs_docs": _q_fuzzy_pairs,
         "dup_ngram_spans_docs": _q_dup_ngram_spans,
-        "priority_sample_docs": _q_priority_sample,
         "unigram_logprob_docs": _q_unigram_logprob,
         "turns_dedup_against": _q_turns_dedup_against,
-        "entropy_docs": _q_entropy_docs,
         "dsir_weights_docs": _q_dsir_weights,
         "epoch_shuffle_docs": _q_epoch_shuffle,
         "mix_corpora_docs": _q_mix_corpora,
         "bpe_pair_counts_docs": _q_bpe_pair_counts,
         "docs_jsonl_roundtrip": _q_docs_jsonl_roundtrip,
         "docs_quality_band": _q_docs_quality_band,
-        "mix_temperature_docs": _q_mix_temperature,
         "strip_dup_spans_docs": _q_strip_dup_spans,
         "embedding_covariance": _q_embedding_covariance,
-        "normalized_docs": _q_normalized_docs,
-        "docs_union_by_name": _q_docs_union_by_name,
-        "docs_bundle_roundtrip": _q_docs_bundle_roundtrip,
-        "markup_stripped_docs": _q_markup_stripped,
         "corpus_overlap_docs": _q_corpus_overlap,
-        "knn_ivf_index": _q_knn_ivf_index,
         "nb_lang_docs": _q_nb_lang,
-        # no_oracle tail: genuinely non-SQL surfaces (token grammar, 260k-dim
-        # hashed cosine, approximate sketches, multimodal stubs) — covered by
-        # fixture/parity pytest instead of the driver hash compare.
+        # no_oracle tail: genuinely non-SQL surfaces (token grammar,
+        # 260k-dim hashed cosine, approximate sketches, multimodal
+        # stubs) — covered by fixture/parity pytest instead of the
+        # driver hash compare.
         "report_anomalies": _q_anomalies,
         "report_reports": _q_reports,
         "report_unknown": _q_unknown,

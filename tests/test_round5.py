@@ -239,3 +239,33 @@ def test_png_and_bmp_same_pixels_same_phash():
     a, b = decode_png(encode_png(img)), decode_bmp(encode_bmp(img))
     assert np.array_equal(a, b)
     assert phash64(a) == phash64(b)
+
+
+# --- correctness-window rotation (r4 verdict ask #3) ----------------------
+
+def test_driver_window_is_all_hard_oracle_and_rotated():
+    """The driver certifies the first 50 queries() entries: every one
+    must carry a DuckDB oracle, and the round-5 window must consist of
+    the flagship core plus entries the r1-r4 windows never certified."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    names = list(e.queries())
+    oracles = e.oracle_sql()
+    window = names[:50]
+    assert all(n in oracles for n in window), [
+        n for n in window if n not in oracles
+    ]
+    # flagship core stays in-window
+    for core in ["report_unknown_routed", "report_counts",
+                 "errors_triggers", "exact_dedup_docs",
+                 "minhash_dedup_docs", "turn_lines"]:
+        assert core in window
+    # rotation actually happened: the bulk of the r4 window moved out
+    r4_window_tail = ["turn_counts", "group_volume", "events_window",
+                      "tpch_q3", "knn_bruteforce", "orders_window",
+                      "lineitem_agg", "turns_export"]
+    assert all(n not in window for n in r4_window_tail)
+    assert all(n in names for n in r4_window_tail)
