@@ -30,7 +30,15 @@ import pyarrow.compute as pc
 
 from ..cache import GenCache
 from ..index_name import GROUP_SEP
-from ..tokenizer import GL_FILTER, _GLOBAL_FILTER_RE, _process_words, process, unordered_key
+from ..tokenizer import (
+    GL_FILTER,
+    _GLOBAL_FILTER_RE,
+    _process_words,
+    _WORDS_RE,
+    _word_process,
+    process,
+    unordered_key,
+)
 
 _GL_FILTER_PATTERN = _GLOBAL_FILTER_RE.pattern
 _GL_FILTER_HIT = (GL_FILTER, unordered_key(GL_FILTER))
@@ -110,6 +118,62 @@ def truncate_text_column(
     )
 
 
+def _assemble_tokens_vectorized(lines: pa.Array):
+    """Word-level vectorized token assembly for pre-stripped,
+    non-suspect, non-filtered unique lines (VERDICT r4 ask #8).
+
+    ``_word_process`` is a pure word → (fragment, added, consumed)
+    function, so the per-line Python loop in ``_process_words`` is one
+    Arrow split + a batch-vocabulary dictionary encode + a fancy-index
+    gather + one ``binary_join`` — Python runs once per unique WORD
+    (cross-batch memoized in the tokenizer's ``_WORD_CACHE``), not once
+    per unique line.  Measured 6.4 → ~0.9 µs per unique line on the
+    warmed word cache (BASELINE.md round-5 entry).
+
+    Returns ``(tokens: list[str|None], fallback: np.ndarray[bool])`` —
+    rows where any word consumes a following word (secret/password
+    keys, tokenizer.rs:533-539) carry ``None`` and must take the exact
+    ``_process_words`` path (the skip is data-dependent along the
+    line)."""
+    n = len(lines)
+    if n == 0:
+        return [], np.zeros(0, bool)
+    wl = pc.split_pattern_regex(lines, pattern=_WORDS_RE.pattern)
+    if isinstance(wl, pa.ChunkedArray):
+        wl = wl.combine_chunks()
+    flat = pc.list_flatten(wl)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    offsets = np.asarray(wl.offsets, dtype=np.int64)
+    wenc = flat.dictionary_encode()
+    codes = wenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    frag_u, added_u, cons_u = [], [], []
+    for w in wenc.dictionary.to_pylist():
+        f, a, c = _word_process(w)
+        frag_u.append(f)
+        added_u.append(a)
+        cons_u.append(c)
+    cons_np = np.asarray(cons_u, np.int64)
+    # lines where any word consumes lookahead -> exact Python fallback
+    word_cons = cons_np[codes]
+    cs = np.concatenate([[0], np.cumsum(word_cons)])
+    fallback = (cs[offsets[1:]] - cs[offsets[:-1]]) > 0
+    pieces = pc.binary_join_element_wise(
+        pa.array(frag_u, pa.string()).take(pa.array(codes, pa.int64())),
+        pc.if_else(pa.array(np.asarray(added_u, bool)[codes]), " ", ""),
+        "",
+    )
+    if isinstance(pieces, pa.ChunkedArray):
+        pieces = pieces.combine_chunks()
+    runs = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pieces)
+    joined = pc.utf8_rtrim(pc.binary_join(runs, ""), characters=" \t\n\r\x0b\x0c")
+    toks = joined.to_pylist()
+    if fallback.any():
+        for i in np.flatnonzero(fallback):
+            toks[i] = None
+    return toks, fallback
+
+
 def _tokenize_array(text: pa.Array) -> tuple[pa.Array, pa.Array]:
     """(tokens, dedup_key) arrays for one combined string array."""
     if text.null_count:
@@ -143,10 +207,11 @@ def _tokenize_array(text: pa.Array) -> tuple[pa.Array, pa.Array]:
         "[\\x0b\\x1c-\\x1f\\x85\\xa0\\x{1680}\\x{2000}-\\x{200a}"
         "\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]",
     ).to_pylist()
-    _stripped_l = _stripped.to_pylist()
     cache = _token_cache
-    toks_u: list[str] = []
-    keys_u: list[str] = []
+    n_u = len(uniq_folded)
+    toks_u: list = [None] * n_u
+    keys_u: list = [None] * n_u
+    vec_idx: list[int] = []
     for i, fkey in enumerate(uniq_folded):
         hit = cache.get(fkey)
         if hit is None:
@@ -158,11 +223,23 @@ def _tokenize_array(text: pa.Array) -> tuple[pa.Array, pa.Array]:
             elif _filtered[i]:
                 hit = _GL_FILTER_HIT
             else:
-                t = _process_words(_stripped_l[i])
-                hit = (t, unordered_key(t))
+                # common case: assembled vectorized below, word-level
+                vec_idx.append(i)
+                continue
             cache[fkey] = hit
-        toks_u.append(hit[0])
-        keys_u.append(hit[1])
+        toks_u[i] = hit[0]
+        keys_u[i] = hit[1]
+    if vec_idx:
+        idx_arr = pa.array(vec_idx, pa.int64())
+        toks_v, _fb = _assemble_tokens_vectorized(_stripped.take(idx_arr))
+        for j, i in enumerate(vec_idx):
+            t = toks_v[j]
+            if t is None:  # rare consumed-lookahead line: exact Python path
+                t = _process_words(_stripped[i].as_py())
+            hit = (t, unordered_key(t))
+            cache[uniq_folded[i]] = hit
+            toks_u[i] = hit[0]
+            keys_u[i] = hit[1]
     # dictionary-encoded output: per-row columns are int32 codes over the
     # unique values — the full token strings are never materialized per row
     # (the scorer dedups by code; winners are cast to plain strings only at

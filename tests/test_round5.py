@@ -269,3 +269,90 @@ def test_driver_window_is_all_hard_oracle_and_rotated():
                       "lineitem_agg", "turns_export"]
     assert all(n not in window for n in r4_window_tail)
     assert all(n in names for n in r4_window_tail)
+
+
+# --- vectorized token assembly (r4 verdict ask #8) ------------------------
+
+def test_vectorized_assembly_parity_with_python_path():
+    """_assemble_tokens_vectorized must equal _process_words exactly on
+    pre-stripped lines — golden cases, separators, escapes, and the
+    consumed-lookahead fallback."""
+    import pyarrow.compute as pc
+
+    from logjuicer_ray.stages.tokenize import _assemble_tokens_vectorized
+    from logjuicer_ray.tokenizer import _process_words, _word_process
+
+    lines = [
+        "sha256://toto tata finished in 00ms by systemd[0000]",
+        "systemd starting service alpha now",
+        "a\\nb\\rc multi escape words here",
+        "key=value other=00 path=/var/log/app.log",
+        "tab\tseparated\twords here",
+        "trailing spaces line   ",
+        "%odd {chars} present, here",
+        "many-dash-word and one ----------x noise",
+        "word/path/deep/split here",
+        "двойной юникод текст тут",
+        "",
+    ]
+    arr = pc.utf8_trim_whitespace(pa.array(lines, pa.string()))
+    toks_v, fb = _assemble_tokens_vectorized(arr)
+    stripped = arr.to_pylist()
+    for i, s in enumerate(stripped):
+        if toks_v[i] is None:
+            assert fb[i]
+            continue
+        assert toks_v[i] == _process_words(s), (s, toks_v[i])
+
+    # a consuming word (password key) must route the LINE to fallback —
+    # the skip is data-dependent along the line, so the pure per-word
+    # map cannot assemble it
+    assert _word_process("password:")[2] > 0  # sanity: consumes lookahead
+    consuming = pa.array(["login password: hunter0 done"], pa.string())
+    toks_c, fb_c = _assemble_tokens_vectorized(consuming)
+    assert fb_c[0] and toks_c[0] is None
+
+
+def test_tokenize_batch_end_to_end_with_vectorized_assembly(ray_session):
+    """tokenize_batch (which now routes cache misses through the
+    vectorized assembly) must equal per-line process() on a mixed batch,
+    including the consuming-password and suspect-whitespace rows that
+    take the exact Python paths."""
+    from logjuicer_ray.stages.tokenize import (
+        _token_cache,
+        tokenize_batch,
+    )
+    from logjuicer_ray.tokenizer import GL_FILTER, process
+
+    _token_cache.clear() if hasattr(_token_cache, "clear") else None
+    texts = [
+        "service started on port 8080 ok",
+        "single-word-line",
+        "GET / HTTP/1.1",
+        "login password: hunter2 secret done",
+        "weird\x1cwhitespace separated line",
+        "error failed with code 17 here",
+        None,
+        "service started on port 9090 ok",  # digit-variant of row 0
+    ]
+    n = len(texts)
+    batch = pa.table({
+        "conv_id": pa.array(["c"] * n), "turn_idx": pa.array(range(n), pa.int64()),
+        "role": pa.array(["file"] * n), "text": pa.array(texts, pa.string()),
+        "tool": pa.array([""] * n), "ts": pa.nulls(n, pa.timestamp("us")),
+    })
+    out = tokenize_batch(batch)
+    toks = [t if t is not None else "" for t in out.column("tokens").to_pylist()]
+    import re
+    for i, t in enumerate(texts):
+        raw = t or ""
+        # fold digits like the stage does, then compare with process()
+        folded = re.sub(r"[0-9]", "0", raw)
+        expect = process(folded) if folded.strip() else ""
+        assert toks[i] == expect, (i, t, toks[i], expect)
+    # digit variants share one tokenization
+    assert toks[0] == toks[7]
+    assert toks[1] == GL_FILTER
+    # toks[2] ("GET / HTTP/1.1") folds to HTTP/0.0 first, so the literal
+    # GL pattern can't match — the stage's documented digit-fold caveat;
+    # the loop above already asserted stage ≡ process(folded) for it.
