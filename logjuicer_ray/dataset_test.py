@@ -49,10 +49,16 @@ def lines_dataset(path: str, *, conv_id: str | None = None, role: str = "file",
     iterator.rs:150-346 via sources/linesplit.py)."""
     import ray.data as rd
 
+    from .sources.archives import _decompress_member
     from .sources.linesplit import file_type_for, split_log_text
 
     with open(path, "rb") as f:
-        lines = split_log_text(f.read(), file_type=file_type_for(path))
+        raw = f.read()
+    # per-file .gz/.xz decompress like the raw-file ingest (reader.rs
+    # from_path suffix dispatch); format dispatch keeps the FULL name so
+    # ".json.gz" still frames as JSON (source.rs:37-41)
+    data = _decompress_member(path, raw)
+    lines = split_log_text(data, file_type=file_type_for(path))
     n = len(lines)
     table = pa.table(
         {
@@ -80,8 +86,9 @@ def load_inf(path: str) -> dict:
 
 _ARCHIVE_SUFFIXES = (".tar", ".tar.gz", ".tgz", ".tar.xz")
 #: format-dispatch suffixes a pair file may carry after .good/.fail so
-#: lines_dataset frames it as the reference would (source.rs:36-44)
-_FORMAT_SUFFIXES = (".json", ".xml")
+#: lines_dataset frames/decompresses it as the reference would
+#: (source.rs:36-44 + reader.rs per-file .gz/.xz)
+_FORMAT_SUFFIXES = (".json", ".xml", ".gz", ".xz", ".json.gz", ".xml.gz")
 
 
 def _matches_kind(name: str, kind: str) -> bool:

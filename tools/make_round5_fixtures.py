@@ -145,6 +145,28 @@ def _junit(fail: bool) -> bytes:
     ).encode()
 
 
+def _gz(data: bytes) -> bytes:
+    import gzip
+    import io as _io
+
+    buf = _io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:  # reproducible
+        f.write(data)
+    return buf.getvalue()
+
+
+def _app_log(fail: bool) -> bytes:
+    lines = [f"INFO request handled route=/api/v1/items status=200 in 12ms"
+             for _ in range(20)]
+    lines += ["INFO cache refreshed entries=4096 in 88ms"] * 6
+    if fail:
+        lines.append("ERROR upstream timeout connecting to billing-svc:8443 after 30000ms")
+        lines.append("WARN circuit breaker OPEN for billing-svc")
+    else:
+        lines.append("INFO upstream healthy billing-svc:8443 rtt 4ms")
+    return ("\n".join(lines) + "\n").encode()
+
+
 def main() -> None:
     jdir = os.path.join(ROOT, "journal-member")
     os.makedirs(jdir, exist_ok=True)
@@ -161,6 +183,13 @@ def main() -> None:
             "zuul-info/inventory.yaml": _inventory(),
             "zuul-manifest.json": _manifest(fail),
         })
+
+    gdir = os.path.join(ROOT, "gzip-log")
+    os.makedirs(gdir, exist_ok=True)
+    with open(os.path.join(gdir, "app.good.gz"), "wb") as f:
+        f.write(_gz(_app_log(False)))
+    with open(os.path.join(gdir, "app.fail.gz"), "wb") as f:
+        f.write(_gz(_app_log(True)))
 
     xdir = os.path.join(ROOT, "junit-xml")
     os.makedirs(xdir, exist_ok=True)
