@@ -76,7 +76,15 @@ class _StreamReader:
         self.f = fileobj
         self.offset = 0
 
+    #: defensive per-object cap — a corrupted 64-bit size field must raise
+    #: the same ValueError the rest of the parser uses (callers skip the
+    #: member), not an OverflowError/MemoryError from a petabyte read
+    #: (systemd's own DATA_SIZE_MAX is far below this)
+    MAX_OBJECT_BYTES = 1 << 30
+
     def read_exact(self, n: int) -> bytes:
+        if n < 0 or n > self.MAX_OBJECT_BYTES:
+            raise ValueError(f"journal object size {n} out of range")
         buf = self.f.read(n)
         if len(buf) != n:
             raise EOFError

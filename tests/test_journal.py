@@ -152,3 +152,37 @@ def test_cli_errors_over_journal(ray_session, tmp_path):
     assert rc == 0
     summary = json.load(open(os.path.join(out, "summary.json")))
     assert summary["sinks"]["anomalies"] >= 1
+
+
+def test_corrupted_journals_fail_cleanly():
+    """3000 random corruptions (byte flips / truncations / junk tails) of
+    a valid journal must either parse or raise ValueError/EOFError — the
+    two exceptions the archive/raw-file ingest catches to SKIP a corrupt
+    member (archives._entry_rows) — never OverflowError/MemoryError from
+    a corrupted 64-bit size field."""
+    import io
+
+    import numpy as np
+
+    from logjuicer_ray.sources.journal import journal_lines
+
+    rng = np.random.default_rng(9)
+    base = bytearray(_simple_journal())
+    seen = set()
+    for _ in range(3000):
+        buf = bytearray(base)
+        for _ in range(int(rng.integers(1, 6))):
+            kind = rng.integers(0, 3)
+            if kind == 0 and len(buf) > 1:
+                buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+            elif kind == 1 and len(buf) > 10:
+                del buf[int(rng.integers(1, len(buf))):]
+            else:
+                buf += bytes(rng.integers(
+                    0, 256, int(rng.integers(1, 64)), dtype=np.uint8))
+        try:
+            list(journal_lines(io.BytesIO(bytes(buf))))
+        except (ValueError, EOFError) as e:
+            seen.add(type(e).__name__)
+        # any other exception type propagates and fails the test
+    assert seen <= {"ValueError", "EOFError"}

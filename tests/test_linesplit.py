@@ -206,7 +206,20 @@ def test_vectorized_matches_naive_reference(ft):
                 out.append((seg, line_no))
         return out
 
-    for _ in range(25):
-        m = int(rng.integers(0, 400))
+    for _ in range(60):
+        m = int(rng.integers(0, 1200))
         data = bytes(rng.choice(np.frombuffer(alphabet, np.uint8), m))
         assert split_log_lines(data, file_type=ft) == naive(data, ft), data
+    # full byte range (including NUL, \r, multi-byte UTF-8 fragments):
+    # framing is byte-level and must agree everywhere
+    for _ in range(20):
+        m = int(rng.integers(0, 600))
+        data = bytes(rng.integers(0, 256, m, dtype=np.uint8))
+        assert split_log_lines(data, file_type=ft) == naive(data, ft), data
+    # adversarial: markers preceded by escape runs of every parity, and
+    # escape runs crossing would-be separators
+    for pre in (b"", b"\\", b"\\\\", b"\\\\\\"):
+        for mid in (b"x", b"\n", b"\\n", b'"'):
+            data = b"head " + pre + ANSIBLE_MARKER + mid + pre + b"\ntail"
+            assert split_log_lines(data, file_type=ft) == naive(data, ft), \
+                (pre, mid)
