@@ -232,8 +232,10 @@ def decode_png(buf: bytes) -> np.ndarray:
         data = buf[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
+            if len(data) < 13:
+                raise ValueError("truncated PNG IHDR")
             w, h, bit_depth, color_type, _comp, _filt, interlace = \
-                struct.unpack(">IIBBBBB", data)
+                struct.unpack_from(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -248,7 +250,13 @@ def decode_png(buf: bytes) -> np.ndarray:
     channels = {0: 1, 2: 3, 6: 4}[color_type]
     bpp = channels  # bytes per pixel at bit depth 8
     stride = w * bpp
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    try:
+        inflated = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # every codec raises ValueError on corrupt payloads, so callers
+        # (and the decode stages' skip_corrupt mode) catch ONE type
+        raise ValueError(f"corrupt PNG deflate stream: {e}") from e
+    raw = np.frombuffer(inflated, np.uint8)
     if len(raw) < h * (1 + stride):
         raise ValueError("truncated PNG pixel data")
     raw = raw[: h * (1 + stride)].reshape(h, 1 + stride)
@@ -316,6 +324,8 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         cid, size = struct.unpack_from("<4sI", buf, pos)
         body = buf[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
             if audio_fmt != 1 or channels != 1 or bits != 16:
@@ -505,17 +515,25 @@ class ImageDecodeStage:
     """Actor-pool stage: decode + resize + embed + perceptually hash
     images.
 
-    ``bmp`` / ``ppm`` payloads get the REAL pure-numpy decode, the real
-    8×8-thumbnail embedding and the real :func:`phash64`.  Compressed
-    formats are stubbed (no image libs in this container): ``strict=True``
-    raises the honest NotImplementedError for them, the default produces
-    the deterministic fake embedding with a null ``phash`` so the output
-    schema is stable across any format mix.
+    ``bmp`` / ``ppm`` / ``png`` payloads get the REAL pure-numpy decode,
+    the real 8×8-thumbnail embedding and the real :func:`phash64`.
+    Formats that genuinely need a codec library are stubbed:
+    ``strict=True`` raises the honest NotImplementedError for them, the
+    default produces the deterministic fake embedding with a null
+    ``phash`` so the output schema is stable across any format mix.
+
+    ``skip_corrupt=True``: a payload whose decode raises ValueError (all
+    codecs normalize corrupt-payload errors to ValueError) yields null
+    embedding + null phash instead of failing the task — at 100-TB scale
+    one truncated image must not kill a pipeline; downstream consumers
+    already drop null-phash rows (``phash_dedup.keep_real``).
     """
 
-    def __init__(self, out_dim: int = 64, strict: bool = False):
+    def __init__(self, out_dim: int = 64, strict: bool = False,
+                 skip_corrupt: bool = False):
         self.out_dim = out_dim
         self.strict = strict
+        self.skip_corrupt = skip_corrupt
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats, hashes = [], []
@@ -523,7 +541,14 @@ class ImageDecodeStage:
         for p, fmt in zip(batch.column("payload"), fmts):
             decode = _REAL_IMAGE_FORMATS.get(fmt)
             if decode is not None:
-                rgb = decode(p.as_py())
+                try:
+                    rgb = decode(p.as_py())
+                except ValueError:
+                    if not self.skip_corrupt:
+                        raise
+                    feats.append(None)
+                    hashes.append(None)
+                    continue
                 feats.append(_image_embedding_real(rgb, self.out_dim))
                 hashes.append(phash64(rgb))
             elif self.strict:
@@ -538,7 +563,8 @@ class ImageDecodeStage:
                 hashes.append(None)
         return batch.drop_columns(["payload"]).append_column(
             "image_embedding",
-            pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
+            pa.array([f.tolist() if f is not None else None for f in feats],
+                     pa.list_(pa.float32())),
         ).append_column("phash", pa.array(hashes, pa.int64()))
 
 
@@ -547,18 +573,29 @@ class AudioFeatureStage:
     (PCM-16 mono) payloads get the REAL stdlib/numpy decode, real
     duration/RMS/ZCR/centroid features and the FFT-band-delta
     :func:`audio_fp64`; other formats are stubbed the same way as
-    images (null ``audio_fp`` keeps the schema stable)."""
+    images (null ``audio_fp`` keeps the schema stable).
+    ``skip_corrupt=True`` nulls rows whose decode raises ValueError
+    (see ``ImageDecodeStage``)."""
 
-    def __init__(self, out_dim: int = 32, strict: bool = False):
+    def __init__(self, out_dim: int = 32, strict: bool = False,
+                 skip_corrupt: bool = False):
         self.out_dim = out_dim
         self.strict = strict
+        self.skip_corrupt = skip_corrupt
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats, fps = [], []
         fmts = batch.column("format").to_pylist()
         for p, fmt in zip(batch.column("payload"), fmts):
             if fmt == "wav":
-                samples, rate = decode_wav(p.as_py())
+                try:
+                    samples, rate = decode_wav(p.as_py())
+                except ValueError:
+                    if not self.skip_corrupt:
+                        raise
+                    feats.append(None)
+                    fps.append(None)
+                    continue
                 feats.append(_audio_features_real(samples, rate, self.out_dim))
                 fps.append(audio_fp64(samples))
             elif self.strict:
@@ -572,7 +609,8 @@ class AudioFeatureStage:
                 fps.append(None)
         return batch.drop_columns(["payload"]).append_column(
             "audio_features",
-            pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
+            pa.array([f.tolist() if f is not None else None for f in feats],
+                     pa.list_(pa.float32())),
         ).append_column("audio_fp", pa.array(fps, pa.int64()))
 
 
@@ -659,11 +697,14 @@ class VideoFrameSampleStage:
     sampled frames, emit per-video features — frame count, fps,
     duration, and the sampled frames' pHashes (the video fingerprint for
     near-dup detection: two videos sharing any sampled-frame pHash band
-    bucket together downstream)."""
+    bucket together downstream).  ``skip_corrupt=True`` nulls rows whose
+    container parse raises ValueError (see ``ImageDecodeStage``)."""
 
-    def __init__(self, every: int = 5, strict: bool = False):
+    def __init__(self, every: int = 5, strict: bool = False,
+                 skip_corrupt: bool = False):
         self.every = every
         self.strict = strict
+        self.skip_corrupt = skip_corrupt
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         counts, fpss, durs, hashes = [], [], [], []
@@ -671,8 +712,17 @@ class VideoFrameSampleStage:
         for p, fmt in zip(batch.column("payload"), fmts):
             if fmt == "fpk":
                 buf = p.as_py()
-                n, fps, _ = decode_framepack_index(buf)
-                frames = sample_framepack(buf, every=self.every)
+                try:
+                    n, fps, _ = decode_framepack_index(buf)
+                    frames = sample_framepack(buf, every=self.every)
+                except ValueError:
+                    if not self.skip_corrupt:
+                        raise
+                    counts.append(0)
+                    fpss.append(0)
+                    durs.append(0.0)
+                    hashes.append(None)
+                    continue
                 counts.append(n)
                 fpss.append(fps)
                 durs.append(n / fps if fps else 0.0)

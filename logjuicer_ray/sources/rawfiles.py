@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import io
 import os
+import tarfile
 
 __all__ = ["read_file_lines", "rotated_baseline_path", "walk_files"]
 
@@ -107,12 +108,17 @@ def read_file_lines(
         for row in batch.to_pylist():
             p, rel = row["path"], row["rel"]
             if is_tarball_path(rel):
-                entries = [
-                    (u, u.split("?entry=", 1)[-1].rsplit("&sub=", 1)[-1], lines)
-                    for u, lines in iter_archive_entries(
-                        p, fp_valid=fp_valid, max_entry_bytes=max_entry_bytes
-                    )
-                ]
+                try:
+                    entries = [
+                        (u, u.split("?entry=", 1)[-1].rsplit("&sub=", 1)[-1],
+                         lines)
+                        for u, lines in iter_archive_entries(
+                            p, fp_valid=fp_valid,
+                            max_entry_bytes=max_entry_bytes
+                        )
+                    ]
+                except (OSError, EOFError, tarfile.TarError):
+                    continue  # corrupt archive: skip, never fail the scan
                 out.append(_remote_rows_table(entries, role))
                 continue
             read_n = -1

@@ -708,12 +708,17 @@ def read_url_lines(
             if raw is None:
                 continue
             if is_tarball_path(rel.removesuffix(".gz").removesuffix(".xz")) or is_tarball_path(rel):
-                entries = [
-                    (u, u.split("?entry=", 1)[-1].rsplit("&sub=", 1)[-1], lines)
-                    for u, lines in iter_archive_entries(
-                        url, io.BytesIO(raw), fp_valid=fp_valid, max_entry_bytes=cap
-                    )
-                ]
+                import tarfile as _tarfile
+
+                try:
+                    entries = [
+                        (u, u.split("?entry=", 1)[-1].rsplit("&sub=", 1)[-1], lines)
+                        for u, lines in iter_archive_entries(
+                            url, io.BytesIO(raw), fp_valid=fp_valid, max_entry_bytes=cap
+                        )
+                    ]
+                except (OSError, EOFError, _tarfile.TarError):
+                    continue  # corrupt remote archive: skip, never fail the scan
                 out.append(_remote_rows_table(entries, role))
                 continue
             try:

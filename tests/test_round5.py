@@ -216,10 +216,11 @@ def test_png_rejects_unsupported():
              + chunk(b"IEND", b""))
     with _pytest.raises(ValueError, match="truncated"):
         decode_png(short)
-    # a cut mid-IDAT surfaces as a zlib error, never silent garbage
+    # a cut mid-IDAT normalizes to ValueError (zlib.error is wrapped so
+    # every codec raises ONE corrupt-payload type)
     rng = np.random.default_rng(1)
     big = encode_png(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
-    with _pytest.raises((ValueError, zlib.error)):
+    with _pytest.raises(ValueError, match="corrupt PNG deflate"):
         decode_png(big[:100])
 
 
@@ -356,3 +357,127 @@ def test_tokenize_batch_end_to_end_with_vectorized_assembly(ray_session):
     # toks[2] ("GET / HTTP/1.1") folds to HTTP/0.0 first, so the literal
     # GL pattern can't match — the stage's documented digit-fold caveat;
     # the loop above already asserted stage ≡ process(folded) for it.
+
+
+# --- corrupt-payload robustness (round-5 hardening) -----------------------
+
+def test_codecs_raise_only_valueerror_on_corruption():
+    """Every media codec must normalize corrupt-payload failures to
+    ValueError (the one type the stages' skip_corrupt mode catches) —
+    fuzzed with byte flips, truncations and junk tails."""
+    from logjuicer_ray.functions import multimodal as mm
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    pcm = rng.integers(-32768, 32768, 2048).astype(np.int16)
+    cases = {
+        "bmp": (mm.encode_bmp(img), mm.decode_bmp),
+        "png": (mm.encode_png(img), mm.decode_png),
+        "ppm": (mm.encode_ppm(img), mm.decode_ppm),
+        "wav": (mm.encode_wav(pcm, 8000), mm.decode_wav),
+        "fpk": (mm.encode_framepack([img, img], fps=5),
+                mm.decode_framepack_index),
+    }
+    for name, (buf, decode) in cases.items():
+        for _ in range(400):
+            b = bytearray(buf)
+            for _ in range(int(rng.integers(1, 5))):
+                k = rng.integers(0, 3)
+                if k == 0 and len(b) > 1:
+                    b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+                elif k == 1 and len(b) > 4:
+                    del b[int(rng.integers(1, len(b))):]
+                else:
+                    b += bytes(rng.integers(0, 256, int(rng.integers(1, 32)),
+                                            dtype=np.uint8))
+            try:
+                decode(bytes(b))
+            except ValueError:
+                pass  # the one allowed failure type
+            # any other exception type propagates and fails the test
+
+
+def test_decode_stages_skip_corrupt_rows():
+    """skip_corrupt=True: a truncated payload yields null features
+    instead of failing the task; default mode still raises."""
+    from logjuicer_ray.functions.multimodal import (
+        AudioFeatureStage,
+        ImageDecodeStage,
+        VideoFrameSampleStage,
+        encode_bmp,
+        encode_framepack,
+        encode_wav,
+        synth_real_media_batch,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    good = synth_real_media_batch([0, 2, 1, 3])  # png, bmp, 2x wav
+    bad_img = pa.table({
+        "media_id": pa.array([99], pa.int64()),
+        "kind": pa.array(["image"]),
+        "payload": pa.array([encode_bmp(img)[:30]], pa.binary()),
+        "format": pa.array(["bmp"]),
+        "width": pa.array([16], pa.int32()),
+        "height": pa.array([16], pa.int32()),
+        "sample_rate": pa.array([0], pa.int32()),
+    })
+    imgs = pa.concat_tables(
+        [good.filter(pa.compute.equal(good.column("kind"), "image")), bad_img]
+    )
+    out = ImageDecodeStage(skip_corrupt=True)(imgs)
+    d = dict(zip(out.column("media_id").to_pylist(),
+                 out.column("phash").to_pylist()))
+    assert d[99] is None and d[0] is not None and d[2] is not None
+    with pytest.raises(ValueError):
+        ImageDecodeStage()(imgs)
+
+    bad_wav = bad_img.set_column(
+        bad_img.schema.get_field_index("payload"), "payload",
+        pa.array([encode_wav(np.zeros(64, np.int16), 8000)[:14]], pa.binary()),
+    ).set_column(bad_img.schema.get_field_index("format"), "format",
+                 pa.array(["wav"]))
+    auds = pa.concat_tables(
+        [good.filter(pa.compute.equal(good.column("kind"), "audio")), bad_wav]
+    )
+    aout = AudioFeatureStage(skip_corrupt=True)(auds)
+    ad = dict(zip(aout.column("media_id").to_pylist(),
+                  aout.column("audio_fp").to_pylist()))
+    assert ad[99] is None and ad[1] is not None
+    with pytest.raises(ValueError):
+        AudioFeatureStage()(auds)
+
+    bad_vid = bad_img.set_column(
+        bad_img.schema.get_field_index("payload"), "payload",
+        pa.array([encode_framepack([img], fps=5)[:10]], pa.binary()),
+    ).set_column(bad_img.schema.get_field_index("format"), "format",
+                 pa.array(["fpk"]))
+    vout = VideoFrameSampleStage(skip_corrupt=True)(bad_vid)
+    assert vout.column("frame_phashes").to_pylist() == [None]
+    with pytest.raises(ValueError):
+        VideoFrameSampleStage()(bad_vid)
+
+
+def test_corrupt_tarball_skipped_in_dir_scan(ray_session, tmp_path):
+    """A corrupt tarball in a directory scan is skipped; the other files
+    still produce rows (never fail the whole 100-TB scan for one bad
+    archive)."""
+    import tarfile as _t
+
+    from logjuicer_ray.sources.rawfiles import read_file_lines
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "app.log").write_text("line one here\nline two here\n")
+    with _t.open(d / "good.tar", "w") as tf:
+        data = b"inside tar line\n"
+        info = _t.TarInfo("member.log")
+        info.size = len(data)
+        import io as _io
+        tf.addfile(info, _io.BytesIO(data))
+    (d / "broken.tar").write_bytes(b"not a tar at all" * 40)
+    ds = read_file_lines(str(d))
+    df = ds.to_pandas()
+    texts = set(df["text"])
+    assert "line one here" in texts and "inside tar line" in texts
+    assert not any("broken" in c for c in set(df["conv_id"]))
