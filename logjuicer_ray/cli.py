@@ -73,6 +73,18 @@ def _fetcher_from_args(args):
     return LocalMirrorFetcher(mirror) if mirror else HttpFetcher()
 
 
+def _error_collector(args):
+    """Lazily-created shared read-error collector for this CLI run
+    (sources/read_errors.py — report.rs:112 read_errors analog)."""
+    ec = getattr(args, "_read_error_collector", None)
+    if ec is None:
+        from .sources.read_errors import new_read_error_collector
+
+        ec = new_read_error_collector()
+        args._read_error_collector = ec
+    return ec
+
+
 def _read_url(url, *, args, role: str = "file"):
     """Remote input: classify the URL (zuul build / prow view / httpdir
     directory / single file, urls.rs:10-22), discover its file list on
@@ -86,6 +98,7 @@ def _read_url(url, *, args, role: str = "file"):
     return read_url_lines(
         files, prefix, fetcher,
         role=role, target_config=getattr(args, "_target_config", None),
+        error_collector=_error_collector(args),
     )
 
 
@@ -141,7 +154,8 @@ def _read_input(path, *, split, args, block_mib=None):
         from .sources.archives import read_archive_lines
 
         return read_archive_lines(
-            path, target_config=getattr(args, "_target_config", None)
+            path, target_config=getattr(args, "_target_config", None),
+            error_collector=_error_collector(args),
         )
     if path:
         from .sources.journal import is_journal_path
@@ -159,7 +173,8 @@ def _read_input(path, *, split, args, block_mib=None):
         from .sources.rawfiles import read_file_lines
 
         return read_file_lines(
-            path, target_config=getattr(args, "_target_config", None)
+            path, target_config=getattr(args, "_target_config", None),
+            error_collector=_error_collector(args),
         )
     return read_turns(path, split=split, columns=ENGINE_COLUMNS,
                       block_mib=block_mib)
@@ -212,7 +227,8 @@ def _print_anomalies(anomalies_ds, limit: int = 50) -> None:
         shown += 1
 
 
-def _write_outputs(out, out_dir: str, *, inputs, extra_summary=None) -> dict:
+def _write_outputs(out, out_dir: str, *, inputs, extra_summary=None,
+                   error_collector=None) -> dict:
     from .sinks import write_sink
 
     summary: dict = {"sinks": {}}
@@ -231,6 +247,13 @@ def _write_outputs(out, out_dir: str, *, inputs, extra_summary=None) -> dict:
                 pc.sum(batch.filter(mask).column("line_count")).as_py() or 0
             )
     summary.update(totals)
+    if error_collector is not None:
+        # drained AFTER the sinks executed the pipeline, so every skipped
+        # source has reported by now (report.rs:112 read_errors parity)
+        from .sources.read_errors import drain_read_errors
+
+        summary["read_errors"] = [list(t)
+                                  for t in drain_read_errors(error_collector)]
     if extra_summary:
         summary.update(extra_summary)
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
@@ -290,6 +313,7 @@ def cmd_report(args) -> int:
         out,
         args.out,
         inputs=[args.input or args.baseline, args.target],
+        error_collector=getattr(args, "_read_error_collector", None),
         extra_summary={
             "groups": {k: v.index.nrows for k, v in sorted(model.indexes.items())},
             "run_time_s": round(time.monotonic() - t0, 2),
@@ -336,7 +360,10 @@ def cmd_errors(args) -> int:
     out = run_errors_report(target, cfg, model=model, metrics=metrics)
     os.makedirs(args.out, exist_ok=True)
     metrics.write(args.out)
-    summary = _write_outputs(out, args.out, inputs=[args.input or args.target])
+    summary = _write_outputs(
+        out, args.out, inputs=[args.input or args.target],
+        error_collector=getattr(args, "_read_error_collector", None),
+    )
     if getattr(args, "bundle", None):
         from .report_codec import save_report_bundle
 

@@ -190,10 +190,15 @@ def read_archive_lines(
     target_config=None,
     role: str = "file",
     max_entry_bytes: int = DEFAULT_MAX_ENTRY_BYTES,
+    error_collector=None,
 ):
     """Turns-schema Dataset over one or more tarballs (or a directory of
-    them).  See the module docstring for the parallelism contract."""
+    them).  See the module docstring for the parallelism contract.
+    Corrupt archives/members are skipped and recorded through the
+    optional ``error_collector`` (report.rs:112 read_errors analog)."""
     import ray.data as rd
+
+    from .read_errors import report_read_error
 
     paths = [path] if isinstance(path, str) else list(path)
     archives: list[str] = []
@@ -214,9 +219,15 @@ def read_archive_lines(
     specs: list[dict] = []
     for a in archives:
         if a.endswith(".tar"):
-            specs.extend(_plain_tar_specs(a))
+            try:
+                specs.extend(_plain_tar_specs(a))
+            except (OSError, EOFError, tarfile.TarError) as e:
+                # corrupt archive header walk: skip the archive, record it
+                report_read_error(error_collector, a, e)
         else:
             specs.append({"archive": a, "name": "", "offset": -1, "size": -1})
+    if not specs:
+        return rd.from_arrow(_TURNS_SCHEMA.empty_table())
 
     def expand(batch: pa.Table) -> pa.Table:
         out = []
@@ -224,15 +235,19 @@ def read_archive_lines(
             a = row["archive"]
             if row["offset"] < 0:
                 # compressed archive: stream it whole (one task's worth)
-                out.append(
-                    _rows_table(
-                        iter_archive_entries(
-                            a, fp_valid=fp_valid,
-                            max_entry_bytes=max_entry_bytes,
-                        ),
-                        role,
+                try:
+                    out.append(
+                        _rows_table(
+                            iter_archive_entries(
+                                a, fp_valid=fp_valid,
+                                max_entry_bytes=max_entry_bytes,
+                            ),
+                            role,
+                        )
                     )
-                )
+                except (OSError, EOFError, tarfile.TarError) as e:
+                    report_read_error(error_collector, a, e)
+                    continue
             else:
                 name = row["name"]
                 if fp_valid is not None and not fp_valid(name):
@@ -246,7 +261,8 @@ def read_archive_lines(
                     raw = f.read(read_n)
                 try:
                     data = _decompress_member(name, raw)
-                except Exception:
+                except Exception as e:
+                    report_read_error(error_collector, f"{a}?entry={name}", e)
                     continue
                 url = f"{a}?entry={name}"
                 if is_tarball_path(name):

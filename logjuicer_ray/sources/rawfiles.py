@@ -62,6 +62,7 @@ def read_file_lines(
     target_config=None,
     role: str = "file",
     max_entry_bytes: int = DEFAULT_MAX_ENTRY_BYTES,
+    error_collector=None,
 ):
     """Turns-schema Dataset over a raw log file or a directory of them.
 
@@ -70,6 +71,10 @@ def read_file_lines(
     Suffix dispatch per file: ``.gz``/``.xz`` decompress, ``.journal``
     parses as a binary journal, tarballs expand entry-wise; everything
     else is UTF-8 lines (lossy decode).
+
+    Corrupt sources are skipped, and — with an ``error_collector``
+    (``sources/read_errors.py``) — recorded as the reference Report's
+    ``read_errors`` (report.rs:112): skipped, never silent.
     """
     import pyarrow as pa
     import ray.data as rd
@@ -81,6 +86,7 @@ def read_file_lines(
         is_tarball_path,
         iter_archive_entries,
     )
+    from .read_errors import report_read_error
     from .remote import _remote_rows_table
 
     if os.path.isdir(path):
@@ -117,8 +123,11 @@ def read_file_lines(
                             max_entry_bytes=max_entry_bytes
                         )
                     ]
-                except (OSError, EOFError, tarfile.TarError):
-                    continue  # corrupt archive: skip, never fail the scan
+                except (OSError, EOFError, tarfile.TarError) as e:
+                    # corrupt archive: skip, never fail the scan — but
+                    # record it (report.rs:112 read_errors)
+                    report_read_error(error_collector, p, e)
+                    continue
                 out.append(_remote_rows_table(entries, role))
                 continue
             read_n = -1
@@ -129,8 +138,10 @@ def read_file_lines(
                 raw = f.read(read_n)
             try:
                 data = _decompress_member(rel, raw)
-            except Exception:
-                continue  # corrupt compressed file: skip, never fail the scan
+            except Exception as e:
+                # corrupt compressed file: skip, never fail the scan
+                report_read_error(error_collector, p, e)
+                continue
             url, lines = _entry_rows(p, data, max_entry_bytes)
             out.append(_remote_rows_table([(url, rel, lines)], role))
         if not out:

@@ -671,14 +671,19 @@ def read_url_lines(
     role: str = "file",
     target_config=None,
     max_entry_bytes: int | None = None,
+    error_collector=None,
 ):
     """Turns-schema Dataset over discovered file URLs — one fetch task per
     file (the data plane).  Per-file ``.gz``/``.xz`` payloads decompress in
     the task; a remote tarball expands through the archive reader with
     ``?entry=`` provenance; invalid paths are dropped by the config's
-    ``is_fp_valid`` BEFORE any fetch (prune at the read)."""
+    ``is_fp_valid`` BEFORE any fetch (prune at the read).  Failed fetches
+    and corrupt payloads are skipped AND recorded through the optional
+    ``error_collector`` (report.rs:112 read_errors analog)."""
     import pyarrow as pa
     import ray.data as rd
+
+    from .read_errors import report_read_error
 
     from .archives import (
         DEFAULT_MAX_ENTRY_BYTES,
@@ -706,6 +711,7 @@ def read_url_lines(
             url, rel = row["url"], row["rel"]
             raw = fetcher.get(url)
             if raw is None:
+                report_read_error(error_collector, url, "fetch failed")
                 continue
             if is_tarball_path(rel.removesuffix(".gz").removesuffix(".xz")) or is_tarball_path(rel):
                 import tarfile as _tarfile
@@ -717,13 +723,16 @@ def read_url_lines(
                             url, io.BytesIO(raw), fp_valid=fp_valid, max_entry_bytes=cap
                         )
                     ]
-                except (OSError, EOFError, _tarfile.TarError):
-                    continue  # corrupt remote archive: skip, never fail the scan
+                except (OSError, EOFError, _tarfile.TarError) as e:
+                    # corrupt remote archive: skip, never fail the scan
+                    report_read_error(error_collector, url, e)
+                    continue
                 out.append(_remote_rows_table(entries, role))
                 continue
             try:
                 data = _decompress_member(rel, raw)
-            except Exception:
+            except Exception as e:
+                report_read_error(error_collector, url, e)
                 continue  # corrupt compressed payload: skip the file
             u2, lines = _entry_rows(url, data, cap)
             out.append(_remote_rows_table([(u2, rel, lines)], role))

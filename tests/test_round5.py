@@ -481,3 +481,49 @@ def test_corrupt_tarball_skipped_in_dir_scan(ray_session, tmp_path):
     texts = set(df["text"])
     assert "line one here" in texts and "inside tar line" in texts
     assert not any("broken" in c for c in set(df["conv_id"]))
+
+
+def test_read_errors_surface_in_cli_summary(ray_session, tmp_path):
+    """report.rs:112 read_errors parity: corrupt sources are skipped AND
+    listed in summary.json — never silent.  Covers both the raw-file dir
+    scan (bad .gz) and the tarball dir scan (corrupt archive)."""
+    import io as _io
+    import json
+    import tarfile as _t
+
+    from logjuicer_ray.cli import main as cli_main
+
+    base = "\n".join(f"service ok heartbeat seq {i}" for i in range(30))
+
+    rawdir = tmp_path / "rawlogs"
+    rawdir.mkdir()
+    (rawdir / "app.log").write_text(base + "\n")
+    (rawdir / "bad.gz").write_bytes(b"\x1f\x8b\x08\x00garbage-after-magic")
+    baseline = tmp_path / "base.log"
+    baseline.write_text(base + "\n")
+
+    out1 = str(tmp_path / "out1")
+    rc = cli_main(["report", "--target", str(rawdir),
+                   "--baseline", str(baseline), "--out", out1, "--quiet"])
+    assert rc == 0
+    errs = dict(json.load(open(out1 + "/summary.json"))["read_errors"])
+    assert any(k.endswith("bad.gz") for k in errs)
+    msg = next(v for k, v in errs.items() if k.endswith("bad.gz"))
+    assert msg.split(":")[0] in ("BadGzipFile", "EOFError", "OSError", "error")
+
+    tardir = tmp_path / "tars"
+    tardir.mkdir()
+    with _t.open(tardir / "ok.tar", "w") as tf:
+        data = (base + "\n").encode()
+        info = _t.TarInfo("m.log")
+        info.size = len(data)
+        tf.addfile(info, _io.BytesIO(data))
+    (tardir / "broken.tar").write_bytes(b"definitely not a tarball" * 64)
+
+    out2 = str(tmp_path / "out2")
+    rc = cli_main(["report", "--target", str(tardir),
+                   "--baseline", str(baseline), "--out", out2, "--quiet"])
+    assert rc == 0
+    errs2 = dict(json.load(open(out2 + "/summary.json"))["read_errors"])
+    assert any(k.endswith("broken.tar") for k in errs2)
+    assert not any(k.endswith("ok.tar") for k in errs2)
