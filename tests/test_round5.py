@@ -527,3 +527,34 @@ def test_read_errors_surface_in_cli_summary(ray_session, tmp_path):
     errs2 = dict(json.load(open(out2 + "/summary.json"))["read_errors"])
     assert any(k.endswith("broken.tar") for k in errs2)
     assert not any(k.endswith("ok.tar") for k in errs2)
+
+
+# --- crates/python bindings parity surface (logjuicer_ray.api) ------------
+
+def test_api_bindings_surface():
+    """The reference's 4-function Python-bindings API
+    (crates/python/src/lib.rs): process/generate/index/search."""
+    from logjuicer_ray.api import generate, index, process, search
+
+    assert process("sha256://toto tata finished in 28ms by systemd[4248]") \
+        == "%HASH tata finished %ID systemd%PID"
+
+    g = generate(50)
+    lines = g.split("\n")
+    assert len(lines) == 50
+    assert generate(50) == g  # deterministic
+    for ln in lines[:10]:
+        words = ln.split(" ")
+        assert 2 <= len(words) <= 9
+        assert all(2 <= len(w) <= 17 and w.isalnum() for w in words)
+
+    base = [process(ln) for ln in
+            ["service started on port 8080 ok",
+             "uuid 9bc0e608-8b46-44c6-bca3-7e33a3c3d526 task done fine",
+             "copy to /tmp/tmp8x2f1 finished quick"]]
+    model = index(base)
+    # a line differing only in random material scores ~0
+    same = process("uuid 11111111-2222-3333-4444-555555555555 task done fine")
+    assert abs(search(model, same)) < 1e-5
+    # an anomalous line scores high
+    assert search(model, process("kernel panic unrecoverable fs corruption")) > 0.3
