@@ -71,39 +71,24 @@ def _content_sig(batch: pa.Table, *, id_col: str, text_col: str) -> pa.Table:
 
 
 def _exact_dedup_fulltext(ds, *, id_col: str, text_col: str):
-    """Fallback exact dedup: hash-partition on the content hash with the
-    text riding the shuffle; keep the min-id row per DISTINCT text.
-    Correct at any duplicate rate, but moves every text byte through the
-    exchange — the slim path in :func:`exact_dedup` is preferred."""
+    """Fallback exact dedup: keep the min-id row per DISTINCT text with
+    the text riding ONE range sort.  Correct at any duplicate rate (keyed
+    by the text itself — no hashes, no collision question); moves every
+    text byte through the exchange, so the slim path in
+    :func:`exact_dedup` is preferred below its candidate bound.
 
-    def keep_min(group: pa.Table) -> pa.Table:
-        # min id per DISTINCT text within the hash group: a hash collision
-        # between two different documents must not drop either (the full
-        # text column is already in the group, so text equality is
-        # checked, never assumed from the hash)
-        ids = group.column(id_col).to_pylist()
-        texts = group.column(text_col).to_pylist()
-        best: dict[str, int] = {}
-        for i, t in enumerate(texts):
-            j = best.get(t)
-            if j is None or ids[i] < ids[j]:
-                best[t] = i
-        keep = sorted(best.values())
-        if len(keep) == group.num_rows:
-            return group
-        return group.take(pa.array(keep, pa.int64()))
+    Round-5 rebuild: the previous ``groupby(content_hash).map_groups``
+    ran one Python call per group — ~23M groups on the 94.6%-unique
+    sf0.1 turns corpus, measured 286 s; ``group_first_row`` on the
+    sorted exchange does the same selection in one sort + vectorized
+    segment scans (see BASELINE.md round-5 ops bench)."""
+    from .segments import group_first_row
 
-    hashed = ds.map_batches(
-        content_hashes, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
-    )
-    deduped = hashed.groupby("content_hash").map_groups(
-        keep_min, batch_format="pyarrow"
-    )
-    return deduped.drop_columns(["content_hash"])
+    return group_first_row(ds, key_cols=[text_col], order_cols=[id_col])
 
 
 def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
-                driver_cand_rows: int = 2_000_000):
+                driver_cand_rows: int = 20_000_000):
     """Exact dedup, shuffle-slim (VERDICT r3 ask #5): keep the min-id row
     per distinct ``text_col`` value.  Returns the surviving rows with the
     original columns.
@@ -125,8 +110,12 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
     The candidate id list is driver-collected to build the broadcast; if
     it exceeds ``driver_cand_rows`` (pathological duplicate rate) the
     operator falls back to :func:`_exact_dedup_fulltext`, which is correct
-    at any scale but ships text through the exchange.  ``ds`` is consumed
-    twice (signature pass + filter pass); inputs should be re-readable
+    at any scale but ships text through the exchange.  The default bound
+    (20M ids = 160 MB driver-side, sorted int64 + one ``ray.put``) was
+    raised from 2M in round 5: the sf0.1 turns corpus produces ~2.6M
+    candidates and the slim path handles them in seconds, while the
+    bound-triggered fallback cost minutes.  ``ds`` is consumed twice
+    (signature pass + filter pass); inputs should be re-readable
     (parquet) or cheap to recompute.
     """
     import ray
