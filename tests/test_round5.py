@@ -558,3 +558,36 @@ def test_api_bindings_surface():
     assert abs(search(model, same)) < 1e-5
     # an anomalous line scores high
     assert search(model, process("kernel panic unrecoverable fs corruption")) > 0.3
+
+
+def test_driver_cc_min_label_matches_union_find_reference():
+    """The vectorized min-label CC (round-5 rebuild of the per-edge
+    Python union-find) must produce identical (id -> component-min)
+    mappings on random multigraphs with self-loops and duplicates."""
+    from logjuicer_ray.functions.dedup import _driver_union_find
+
+    def ref_cc(a, b):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(a, b):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        return {x: find(x) for x in set(a) | set(b) if find(x) != x}
+
+    rng = np.random.default_rng(0)
+    for trial in range(200):
+        m = int(rng.integers(1, 60))
+        a = rng.integers(0, 40, m).astype(np.int64)
+        b = rng.integers(0, 40, m).astype(np.int64)
+        t = pa.table({"doc_id": pa.array(a), "dup_of": pa.array(b)})
+        out = _driver_union_find(t, "doc_id")
+        got = dict(zip(out.column("doc_id").to_pylist(),
+                       out.column("component").to_pylist()))
+        assert got == ref_cc(a.tolist(), b.tolist()), trial
