@@ -51,7 +51,16 @@ def drain_read_errors(collector) -> list[tuple[str, str]]:
 
 
 def report_read_error(collector, source: str, err: Exception | str) -> None:
-    """Fire-and-forget error record (no-op without a collector)."""
+    """Record one failed source (no-op without a collector).  The ack is
+    AWAITED: the scan task must not complete before the record lands,
+    else the driver's post-pipeline drain can race past it.  Failures
+    are the rare path, so the per-failed-source round-trip costs
+    nothing on healthy data."""
     if collector is not None:
-        collector.add.remote(str(source), f"{type(err).__name__}: {err}"
-                             if isinstance(err, Exception) else str(err))
+        import ray
+
+        ray.get(collector.add.remote(
+            str(source),
+            f"{type(err).__name__}: {err}" if isinstance(err, Exception)
+            else str(err),
+        ))
